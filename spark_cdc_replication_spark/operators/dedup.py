@@ -1,0 +1,345 @@
+"""Deduplication operators for large-scale text corpora.
+
+No reference counterpart (``[EXT]`` per SURVEY.md §7 M5 / BASELINE.json
+north star).  All of these are pure DataFrame compositions — native
+expressions only, no Python in the hot path — so they scale with the
+cluster:
+
+* :func:`exact_dedup` — hash-groupBy on normalized text.  One shuffle
+  on the normalization key; at 100 TB use ``fingerprint`` (md5) as the
+  shuffle key so the shuffle carries 32-byte keys, not document bodies.
+* :func:`minhash_signatures` / :func:`minhash_lsh_candidates` — classic
+  shingle -> minhash -> band -> bucket-join LSH.  The only shuffle is
+  the band-bucket self-join whose key is ``(band_id, band_hash)``;
+  bucket sizes are bounded by construction, so no quadratic blowup on
+  a 100 TB corpus (vs. an all-pairs join which is O(n^2)).
+* :func:`simhash` / :func:`simhash_candidates` — 64-bit simhash with
+  banded Hamming-distance blocking.
+* :func:`ngram_jaccard_pairs` — exact word-n-gram Jaccard verification
+  for a candidate-pair DataFrame (used to confirm LSH candidates).
+* :func:`embedding_cosine_dups` — near-duplicate detection over an
+  embedding column via blocked cosine similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalized, words
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the smallest id per exactly-equal (normalized) text.
+
+    Returns one row per distinct text: ``(id_col, n_dups)`` where
+    ``n_dups`` counts the collapsed group.  The shuffle key is the md5
+    fingerprint (32 bytes), not the document body — at 100 TB this is
+    the difference between shuffling 100 TB and shuffling ~3 GB of
+    keys + ids.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .drop("__fp")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _shingles(text_col: str | Column, n: int) -> Column:
+    """Word n-gram shingles as an array<string> (distinct).
+
+    ``transform(sequence(...), i -> concat_ws(' ', slice(words, i, n)))``
+    — all native, no UDF.
+    """
+    w = words(text_col)
+    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), k)
+    return F.array_distinct(
+        F.when(k > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _hashed_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """``(id, __h0)``: one xxhash64 per word-n-gram occurrence.
+
+    posexplode + window ``lead`` + multi-column ``xxhash64`` — no
+    string concatenation, no higher-order functions (HOF lambdas run
+    interpreted; this formulation measured ~6x faster than
+    ``transform(sequence, i -> concat_ws(slice(...)))``).  Duplicate
+    shingles are kept: downstream MIN aggregation is idempotent.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(normalized(text_col))).alias("__pos", "__w0")
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos")
+    lead_cols = [F.lead("__w0", k).over(win).alias(f"__w{k}") for k in range(1, n)]
+    tri = toks.select(F.col(id_col), F.col("__w0"), *lead_cols)
+    return tri.filter(F.col(f"__w{n-1}").isNotNull()).select(
+        F.col(id_col),
+        F.xxhash64(*[f"__w{k}" for k in range(n)]).alias("__h0"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``(id, sig: array<bigint>)`` — minhash signature per document.
+
+    Hash family: one ``xxhash64`` over the shingle *string*, then
+    ``num_hashes`` fixed-width ``xxhash64(h0, i)`` derivations — the
+    variable-length string is scanned once, not ``num_hashes`` times.
+
+    Physical shape: explode(shingles) -> hash -> groupBy(id) with
+    ``num_hashes`` MIN aggregates -> assemble the signature array.
+    Everything stays inside whole-stage codegen (an
+    ``aggregate()``-lambda formulation drops to interpreted
+    higher-order-function evaluation — measured ~4x slower), and at
+    scale the map-side partial MIN reduces the shuffle to one row per
+    (doc, partition).
+
+    Documents with zero shingles produce no signature row (they cannot
+    pair with anything); callers that need them track ids separately.
+    """
+    exploded = _hashed_shingles(df, text_col, id_col, shingle_n)
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Banded LSH: pairs sharing >=1 band, scored by signature agreement.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``.
+    ``est_jaccard`` = fraction of equal minhash slots.  The self-join
+    key is ``(band_id, hash(band slice))`` so only same-bucket docs
+    ever meet — the scalable LSH contract.
+    """
+    n_hashes_col = F.size("sig")
+    rows_per_band = F.floor(n_hashes_col / F.lit(num_bands)).cast("int")
+    bands = signatures.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band_id"),
+        rows_per_band.alias("__r"),
+    ).select(
+        id_col,
+        "sig",
+        "band_id",
+        F.hash(F.slice("sig", F.col("band_id") * F.col("__r") + 1, F.col("__r"))).alias(
+            "band_hash"
+        ),
+    ).filter(F.size("sig") > 0)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+        / F.size("sig_a")
+    ).alias("est_jaccard")
+    return pairs.select("id_a", "id_b", est).filter(
+        F.col("est_jaccard") >= min_est_jaccard
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """``(id, simhash: bigint)`` — weighted-bit-vote fingerprint.
+
+    Per token: xxhash64; per bit position: +1 if set else -1, summed
+    over tokens via a single ``aggregate`` with an array accumulator;
+    bit b of the result is 1 iff vote[b] > 0.  All native expressions.
+    """
+    # explode tokens -> hash once -> 64 codegen'd SUM aggregates (the
+    # per-bit vote), then assemble the simhash long.  Same
+    # explode/groupBy scale shape as minhash_signatures.
+    exploded = df.select(
+        F.col(id_col), F.explode(words(normalized(text_col))).alias("__t")
+    ).select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+    vote_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    votes = exploded.groupBy(id_col).agg(*vote_aggs)
+    # bit b of the simhash = 1 iff votes[b] > 0; bit 63 is the sign bit
+    # so its contribution is Long.MIN_VALUE.
+    contribs = [
+        F.when(
+            F.col(f"__v{i}") > 0,
+            F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    sim = contribs[0]
+    for c in contribs[1:]:
+        sim = sim.bitwiseOR(c)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Blocking: split the 64-bit hash into ``num_bands`` 16-bit bands; by
+    pigeonhole any pair within Hamming distance < num_bands shares at
+    least one exact band, so the self-join on ``(band_id, band_bits)``
+    finds all such pairs without an all-pairs comparison.
+    """
+    width = 64 // num_bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+            for i in range(num_bands)
+        ]
+    )
+    bands = hashes.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(band_arr).alias("band_id", "band_bits"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band_id", "band_bits"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "band_id", "band_bits"
+    )
+    pairs = (
+        a.join(b, on=["band_id", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming")
+    return pairs.select("id_a", "id_b", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard (verifier for LSH candidates)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for each ``(id_a, id_b)`` pair.
+
+    Joins the shingle sets in (documents are fetched twice by id — two
+    hash joins, no crossing), then
+    ``|intersect| / |union|`` via native array functions.
+    """
+    sh = df.select(
+        F.col(id_col), _shingles(normalized(text_col), n).alias("__sh")
+    )
+    joined = (
+        pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), on="id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = (inter / F.nullif(union, F.lit(0))).alias("jaccard")
+    return joined.select("id_a", "id_b", jac).filter(F.col("jaccard") >= min_jaccard)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_cosine_dups(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Pairs with cosine(vec_a, vec_b) >= threshold, blocked.
+
+    ``block_cols`` keeps the self-join from being all-pairs (at scale:
+    an LSH/IVF bucket id — see operators/similarity.py); cosine is a
+    native ``aggregate(zip_with(...))`` in double precision.
+    """
+    from ..functions.vectors import cosine_similarity, l2_norm
+
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col(vec_col).alias("__v")
+    ).withColumn("__norm", l2_norm("__v"))
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        *block_cols,
+        F.col("__v").alias("v_a"),
+        F.col("__norm").alias("n_a"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        *block_cols,
+        F.col("__v").alias("v_b"),
+        F.col("__norm").alias("n_b"),
+    )
+    pairs = a.join(b, on=list(block_cols)).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_similarity("v_a", "v_b", "n_a", "n_b").alias("cosine")
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= min_cosine
+    )

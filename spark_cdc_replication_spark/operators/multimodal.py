@@ -1,0 +1,91 @@
+"""Multimodal (binary) column plumbing ([EXT], SURVEY.md §7 M5).
+
+Images / audio / video are opaque ``binary`` columns with a typed
+metadata struct.  The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signature, partition sizing — is real and tested; the
+actual codec decode is STUBBED (this container has no image/audio
+libraries) behind ``decode_stub``: a clearly-marked deterministic fake
+that derives "features" purely from the byte content, so tests and
+oracles stay deterministic.
+
+Scale notes: binary payloads ride in the same parquet row groups as
+their metadata, so filters on metadata (e.g. ``media_type``) prune
+row groups before any bytes are decoded.  ``mapInPandas`` streams
+Arrow batches — set ``spark.sql.execution.arrow.maxRecordsPerBatch``
+down if payloads are large (a 10k-row batch of 1 MB blobs is 10 GB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the feature extractor (DDL form keeps it in one place).
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, checksum string, "
+    "width int, height int, n_frames int"
+)
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test fixture: synthesize an opaque media column + metadata struct
+    from a text column (deterministic: utf-8 bytes of the text)."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.when(F.col(id_col) % 3 == 0, F.lit("image/png"))
+            .when(F.col(id_col) % 3 == 1, F.lit("audio/wav"))
+            .otherwise(F.lit("video/mp4"))
+            .alias("media_type"),
+            F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decode.
+
+    A real deployment would replace this with PIL / torchaudio /
+    pyav decoding — the function signature (bytes in, dict of features
+    out) and everything around it stays identical.
+    """
+    n = len(payload)
+    return {
+        "width": (n * 7) % 512,
+        "height": (n * 13) % 512,
+        "n_frames": n % 32,
+    }
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """``mapInPandas`` feature extraction over binary payloads.
+
+    Arrow-batched: each pandas batch holds the payload bytes column;
+    per-row Python cost is one ``decode_stub`` call (the pattern a real
+    decoder would follow).  Output is a flat, typed feature row.
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_stub(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": [int(m["n_bytes"]) for m in pdf["meta"]],
+                    "checksum": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

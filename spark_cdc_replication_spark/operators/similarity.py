@@ -1,0 +1,146 @@
+"""Approximate / exact nearest-neighbor search over embedding columns.
+
+``[EXT]`` operator (SURVEY.md §7 M5; BASELINE.json north star).  Two
+tiers:
+
+* :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query set against the corpus, window-rank per query.  The corpus is
+  scanned once, never shuffled (ranking shuffles only
+  ``|queries| * |corpus|`` scored *rows of (ids, score)*, not vectors).
+  This is the correctness baseline and is fine whenever
+  ``|queries|`` is bounded.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets
+  (SimHash for vectors); queries only meet corpus vectors sharing a
+  bucket in >=1 of ``num_tables`` hash tables.  Recall < 1.0 by design;
+  the driver records it as a rows-only check.
+
+At 100 TB the brute-force variant is a single map-side pass per query
+batch (no index build), the LSH variant trades one shuffle
+(bucket join) for a ~100x candidate reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    Output: ``(query_id, neighbor_id, cosine, rank)`` — rank 1..k,
+    deterministic tie-break on neighbor id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm("__cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm("__qv"))
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` bigint column: bit i = sign(dot(vec, plane_i)).
+
+    ``planes`` is a small in-plan literal (num_planes x dim floats) —
+    shipped in the serialized plan, no broadcast needed.
+    """
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) > 0, 1 << i).otherwise(0)
+        for i, p in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes_tables: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH bucket
+    with the query in at least one hash table.
+
+    ``planes_tables`` = ``num_tables`` independent hyperplane sets.
+    Output shape matches :func:`brute_force_topk` (rank may hold fewer
+    than k rows when buckets are sparse — that's the approximation).
+    """
+    cands = None
+    for t, planes in enumerate(planes_tables):
+        cb = hyperplane_buckets(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
+            planes,
+            "__cv",
+        ).withColumn("table_id", F.lit(t))
+        qb = hyperplane_buckets(
+            queries.select(
+                F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            ),
+            planes,
+            "__qv",
+        ).withColumn("table_id", F.lit(t))
+        pairs = cb.join(F.broadcast(qb), on=["table_id", "bucket"]).select(
+            "query_id", "neighbor_id", "__qv", "__cv"
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qv", "__cv").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def deterministic_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[float]]]:
+    """Seeded pseudo-random hyperplanes (pure python, reproducible)."""
+    import random
+
+    rng = random.Random(42)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+        for _ in range(num_tables)
+    ]

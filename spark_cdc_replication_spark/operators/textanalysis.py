@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines ([EXT]).
+
+Pure native-expression implementations (whole-stage codegen; zero
+Python UDFs) of: language ID, quality scoring, token counting, and
+document fingerprinting.  See ``functions/text.py`` for the underlying
+expressions and their DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    count_matching,
+    fingerprint,
+    normalized,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    words,
+)
+
+#: Tiny per-language marker-word lists for the n-gram/stopword
+#: language-ID heuristic.  Deliberately small + deterministic (the
+#: point is the distributed scoring pattern, not NLP accuracy).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "para", "que", "de"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, whitespace tokens, BPE-ish tokens,
+    punctuation ratio, stopword ratio, mean word length."""
+    w = words(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            / F.nullif(F.size(w), F.lit(0)),
+            6,
+        ).alias("mean_word_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite [0,1] quality score from length / punctuation /
+    stopword signals — the standard pre-training corpus filter shape."""
+    n_tok = token_count(text_col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(
+        F.coalesce(punct_ratio(text_col), F.lit(0.0)) * 5.0, F.lit(1.0)
+    )
+    stop_ok = F.least(
+        F.coalesce(stopword_ratio(text_col), F.lit(0.0)) * 4.0, F.lit(1.0)
+    )
+    score = F.round((len_score + punct_ok + stop_ok) / 3.0, 6)
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct_ok, 6).alias("punct_score"),
+        F.round(stop_ok, 6).alias("stop_score"),
+        score.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word-ratio language ID over the token array.
+
+    Score per language = count of marker tokens / total tokens; predicted
+    language = argmax with deterministic alphabetical tie-break (falls
+    back to 'und' when nothing matches).
+    """
+    w = words(normalized(text_col))
+    n = F.nullif(F.size(w), F.lit(0))
+    scores = [
+        (count_matching(w, markers) / n).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.coalesce(F.col(f"score_{l}"), F.lit(0.0)) for l in langs])
+    pred = F.lit("und")
+    # Reverse order so that on ties the alphabetically-first wins.
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.coalesce(F.col(f"score_{lang}"), F.lit(0.0)) == best),
+            F.lit(lang),
+        ).otherwise(pred)
+    return scored.select(
+        id_col,
+        pred.alias("pred_lang"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """md5-of-normalized-text fingerprint per document."""
+    return df.select(F.col(id_col), fingerprint(text_col).alias("fp"))

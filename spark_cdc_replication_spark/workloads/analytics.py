@@ -1,0 +1,247 @@
+"""Analytic query surface (joins / aggregations / windows / top-k).
+
+The reference composes Spark primitives but never exposes sum/avg/
+grouping/inner-join queries (SURVEY.md §2.5 "our engine gets them for
+free from Spark SQL and exposes them in the query surface §7").  These
+TPC-H-style queries over the driver's fixtures ARE that surface, and
+double as the bench.py headline workload.
+
+Float policy: a double SUM is not reproducible across engines (IEEE
+addition is non-associative and Spark/DuckDB sum in different orders),
+so every money sum goes through ``sum(cast(x as decimal(27,8)))``:
+the per-row double product is bit-identical in both engines, the
+double->decimal(…,8) rounding is deterministic, and decimal summation
+is exact — therefore order-independent.  The result is cast back to
+double and rounded for stable hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+
+
+def dsum(col: Column, round_to: int = 2) -> Column:
+    """Order-independent cross-engine-reproducible money sum.
+    SQL twin: ``round(CAST(sum(CAST(x AS DECIMAL(27,8))) AS DOUBLE), r)``."""
+    return F.round(F.sum(col.cast("decimal(27,8)")).cast("double"), round_to)
+
+
+def _dsum_sql(expr: str, round_to: int = 2) -> str:
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(27,8))) AS DOUBLE), {round_to})"
+
+
+# --------------------------------------------------------------------------
+# q1: pricing summary — full-scan groupBy aggregate (map-side partials,
+# single shuffle on a 6-value grouping key; filter pushed to parquet)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q3: shipping priority — selective dim filter, 3-way join, agg, top-10.
+# customer is tiny relative to lineitem: AQE broadcasts it; the rounded
+# revenue is computed BEFORE ordering so the top-k cut is deterministic.
+# --------------------------------------------------------------------------
+
+_Q3_DATE = "1999-03-15"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _Q3_DATE)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _Q3_DATE)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q5-style: revenue by nation — 6-table snowflake join; every dimension
+# (region/nation/customer/supplier) is broadcast-small, so the only big
+# shuffle is the orders<->lineitem join, and AQE usually broadcasts the
+# filtered orders side too.
+# --------------------------------------------------------------------------
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(cust.c_nationkey == sup.s_nationkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT r_name, n_name,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# q10-style: returned-item losers — join + agg + per-group stats
+# --------------------------------------------------------------------------
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"),
+        F.count(F.lit(1)).alias("n_returned"),
+    )
+
+
+ORACLE_RETURNED_REVENUE = f"""
+SELECT c_custkey, c_name, n_name,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS lost_revenue,
+       count(*) AS n_returned
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Window analytics: top-3 orders per customer by totalprice (rank + filter)
+# --------------------------------------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q_pricing_summary,
+    "q3_shipping_priority": q_shipping_priority,
+    "q5_local_supplier_volume": q_local_supplier_volume,
+    "q10_returned_revenue": q_returned_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+}
+
+ORACLE = {
+    "q1_pricing_summary": ORACLE_PRICING_SUMMARY,
+    "q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "q10_returned_revenue": ORACLE_RETURNED_REVENUE,
+    "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
+}

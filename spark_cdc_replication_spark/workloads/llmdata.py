@@ -1,0 +1,366 @@
+"""[EXT] LLM-data-pipeline queries: dedup, similarity search, text
+analysis — each over the driver's ``documents`` / ``embeddings``
+fixtures, with a DuckDB oracle wherever the semantics are
+SQL-expressible.  Non-SQL-expressible ops (MinHash-LSH, SimHash, LSH
+ANN) are registered without an oracle → the driver records the weaker
+rows-only check (per the driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fixtures import load_table
+from ..functions.text import STOPWORDS
+from ..operators.dedup import (
+    embedding_cosine_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from ..operators.similarity import (
+    brute_force_topk,
+    deterministic_planes,
+    lsh_topk,
+)
+from ..operators.textanalysis import (
+    fingerprints,
+    language_id,
+    quality_score,
+    text_stats,
+)
+
+_STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+#: DuckDB twin of functions.text.words / normalized
+_WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Duplicate a slice of the corpus so the dedup provably collapses.
+    dupes = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return exact_dedup(docs.unionByName(dupes))
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM corpus
+GROUP BY {_NORM_SQL}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (rows-only check: xxhash64 has
+    no DuckDB twin).  Self-consistency is asserted in tests/ against
+    exact n-gram Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Cache the signatures: both sides of the LSH self-join consume
+    # them, and without a materialization the shingle+minhash subplan
+    # is evaluated once per branch (the reference caches its parsed
+    # batch before the 3-way split for the same reason, A3).
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3).cache()
+    return minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates, Hamming <= 3 (rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(simhash(docs), max_hamming=3, num_bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over same-source candidate pairs.
+
+    Blocking by ``source`` bounds the pair count; the oracle computes
+    the identical set algebra with DuckDB list functions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), on="source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # keep the pair count bounded and deterministic
+        .filter((F.col("a.doc_id") % 5 == 0) & (F.col("b.doc_id") % 5 == 0))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    out = ngram_jaccard_pairs(docs, pairs, n=3, min_jaccard=0.1)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+  FROM (SELECT doc_id, source, string_split_regex({_NORM_SQL}, '\\s+') AS w FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.shingles AS sh_a, b.shingles AS sh_b
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE
+             / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0), 6) AS jaccard
+FROM pairs
+WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+      / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0) >= 0.1
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: same-label blocking, cosine >= 0.9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_dups(emb, block_cols=["label"], min_cosine=0.35).select(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_DEDUP_EMBEDDING_COSINE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the first 10 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, _queries_df(spark, sf_dir), k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+ORACLE_SIMILARITY_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (rows-only: approximate by
+    design; recall vs brute force asserted in tests/)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = deterministic_planes(num_tables=4, num_planes=8, dim=64)
+    out = lsh_topk(emb, _queries_df(spark, sf_dir), planes, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+  round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 6) AS punct_ratio,
+  round(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+        / nullif(len({_WORDS_SQL}), 0), 6) AS stopword_ratio,
+  round(list_sum(list_transform({_WORDS_SQL}, w -> length(w)))::DOUBLE
+        / nullif(len({_WORDS_SQL}), 0), 6) AS mean_word_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_QUALITY_SCORE = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
+    coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+             / nullif(len({_WORDS_SQL}), 0), 0) AS sr
+  FROM documents
+)
+SELECT doc_id,
+  round(least(n_tok / 100.0, 1.0), 6) AS len_score,
+  round(1.0 - least(pr * 5.0, 1.0), 6) AS punct_score,
+  round(least(sr * 4.0, 1.0), 6) AS stop_score,
+  round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+FROM feats
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str, markers: tuple[str, ...]) -> str:
+    mlist = ", ".join(f"'{m}'" for m in markers)
+    return (
+        f"coalesce(len(list_filter(w, t -> t IN ({mlist})))::DOUBLE / nullif(len(w), 0), 0)"
+    )
+
+
+ORACLE_LANGUAGE_ID = None  # built lazily below (needs LANG_MARKERS)
+
+
+def _build_language_id_oracle() -> str:
+    from ..operators.textanalysis import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n    ".join(
+        f"{_lang_score_sql(l, LANG_MARKERS[l])} AS score_{l}" for l in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN best > 0 AND score_{lang} = best THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS w FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM toks
+),
+withbest AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, {pred} AS pred_lang, round(best, 6) AS lang_score
+FROM withbest
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_FINGERPRINTS = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup: per (lang, source) doc count, char sum, token sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import token_count
+
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(token_count("text").cast("long")).alias("total_tokens"),
+    )
+
+
+ORACLE_LANG_STATS = f"""
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END) AS total_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary payload + metadata struct -> mapInPandas features
+# --------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_binary, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs))
+
+
+# The decode stub is deterministic over byte length, so the whole
+# pipeline (binary synth -> Arrow batch -> python decode) has an exact
+# SQL twin.
+ORACLE_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS media_type,
+  n_bytes::INT AS n_bytes,
+  checksum,
+  ((n_bytes * 7) % 512)::INT AS width,
+  ((n_bytes * 13) % 512)::INT AS height,
+  (n_bytes % 32)::INT AS n_frames
+FROM m
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "text_stats": q_text_stats,
+    "text_quality_score": q_quality_score,
+    "text_language_id": q_language_id,
+    "text_fingerprints": q_fingerprints,
+    "text_lang_stats": q_lang_stats,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality_score": ORACLE_QUALITY_SCORE,
+    "text_language_id": _build_language_id_oracle(),
+    "text_fingerprints": ORACLE_FINGERPRINTS,
+    "text_lang_stats": ORACLE_LANG_STATS,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk: rows-only
+}

@@ -1,0 +1,87 @@
+"""[EXT] operator self-consistency tests: LSH candidates vs exact
+Jaccard, simhash on perturbed near-dups, ANN recall vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_candidates,
+)
+from spark_cdc_replication_spark.operators.similarity import (
+    brute_force_topk,
+    deterministic_planes,
+    lsh_topk,
+)
+
+
+def corpus_with_near_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # near-dup: whitespace + case perturbation (same shingles after norm)
+    near = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+def test_exact_dedup_collapses_normalized_dups(spark, sf_dir):
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    out = exact_dedup(corpus)
+    collapsed = out.filter(F.col("n_dups") > 1)
+    # every perturbed doc normalizes back to its source text
+    assert collapsed.count() == 25
+    assert out.count() == 500
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.8)
+    found = {
+        (r.id_a, r.id_b) for r in cands.collect()
+    }
+    planted = {(i, i + 10_000) for i in range(0, 500, 20)}
+    assert planted <= found
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.5)
+    exact = ngram_jaccard_pairs(corpus, cands.select("id_a", "id_b"), n=3)
+    joined = cands.join(exact, on=["id_a", "id_b"]).collect()
+    assert joined, "no candidates to compare"
+    for r in joined:
+        assert abs(r.est_jaccard - r.jaccard) < 0.35
+
+
+def test_simhash_identical_and_near_docs(spark, sf_dir):
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    h = simhash(corpus)
+    cands = simhash_candidates(h, max_hamming=3, num_bands=4)
+    found = {(r.id_a, r.id_b) for r in cands.collect()}
+    planted = {(i, i + 10_000) for i in range(0, 500, 20)}
+    # normalization makes planted dups simhash-identical (hamming 0)
+    assert planted <= found
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    planes = deterministic_planes(num_tables=8, num_planes=6, dim=64)
+    approx = lsh_topk(emb, queries, planes, k=10)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+    # every approx hit must be a real corpus vector, ranked 1..10
+    assert all(1 <= r.rank <= 10 for r in approx.collect())

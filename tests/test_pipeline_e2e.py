@@ -1,0 +1,106 @@
+"""End-to-end CDC pipeline: stream-land -> daily merge -> history merge,
+golden-checked against a DuckDB last-writer-wins fold (SURVEY.md §5.2
+tier 2/3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.config import TableSpec
+from spark_cdc_replication_spark.fixtures import CDC_PAYLOAD_SCHEMA, cdc_envelope
+from spark_cdc_replication_spark.pipeline import CdcPipeline
+from spark_cdc_replication_spark.sources.raw import read_raw_day
+
+
+@pytest.fixture()
+def pipe(spark, sf_dir, tmp_path):
+    spec = TableSpec(
+        name="events_cdc",
+        primary_keys=("id",),
+        order_by=("timestamp", "event_id"),
+        data_dir=str(tmp_path / "raw"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    return CdcPipeline(spark, spec, CDC_PAYLOAD_SCHEMA)
+
+
+def land_all(spark, sf_dir, pipe, tmp_path):
+    src = str(tmp_path / "incoming")
+    cdc_envelope(spark, sf_dir).write.parquet(src)
+    stream = spark.readStream.schema("timestamp timestamp, value string").parquet(src)
+    q = pipe.land(stream)
+    q.awaitTermination(120)
+    return src
+
+
+def golden_fold(sf_dir: str, upto: str | None = None):
+    where = f"WHERE ts <= TIMESTAMP '{upto}'" if upto else ""
+    rows = duckdb.sql(
+        f"""
+        WITH ops AS (
+          SELECT user_id::VARCHAR AS id, ts, event_id,
+                 CASE event_type WHEN 'signup' THEN 'c' WHEN 'view' THEN 'r'
+                      WHEN 'error' THEN 'd' ELSE 'u' END AS op
+          FROM '{sf_dir}/events.parquet' {where}
+        )
+        SELECT id, event_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC, event_id DESC) rn
+          FROM ops
+        ) WHERE rn = 1 AND op <> 'd'
+        """
+    ).fetchall()
+    return {tuple(r) for r in rows}
+
+
+def test_land_partitions_and_exactly_once(spark, sf_dir, pipe, tmp_path):
+    src = land_all(spark, sf_dir, pipe, tmp_path)
+    raw = spark.read.parquet(pipe.spec.data_dir)
+    n = raw.count()
+    assert n == spark.read.parquet(src).count()
+    # partition columns materialized hive-style
+    assert {"op_year", "op_month", "op_day"} <= set(raw.columns)
+    # a day read is partition-pruned, non-empty, and misses nothing
+    day = read_raw_day(spark, pipe.spec.data_dir, dt.date(2024, 1, 5))
+    assert day.count() > 0
+    plan = day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # restart from the same checkpoint: no new input -> no double-write
+    stream = spark.readStream.schema("timestamp timestamp, value string").parquet(src)
+    q2 = pipe.land(stream)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(pipe.spec.data_dir).count() == n
+
+
+def test_full_pipeline_matches_golden_fold(spark, sf_dir, pipe, tmp_path):
+    land_all(spark, sf_dir, pipe, tmp_path)
+    table = "cdc_e2e_daily"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+    # bootstrap on day 1..15, then merge day-by-day 16..30
+    for d in range(15, 31):
+        day = dt.date(2024, 1, d)
+        if d == 15:
+            # bootstrap: all raw days up to the 15th
+            pipe_changes = pipe.changes_for(None).filter(
+                F.col("timestamp") < "2024-01-16"
+            )
+            from spark_cdc_replication_spark.operators.merge import apply_changes
+
+            apply_changes(
+                pipe_changes, list(pipe.spec.primary_keys), list(pipe.spec.order_by)
+            ).write.saveAsTable(table)
+        else:
+            pipe.merge_day(day, table)
+    got = {(r.id, r.event_id) for r in spark.table(table).select("id", "event_id").collect()}
+    assert got == golden_fold(sf_dir)
+
+
+def test_missing_day_is_empty_not_error(spark, sf_dir, pipe, tmp_path):
+    land_all(spark, sf_dir, pipe, tmp_path)
+    df = read_raw_day(spark, pipe.spec.data_dir, dt.date(2030, 12, 25))
+    assert df.count() == 0
