@@ -1,0 +1,75 @@
+"""As-of join — "latest right row at or before each left row's timestamp".
+
+The reference has no as-of join; its window-dedup W1
+(``/root/reference/pipelines/daily_data_handler.py:106-109``) is the
+k=1 special case ("state as of end-of-batch").  This operator is the
+general form, needed for point-in-time feature lookups in training-data
+pipelines (label event -> latest feature snapshot).
+
+Implementation is the **merge/union algorithm**, not a range join:
+
+1. tag right rows 0 and left rows 1, union them on (key, ts, tag);
+2. one window per key ordered by (ts, tag) carries the right payload
+   forward with ``last(col, ignorenulls=True)``;
+3. keep only left rows — each now paired with the most recent right
+   row at-or-before it (ties: right sorts first, so an equal-ts right
+   row IS visible to the left row).
+
+Scale: exactly ONE shuffle on the join key (the window), zero
+row-explosion.  The naive ``l JOIN r ON key AND r.ts <= l.ts`` +
+row_number plan materializes O(|L| * matches) intermediates; a
+band-predicate range join still scans per-band.  This plan's cost is
+O(|L|+|R|) rows through one sort — the same shape Structured
+Streaming's stream-stream interval join uses for its state store.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    right_ts_col: str | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the newest ``right`` row
+    with the same key and ``right.ts <= left.ts`` (right columns null
+    when no prior right row exists).
+
+    ``right``'s non-key payload columns are suffixed on collision.
+    """
+    right_ts_col = right_ts_col or ts_col
+    on = list(on)
+
+    payload = [c for c in right.columns if c not in on and c != right_ts_col]
+    renamed = {
+        c: (c + suffix if c in left.columns else c) for c in payload
+    }
+    r = right.select(
+        *on,
+        F.col(right_ts_col).alias(ts_col),
+        F.lit(0).alias(_TAG),
+        *[F.col(c).alias(renamed[c]) for c in payload],
+    ).withColumn(ts_col + suffix, F.col(ts_col))
+    l = left.withColumn(_TAG, F.lit(1))
+
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [ts_col + suffix] + [renamed[c] for c in payload]
+    for c in carried:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col(_TAG) == 1).drop(_TAG)

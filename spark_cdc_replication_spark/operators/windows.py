@@ -1,0 +1,63 @@
+"""Event-time windowing: sessionization and tumbling windows.
+
+No reference counterpart (the reference's only window function is the
+LWW row_number, SURVEY.md §2.6); these are the [EXT] stream-analytics
+surface over the ``events`` fixture.  Both are pure DataFrame algebra:
+the same ``tumbling_counts`` projection works unchanged on a
+``readStream`` frame (add ``withWatermark`` for late data).
+
+Scale: sessionize is one shuffle on the session key; the gap/cumsum
+windows reuse the SAME partitioning (Catalyst plans a single sort +
+two window frames, no second exchange).  Tumbling agg is a plain
+hash-aggregate on (bucket, group) — map-side partials apply.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign gap-based session ids per key.
+
+    A new session starts when the time since the previous event of the
+    same key exceeds ``gap``.  ``session_id`` is the running count of
+    session starts per key (1-based), deterministic given a total
+    per-key order (pass ``order_tiebreak`` for equal timestamps).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn("session_id", F.sum(is_new).over(w))
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    group_cols: Sequence[str] = (),
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregate: count + optional value sum per
+    (window-start, group).  ``F.window`` buckets are epoch-aligned,
+    matching DuckDB ``time_bucket``."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if agg_col:
+        aggs.append(F.round(F.sum(F.col(agg_col).cast("decimal(27,8)")).cast("double"), 4).alias("total"))
+    return (
+        df.groupBy(F.window(ts_col, width).start.alias("bucket"), *group_cols)
+        .agg(*aggs)
+    )

@@ -16,11 +16,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    from . import analytics, cdc, llmdata
+    from . import analytics, cdc, events_analytics, llmdata
 
     queries: dict[str, QueryFn] = {}
     oracle: dict[str, str] = {}
-    for mod in (cdc, analytics, llmdata):
+    for mod in (cdc, analytics, events_analytics, llmdata):
         queries.update(mod.QUERIES)
         oracle.update(mod.ORACLE)
     missing = set(oracle) - set(queries)

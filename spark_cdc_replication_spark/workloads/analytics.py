@@ -230,18 +230,245 @@ SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q4-style: order-priority check — LEFT SEMI join (EXISTS).  The probe
+# side is deduplicated by the semi-join itself; no fan-out, one shuffle
+# (or broadcast of the filtered orders under AQE).
+# --------------------------------------------------------------------------
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    exists = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+    return exists.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q6-style: forecast revenue — the pushdown showcase: all three
+# predicates reach the parquet scan (PushedFilters), projection prunes
+# to 4 columns, aggregate is a single partial+final with no join.
+# --------------------------------------------------------------------------
+
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+ORACLE_REVENUE_FORECAST = f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue, count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q14-style: promo revenue share — fact-dim join + conditional aggregate.
+# part is broadcast (dim << fact); the CASE folds into the aggregate so
+# there is exactly one pass over the joined rows.
+# --------------------------------------------------------------------------
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast("decimal(27,8)")).cast("double")
+            * 100.0
+            / F.sum(rev.cast("decimal(27,8)")).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT round(
+         CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                       AS DECIMAL(27,8))) AS DOUBLE) * 100.0
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE),
+       6) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# q16-style: supplier diversity per brand/type — COUNT(DISTINCT) over a
+# join.  Spark plans distinct-agg as a two-phase expand+agg; the join
+# key (partkey) and the grouping keys differ, so this is the canonical
+# "two shuffles, both necessary" query.
+# --------------------------------------------------------------------------
+
+def q_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+ORACLE_BRAND_SUPPLIER_COUNT = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# q18-style: large-volume orders — HAVING over a fact aggregate, then
+# join back to orders.  The aggregate output (few keys) broadcasts for
+# the join-back, so the orders table is scanned once, shuffle-free.
+# --------------------------------------------------------------------------
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(27,8)")).cast("double"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) big ON o_orderkey = big.l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q19-style: bracketed revenue — OR-of-ANDs predicate across the join.
+# The shared conjunct (the join key) stays in the join condition; the
+# disjunction is a post-join filter Catalyst pushes partially into both
+# scans (brand/size to part, quantity bounds to lineitem).
+# --------------------------------------------------------------------------
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 15)))
+        | ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 20)) & (F.col("l_quantity").between(10, 25)))
+        | ((F.col("p_brand") == "Brand#21") & (F.col("p_size").between(1, 30)) & (F.col("l_quantity").between(20, 35)))
+    )
+    return j.filter(bracket).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_BRACKET_REVENUE = f"""
+SELECT {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue, count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-level aggregate: ROLLUP(region, nation) — grouping sets in one
+# pass (Catalyst Expand), with grouping_id disambiguating NULL-as-total
+# from NULL-in-data.
+# --------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+ORACLE_ROLLUP_REVENUE = f"""
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       {_dsum_sql('o_totalprice')} AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
+    "q4_order_priority": q_order_priority,
     "q5_local_supplier_volume": q_local_supplier_volume,
+    "q6_revenue_forecast": q_revenue_forecast,
     "q10_returned_revenue": q_returned_revenue,
+    "q14_promo_revenue": q_promo_revenue,
+    "q16_brand_supplier_count": q_brand_supplier_count,
+    "q18_large_orders": q_large_orders,
+    "q19_bracket_revenue": q_bracket_revenue,
+    "rollup_revenue": q_rollup_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
 }
 
 ORACLE = {
     "q1_pricing_summary": ORACLE_PRICING_SUMMARY,
     "q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "q4_order_priority": ORACLE_ORDER_PRIORITY,
     "q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "q6_revenue_forecast": ORACLE_REVENUE_FORECAST,
     "q10_returned_revenue": ORACLE_RETURNED_REVENUE,
+    "q14_promo_revenue": ORACLE_PROMO_REVENUE,
+    "q16_brand_supplier_count": ORACLE_BRAND_SUPPLIER_COUNT,
+    "q18_large_orders": ORACLE_LARGE_ORDERS,
+    "q19_bracket_revenue": ORACLE_BRACKET_REVENUE,
+    "rollup_revenue": ORACLE_ROLLUP_REVENUE,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
 }
