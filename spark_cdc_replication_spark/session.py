@@ -41,6 +41,10 @@ DEFAULT_CONF: dict[str, str] = {
     # Don't let tiny local files produce one giant partition.
     "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
     "spark.sql.shuffle.partitions": "32",
+    # local[N] runs everything in the driver JVM; the 1g default heap
+    # OOMs on wide plans + 32 concurrent tasks.  (Effective only at JVM
+    # launch — a no-op on an already-running external session.)
+    "spark.driver.memory": "8g",
     # Keep driver logs usable in CI.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",

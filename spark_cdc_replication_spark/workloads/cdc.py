@@ -307,6 +307,50 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# P5: name sanitization through the live parse path — payload keys with
+# '/' and case collisions, including one literally named 'Timestamp'
+# (the reference's daily/history asymmetry, SURVEY.md §1.3, unified here)
+# --------------------------------------------------------------------------
+
+def q_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    messy = ev.select(
+        F.col("ts").alias("timestamp"),
+        F.to_json(
+            F.struct(
+                F.col("user_id").cast("string").alias("ID"),
+                F.col("event_id").cast("string").alias("Props/EventId"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("Timestamp"),
+            )
+        ).alias("value"),
+    )
+    schema = StructType(
+        [
+            StructField("ID", StringType()),
+            StructField("Props/EventId", StringType()),
+            StructField("Timestamp", StringType()),
+        ]
+    )
+    parsed = parse_envelope(messy, schema)
+    # 'ID' -> id, 'Props/EventId' -> props_eventid, 'Timestamp' ->
+    # source_timestamp (reserved-name collision with the ingest ts).
+    return parsed.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("props_eventid").cast("bigint").alias("props_eventid"),
+        "source_timestamp",
+    )
+
+
+ORACLE_NAME_SANITIZE = """
+SELECT user_id AS id, event_id AS props_eventid,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS source_timestamp
+FROM events
+"""
+
+
 QUERIES = {
     "cdc_snapshot_merge": q_snapshot_merge,
     "cdc_merge_incremental": q_merge_incremental,
@@ -318,9 +362,11 @@ QUERIES = {
     "cdc_raw_partition_stats": q_raw_partition_stats,
     "cdc_increment_append": q_increment_append,
     "cdc_json_flatten": q_json_flatten,
+    "cdc_name_sanitize": q_name_sanitize,
 }
 
 ORACLE = {
+    "cdc_name_sanitize": ORACLE_NAME_SANITIZE,
     "cdc_snapshot_merge": ORACLE_SNAPSHOT_MERGE,
     "cdc_merge_incremental": ORACLE_MERGE_INCREMENTAL,
     "cdc_last_writer_wins": ORACLE_LAST_WRITER_WINS,

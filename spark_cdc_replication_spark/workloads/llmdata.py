@@ -25,6 +25,8 @@ from ..operators.dedup import (
 from ..operators.similarity import (
     brute_force_topk,
     deterministic_planes,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
 )
 from ..operators.textanalysis import (
@@ -188,6 +190,15 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-10 (rows-only: approximate by
+    design; recall vs brute force asserted in tests/)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, num_centroids=16)
+    out = ivf_topk(emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -343,6 +354,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
     "text_language_id": q_language_id,

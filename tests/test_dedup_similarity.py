@@ -16,6 +16,8 @@ from spark_cdc_replication_spark.operators.dedup import (
 from spark_cdc_replication_spark.operators.similarity import (
     brute_force_topk,
     deterministic_planes,
+    ivf_centroids,
+    ivf_topk,
     lsh_topk,
 )
 
@@ -85,3 +87,24 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.3, f"LSH recall collapsed: {recall}"
     # every approx hit must be a real corpus vector, ranked 1..10
     assert all(1 <= r.rank <= 10 for r in approx.collect())
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    cents = ivf_centroids(emb, num_centroids=16)
+    approx = ivf_topk(emb, queries, cents, k=10, nprobe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert all(1 <= r.rank <= 10 for r in a_rows)
+    # nprobe = num_centroids must recover brute force exactly (the
+    # probe set covers every cell, so no candidate is ever excluded)
+    full = ivf_topk(emb, queries, cents, k=10, nprobe=16)
+    f = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    assert f == e

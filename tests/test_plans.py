@@ -1,0 +1,78 @@
+"""Physical-plan shape assertions.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 100× scale-up: filters reach the parquet scan,
+column pruning holds, small dims broadcast, the as-of join never
+degenerates into a cartesian/range explosion, and windows that share a
+partitioning share one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.fixtures import load_table
+from spark_cdc_replication_spark.operators.asofjoin import asof_join
+from spark_cdc_replication_spark.operators.merge import merge_snapshot
+from spark_cdc_replication_spark.operators.windows import sessionize
+from spark_cdc_replication_spark.workloads import analytics
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
+    df = analytics.q_revenue_forecast(spark, sf_dir)
+    plan = plan_of(df)
+    # All three range predicates reach the scan.
+    assert "PushedFilters: [" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in plan.split("PushedFilters")[1].split("]")[0], frag
+    # Projection pruned: the scan must not read unused wide columns.
+    read_schema = plan.split("ReadSchema")[1]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    plan = plan_of(analytics.q_local_supplier_volume(spark, sf_dir))
+    # Four explicit dim broadcasts; zero sort-merge fallbacks for them.
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_asof_join_is_single_shuffle_no_cartesian(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("feat")
+    )
+    plan = plan_of(asof_join(left, right, on=["user_id"], ts_col="ts"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union -> one hashpartitioning exchange for the window
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(sessionize(ev, ["user_id"], "ts", order_tiebreak=["event_id"]))
+    # lag-flag window and cumulative-sum window share partitioning+sort:
+    # Catalyst must plan exactly one exchange.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_merge_snapshot_no_full_row_dedup_shuffle(spark, sf_dir):
+    from spark_cdc_replication_spark.fixtures import CDC_PAYLOAD_SCHEMA, cdc_envelope
+    from spark_cdc_replication_spark.operators.cdc_parse import parse_envelope
+
+    changes = parse_envelope(cdc_envelope(spark, sf_dir), CDC_PAYLOAD_SCHEMA)
+    snapshot = changes.filter("timestamp < '2024-01-15'").drop("__op", "__deleted")
+    merged = merge_snapshot(snapshot, changes, ["id"], ["timestamp", "event_id"])
+    plan = plan_of(merged)
+    # The reference pays a whole-snapshot dropDuplicates() every merge
+    # (daily_data_handler.py:101).  Our only aggregate is the key-scoped
+    # batch dedup feeding the anti-join (partial+final = 2 nodes); the
+    # merged union itself must not be re-aggregated.
+    assert plan.count("HashAggregate") <= 2
+    assert "Union" in plan

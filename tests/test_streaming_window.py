@@ -1,0 +1,79 @@
+"""Streaming surface: the batch tumbling aggregate run as a Structured
+Streaming query (watermark + window), and payload-schema drift through
+the parse path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from spark_cdc_replication_spark.fixtures import load_table
+from spark_cdc_replication_spark.operators.cdc_parse import parse_envelope
+from spark_cdc_replication_spark.operators.windows import tumbling_counts
+
+
+def test_tumbling_agg_streams_with_watermark(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream-src")
+    load_table(spark, sf_dir, "events").select("ts", "event_type").write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").start.alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("tumbling_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.bucket, r.event_type): r.n
+        for r in spark.table("tumbling_stream").collect()
+    }
+    batch = tumbling_counts(
+        load_table(spark, sf_dir, "events"), "ts", "6 hours", ["event_type"]
+    )
+    expect = {(r.bucket, r.event_type): r.n for r in batch.collect()}
+    assert got == expect
+
+
+def test_parse_envelope_tolerates_schema_drift(spark):
+    """v2 schema (extra column) over v1 payloads -> nulls; unknown
+    payload keys under v1 schema -> ignored.  This is the explicit-
+    schema replacement for the reference's per-run re-inference
+    (daily_data_handler.py:61)."""
+    rows = [
+        ("2024-01-01 00:00:00", '{"id": "1", "a": "x"}'),            # v1 payload
+        ("2024-01-01 00:00:01", '{"id": "2", "a": "y", "b": "new"}'),  # v2 payload
+    ]
+    env = spark.createDataFrame(rows, "timestamp string, value string").select(
+        F.col("timestamp").cast("timestamp"), "value"
+    )
+    v1 = StructType([StructField("id", StringType()), StructField("a", StringType())])
+    v2 = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("a", StringType()),
+            StructField("b", StringType()),
+        ]
+    )
+    with_v1 = {r.id: r for r in parse_envelope(env, v1).collect()}
+    assert set(with_v1) == {"1", "2"} and "b" not in parse_envelope(env, v1).columns
+
+    with_v2 = {r.id: r for r in parse_envelope(env, v2).collect()}
+    assert with_v2["1"].b is None and with_v2["2"].b == "new"
+
+
+def test_parse_envelope_malformed_payload_yields_nulls_not_failure(spark):
+    rows = [("2024-01-01 00:00:00", "not json at all")]
+    env = spark.createDataFrame(rows, "timestamp string, value string").select(
+        F.col("timestamp").cast("timestamp"), "value"
+    )
+    schema = StructType([StructField("id", StringType()), StructField("n", LongType())])
+    [row] = parse_envelope(env, schema).collect()
+    assert row.id is None and row.n is None  # PERMISSIVE parse, no crash
