@@ -22,10 +22,14 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_revenue",
+    "q18_large_orders",
     "top_orders_per_customer",
+    "asof_purchase_view",
+    "events_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_ivf_topk",
     "text_stats",
     "text_language_id",
     "multimodal_features",

@@ -315,6 +315,75 @@ GROUP BY lang, source
 
 
 # --------------------------------------------------------------------------
+# End-to-end corpus cleaning: the training-data pipeline composition —
+# exact-dedup survivors ∩ quality gate ∩ language gate, with stats.
+# One scan feeds dedup + features; the dedup survivor set (ids only)
+# broadcasts back, so the document bodies never shuffle.
+# --------------------------------------------------------------------------
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs).select("doc_id")
+    quality = quality_score(docs).select("doc_id", "quality")
+    lang = language_id(docs).select("doc_id", "pred_lang")
+    kept = (
+        docs.join(F.broadcast(survivors), on="doc_id", how="left_semi")
+        .join(quality, on="doc_id")
+        .join(lang, on="doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("quality").cast("decimal(27,8)")).cast("double"), 4).alias("sum_quality"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_CLEAN_CORPUS = f"""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM_SQL}
+),
+feats AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
+    coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+             / nullif(len({_WORDS_SQL}), 0), 0) AS sr,
+    string_split_regex({_NORM_SQL}, '\\s+') AS w
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+  FROM feats
+),
+langed AS (
+  SELECT f.doc_id,
+    coalesce(len(list_filter(w, t -> t IN ('the','and','of','to','is','in','that','it','for','with')))::DOUBLE / nullif(len(w), 0), 0) AS score_en,
+    coalesce(len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von')))::DOUBLE / nullif(len(w), 0), 0) AS score_de,
+    coalesce(len(list_filter(w, t -> t IN ('el','la','los','las','es','un','una','para','que','de')))::DOUBLE / nullif(len(w), 0), 0) AS score_es,
+    coalesce(len(list_filter(w, t -> t IN ('le','la','les','et','est','un','une','pour','dans','que')))::DOUBLE / nullif(len(w), 0), 0) AS score_fr,
+    coalesce(len(list_filter(w, t -> t IN ('的','是','了','在','我','有','和','不','人','这')))::DOUBLE / nullif(len(w), 0), 0) AS score_zh
+  FROM feats f
+)
+SELECT d.source, count(*) AS n_docs,
+       round(CAST(sum(CAST(s.quality AS DECIMAL(27,8))) AS DOUBLE), 4) AS sum_quality,
+       sum(d.n_chars) AS total_chars
+FROM documents d
+JOIN survivors sv ON d.doc_id = sv.doc_id
+JOIN scored s ON d.doc_id = s.doc_id
+JOIN langed l ON d.doc_id = l.doc_id
+WHERE s.quality >= 0.5
+  -- pred_lang = 'en': en hits the max, and alphabetically-earlier 'de'
+  -- does NOT (Spark's tie-break picks the first language in sorted order)
+  AND l.score_en > 0
+  AND l.score_en >= greatest(l.score_de, l.score_es, l.score_fr, l.score_zh)
+  AND l.score_de < l.score_en
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal: binary payload + metadata struct -> mapInPandas features
 # --------------------------------------------------------------------------
 
@@ -360,10 +429,12 @@ QUERIES = {
     "text_language_id": q_language_id,
     "text_fingerprints": q_fingerprints,
     "text_lang_stats": q_lang_stats,
+    "clean_corpus": q_clean_corpus,
     "multimodal_features": q_multimodal_features,
 }
 
 ORACLE = {
+    "clean_corpus": ORACLE_CLEAN_CORPUS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
