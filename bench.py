@@ -12,6 +12,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -43,8 +45,16 @@ def main() -> None:
 
     queries, _ = collect_registry()
     spark = get_spark("bench")
-    # Warm the JVM/session (metadata, codegen) outside the timed region.
+    # Warm the JVM/session (metadata, codegen) AND the Python worker
+    # pool (pandas-UDF executors) outside the timed region.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).repartition(32).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
