@@ -79,6 +79,17 @@ class CdcPipeline:
     def merge_history(self, day: dt.date | None, history_table: str) -> None:
         self.merge_day(day, history_table)
 
+    def promote_history(
+        self, day: dt.date | None, daily_table: str, history_table: str
+    ) -> None:
+        """Reference stage-3 lifecycle: merge the day into history, then
+        clear the daily table (``history_data_handler.py:211-214``
+        TRUNCATEs the daily snapshot once its changes are folded into
+        history, so the daily table only ever holds the current day)."""
+        self.merge_history(day, history_table)
+        if catalog.table_exists(self.spark, daily_table):
+            self.spark.sql(f"TRUNCATE TABLE {daily_table}")
+
     def increment(self, day: dt.date | None, table: str) -> None:
         """Append-only mode (history_data_handler.py:143-157) — dedup
         the day's batch and append with ingest-date partitioning."""

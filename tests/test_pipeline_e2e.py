@@ -104,3 +104,31 @@ def test_missing_day_is_empty_not_error(spark, sf_dir, pipe, tmp_path):
     land_all(spark, sf_dir, pipe, tmp_path)
     df = read_raw_day(spark, pipe.spec.data_dir, dt.date(2030, 12, 25))
     assert df.count() == 0
+
+
+def test_increment_mode_appends_partitioned_log(spark, sf_dir, pipe, tmp_path):
+    land_all(spark, sf_dir, pipe, tmp_path)
+    table = "cdc_e2e_increment"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    pipe.increment(dt.date(2024, 1, 5), table)
+    n_one_day = spark.table(table).count()
+    assert n_one_day > 0
+    pipe.increment(dt.date(2024, 1, 6), table)
+    assert spark.table(table).count() > n_one_day
+    # ingest-date partition columns materialized in the log table
+    assert {"op_year", "op_month", "op_day"} <= set(spark.table(table).columns)
+    # re-appending the same day doubles it (append-only semantics, like
+    # the reference's increment mode — idempotence is the caller's job)
+    pipe.increment(dt.date(2024, 1, 6), table)
+
+
+def test_promote_history_truncates_daily(spark, sf_dir, pipe, tmp_path):
+    land_all(spark, sf_dir, pipe, tmp_path)
+    daily, history = "cdc_e2e_daily_p", "cdc_e2e_history_p"
+    for t in (daily, history, f"{history}__staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    pipe.merge_day(dt.date(2024, 1, 5), daily)
+    assert spark.table(daily).count() > 0
+    pipe.promote_history(dt.date(2024, 1, 5), daily, history)
+    assert spark.table(history).count() > 0
+    assert spark.table(daily).count() == 0  # reference truncate-after-merge
