@@ -1,0 +1,75 @@
+"""Skew and co-location tools: salted joins and bucketed tables.
+
+The reference handles physical layout manually (pinned shuffle widths,
+forced broadcasts — SURVEY.md §4); at 100 TB the two structural tools
+that matter beyond AQE are:
+
+* **Salted join** — when one join key carries a disproportionate share
+  of rows (a hot customer, a null-heavy foreign key), AQE's skew-join
+  split only helps sort-merge stages it can see; salting rewrites the
+  join itself so the hot key spreads over ``n_salts`` reducers.
+* **Bucketed tables** — pre-shuffling both sides of a recurring join
+  into the same bucket layout makes every future join on that key
+  exchange-free (the scan IS the shuffle, paid once at write time).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys are spread over
+    ``n_salts`` sub-partitions.
+
+    Each skewed row gets a deterministic salt from its full row hash;
+    ``other`` is replicated ``n_salts`` times (explode of a literal
+    range — cheap when ``other`` is the smaller side, which is the
+    case worth salting).  Join keys become ``on + [salt]``, so one hot
+    key lands on ``n_salts`` reducers instead of one.
+
+    Semantics preserved for ``inner`` and ``left`` joins (every skewed
+    row appears exactly once per matching other-row, as in the plain
+    join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how!r}")
+    on = list(on)
+    left = skewed.withColumn(
+        _SALT, F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    )
+    right = other.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return left.join(right, on=on + [_SALT], how=how).drop(_SALT)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``bucket_cols``.
+
+    Joins/aggregations between tables bucketed identically on the join
+    key read co-located buckets — zero Exchange in the plan (asserted
+    in tests/test_plans.py).  This is the pay-once answer to the
+    reference's per-run shuffle of the full snapshot.
+    """
+    writer = df.write.bucketBy(num_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.mode("overwrite").saveAsTable(table)

@@ -443,6 +443,48 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+# --------------------------------------------------------------------------
+# Window breadth: day-over-day revenue delta (lag) + trailing-7-day
+# moving average (rows frame).  Both windows share the same global
+# ORDER BY day — Catalyst plans one sort.  The moving average divides
+# an exact decimal frame-sum by the frame count, so the result is
+# independent of partitioning/execution order in both engines.
+# --------------------------------------------------------------------------
+
+def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,8)")).alias("__rev")
+    )
+    w = Window.orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("__rev") - F.lag("__rev").over(w)).cast("double"), 2
+        ).alias("delta_prev_day"),
+        F.round(
+            F.sum("__rev").over(w7).cast("double") / F.count(F.lit(1)).over(w7), 6
+        ).alias("ma7"),
+    )
+
+
+ORACLE_DAILY_REVENUE_TREND = """
+WITH daily AS (
+  SELECT o_orderdate AS day, sum(CAST(o_totalprice AS DECIMAL(27,8))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+  round(CAST(rev AS DOUBLE), 2) AS revenue,
+  round(CAST(rev - lag(rev) OVER (ORDER BY day) AS DOUBLE), 2) AS delta_prev_day,
+  round(CAST(sum(rev) OVER w7 AS DOUBLE)
+        / count(*) OVER w7, 6) AS ma7
+FROM daily
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -456,9 +498,11 @@ QUERIES = {
     "q19_bracket_revenue": q_bracket_revenue,
     "rollup_revenue": q_rollup_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "daily_revenue_trend": q_daily_revenue_trend,
 }
 
 ORACLE = {
+    "daily_revenue_trend": ORACLE_DAILY_REVENUE_TREND,
     "q1_pricing_summary": ORACLE_PRICING_SUMMARY,
     "q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "q4_order_priority": ORACLE_ORDER_PRIORITY,
