@@ -146,16 +146,23 @@ def merge_snapshot(
 
 
 def increment_append(
-    changes: DataFrame, primary_keys: Sequence[str] | None = None
+    changes: DataFrame,
+    primary_keys: Sequence[str] | None = None,
+    order_by: Sequence[str] = (),
 ) -> DataFrame:
     """Increment mode: dedup the batch, no merge
     (``history_data_handler.py:143-157``).
 
-    Full-row ``dropDuplicates`` like the reference (K5) — but NOT the
-    reference's ``coalesce(1)`` (X2), which serializes the entire write
-    through one task; at scale the writer keeps its natural
-    parallelism and AQE/compaction controls file counts.
+    Default is full-row ``dropDuplicates`` like the reference (K5).
+    Passing ``primary_keys`` scopes the dedup to ``pk + order_by`` —
+    at 100 TB the full-row hash shuffles every payload byte, while the
+    key-scoped form shuffles only keys (same result whenever a
+    (key, ts) pair uniquely identifies a change, which CDC guarantees).
+    NOT reproduced: the reference's ``coalesce(1)`` (X2), which
+    serializes the entire write through one task.
     """
+    if primary_keys:
+        return changes.dropDuplicates(list(primary_keys) + list(order_by))
     return changes.dropDuplicates()
 
 

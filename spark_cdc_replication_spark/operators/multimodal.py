@@ -89,3 +89,60 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+#: Resize keeps the payload opaque; only the metadata changes shape.
+RESIZE_SCHEMA = "doc_id bigint, payload binary, width int, height int"
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stub over image rows (``mapInPandas``).
+
+    A real decoder would be ``PIL.Image.open(bytes).resize((w, h))``;
+    the stub passes bytes through and stamps the target geometry, so
+    the Arrow round-trip of the BINARY column — the part that matters
+    for the 100 TB plumbing — is exercised for real.  Non-image rows
+    are filtered before decode (metadata predicate prunes row groups
+    ahead of any byte movement).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["payload"],  # stub: bytes pass through
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    images = media.filter(F.col("meta.media_type") == "image/png")
+    return images.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame-sampling stub over video rows: one output row per sampled
+    frame (``mapInPandas`` fan-out — the 1->N batch shape a real
+    ``pyav`` demuxer produces).  Frames are deterministic byte slices
+    of the payload so tests/oracles are exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                n_frames = len(payload) % 32
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(row["doc_id"]))
+                    idxs.append(i)
+                    frames.append(payload[i : i + 16])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": frames}
+            )
+
+    videos = media.filter(F.col("meta.media_type") == "video/mp4")
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -415,6 +415,31 @@ FROM m
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (mapInPandas 1->N); frame bytes are
+    deterministic payload slices, so the oracle is exact SQL."""
+    from ..operators.multimodal import attach_binary, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary(docs), every_n=8)
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame_bytes")).alias("frame_hex")
+    )
+
+
+# DuckDB cannot substring a BLOB — slice in hex space instead
+# (byte [i, i+16) == hex chars [2i+1, 2i+32]).
+ORACLE_MULTIMODAL_FRAMES = """
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) % 32 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, i::INT AS frame_idx,
+       lower(substring(h, i::INT * 2 + 1, 32)) AS frame_hex
+FROM v, LATERAL (SELECT unnest(range(0, nf, 8)) AS i) g
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -431,6 +456,7 @@ QUERIES = {
     "text_lang_stats": q_lang_stats,
     "clean_corpus": q_clean_corpus,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLE = {
@@ -445,5 +471,7 @@ ORACLE = {
     "text_fingerprints": ORACLE_FINGERPRINTS,
     "text_lang_stats": ORACLE_LANG_STATS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
-    # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk: rows-only
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
+    # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }
