@@ -56,7 +56,12 @@ def tumbling_counts(
     matching DuckDB ``time_bucket``."""
     aggs = [F.count(F.lit(1)).alias("n")]
     if agg_col:
-        aggs.append(F.round(F.sum(F.col(agg_col).cast("decimal(27,8)")).cast("double"), 4).alias("total"))
+        # round in decimal, cast to double last (cross-engine stable)
+        aggs.append(
+            F.round(F.sum(F.col(agg_col).cast("decimal(27,8)")), 4)
+            .cast("double")
+            .alias("total")
+        )
     return (
         df.groupBy(F.window(ts_col, width).start.alias("bucket"), *group_cols)
         .agg(*aggs)

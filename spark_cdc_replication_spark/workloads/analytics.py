@@ -25,12 +25,30 @@ from ..fixtures import load_table
 
 def dsum(col: Column, round_to: int = 2) -> Column:
     """Order-independent cross-engine-reproducible money sum.
-    SQL twin: ``round(CAST(sum(CAST(x AS DECIMAL(27,8))) AS DOUBLE), r)``."""
-    return F.round(F.sum(col.cast("decimal(27,8)")).cast("double"), round_to)
+
+    Round while still DECIMAL (exact half-up in both engines), cast to
+    double LAST: the exact sum frequently lands on a half-up boundary
+    (…x.195), where round-after-double-cast flips per engine depending
+    on which neighbor double the cast picked (observed at sf0.1).
+    SQL twin: ``CAST(round(sum(CAST(x AS DECIMAL(27,8))), r) AS DOUBLE)``.
+    """
+    return F.round(F.sum(col.cast("decimal(27,8)")), round_to).cast("double")
 
 
 def _dsum_sql(expr: str, round_to: int = 2) -> str:
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(27,8))) AS DOUBLE), {round_to})"
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(27,8))), {round_to}) AS DOUBLE)"
+
+
+def davg(col: Column, round_to: int = 6) -> Column:
+    """Deterministic mean: exact decimal sum / count, rounded in
+    decimal space.  SQL twin: :func:`_davg_sql`."""
+    return F.round(
+        F.sum(col.cast("decimal(27,8)")) / F.count(F.lit(1)), round_to
+    ).cast("double")
+
+
+def _davg_sql(expr: str, round_to: int = 6) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(27,8))) / count(*), {round_to}) AS DOUBLE)"
 
 
 # --------------------------------------------------------------------------
@@ -50,21 +68,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
             dsum(charge).alias("sum_charge"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(27,8)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(27,8)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(27,8)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_disc"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -76,9 +82,9 @@ SELECT l_returnflag, l_linestatus,
        {_dsum_sql('l_extendedprice')} AS sum_base_price,
        {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
        {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(27,8))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       {_davg_sql('l_quantity')} AS avg_qty,
+       {_davg_sql('l_extendedprice')} AS avg_price,
+       {_davg_sql('l_discount')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -298,22 +304,22 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
         F.round(
-            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast("decimal(27,8)")).cast("double")
-            * 100.0
-            / F.sum(rev.cast("decimal(27,8)")).cast("double"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast("decimal(27,8)"))
+            * 100
+            / F.sum(rev.cast("decimal(27,8)")),
             6,
-        ).alias("promo_pct"),
+        ).cast("double").alias("promo_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
 
 ORACLE_PROMO_REVENUE = """
-SELECT round(
-         CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                            THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
-                       AS DECIMAL(27,8))) AS DOUBLE) * 100.0
-         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS DOUBLE),
-       6) AS promo_pct,
+SELECT CAST(round(
+         sum(CAST(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                  AS DECIMAL(27,8))) * 100
+         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))),
+       6) AS DOUBLE) AS promo_pct,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -355,7 +361,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(27,8)")).cast("double"), 2).alias("total_qty"))
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(27,8)")), 2).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
     return orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).select(
@@ -367,7 +373,7 @@ ORACLE_LARGE_ORDERS = """
 SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
 FROM orders
 JOIN (
-  SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(27,8))) AS DOUBLE), 2) AS total_qty
+  SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(27,8))), 2) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
 ) big ON o_orderkey = big.l_orderkey
 """
@@ -460,13 +466,13 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     w7 = w.rowsBetween(-6, 0)
     return daily.select(
         "day",
-        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
-        F.round(
-            (F.col("__rev") - F.lag("__rev").over(w)).cast("double"), 2
-        ).alias("delta_prev_day"),
-        F.round(
-            F.sum("__rev").over(w7).cast("double") / F.count(F.lit(1)).over(w7), 6
-        ).alias("ma7"),
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        F.round(F.col("__rev") - F.lag("__rev").over(w), 2)
+        .cast("double")
+        .alias("delta_prev_day"),
+        F.round(F.sum("__rev").over(w7) / F.count(F.lit(1)).over(w7), 6)
+        .cast("double")
+        .alias("ma7"),
     )
 
 
@@ -476,10 +482,9 @@ WITH daily AS (
   FROM orders GROUP BY 1
 )
 SELECT day,
-  round(CAST(rev AS DOUBLE), 2) AS revenue,
-  round(CAST(rev - lag(rev) OVER (ORDER BY day) AS DOUBLE), 2) AS delta_prev_day,
-  round(CAST(sum(rev) OVER w7 AS DOUBLE)
-        / count(*) OVER w7, 6) AS ma7
+  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+  CAST(round(rev - lag(rev) OVER (ORDER BY day), 2) AS DOUBLE) AS delta_prev_day,
+  CAST(round(sum(rev) OVER w7 / count(*) OVER w7, 6) AS DOUBLE) AS ma7
 FROM daily
 WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """

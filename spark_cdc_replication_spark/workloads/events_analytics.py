@@ -68,7 +68,7 @@ ORACLE_TUMBLING = f"""
 WITH {_EV_US}
 SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE), 4) AS total
+       CAST(round(sum(CAST(value AS DECIMAL(27,8))), 4) AS DOUBLE) AS total
 FROM ev
 GROUP BY 1, 2
 """

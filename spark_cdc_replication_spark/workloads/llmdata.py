@@ -334,7 +334,9 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum(F.col("quality").cast("decimal(27,8)")).cast("double"), 4).alias("sum_quality"),
+        F.round(F.sum(F.col("quality").cast("decimal(27,8)")), 4)
+        .cast("double")
+        .alias("sum_quality"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -367,7 +369,7 @@ langed AS (
   FROM feats f
 )
 SELECT d.source, count(*) AS n_docs,
-       round(CAST(sum(CAST(s.quality AS DECIMAL(27,8))) AS DOUBLE), 4) AS sum_quality,
+       CAST(round(sum(CAST(s.quality AS DECIMAL(27,8))), 4) AS DOUBLE) AS sum_quality,
        sum(d.n_chars) AS total_chars
 FROM documents d
 JOIN survivors sv ON d.doc_id = sv.doc_id

@@ -15,11 +15,8 @@ from spark_cdc_replication_spark.fixtures import load_table
 from spark_cdc_replication_spark.operators.asofjoin import asof_join
 from spark_cdc_replication_spark.operators.merge import merge_snapshot
 from spark_cdc_replication_spark.operators.windows import sessionize
+from spark_cdc_replication_spark.plans.inspect import executed_plan as plan_of
 from spark_cdc_replication_spark.workloads import analytics
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
