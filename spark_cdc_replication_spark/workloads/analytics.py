@@ -490,6 +490,81 @@ WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
 
+# --------------------------------------------------------------------------
+# q2-style: best supplier per part — per-group argmax (window rank over
+# a join).  lineitem stands in for partsupp; both dims broadcast.
+# --------------------------------------------------------------------------
+
+def q_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    sup = load_table(spark, sf_dir, "supplier")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        j.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+ORACLE_BEST_SUPPLIER_PER_PART = """
+SELECT p_partkey, p_brand, s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS r
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_size < 10
+) WHERE r = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q22-style: rich customers who never ordered — scalar aggregate
+# subquery (broadcast single row) + LEFT ANTI join against orders.
+# --------------------------------------------------------------------------
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(27,8)")) / F.count(F.lit(1)), 6
+        ).cast("double").alias("__avg")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("__avg"))
+    # "lapsed": no order since 2000 (the fixture's every-customer-orders
+    # density makes a strict never-ordered set empty)
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    never_ordered = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+ORACLE_SALES_OPPORTUNITY = f"""
+SELECT c_nationkey, count(*) AS n_cust, {_dsum_sql('c_acctbal')} AS total_bal
+FROM customer
+WHERE c_acctbal > (
+        SELECT CAST(round(sum(CAST(c_acctbal AS DECIMAL(27,8))) / count(*), 6) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -504,10 +579,14 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_revenue_trend": q_daily_revenue_trend,
+    "q2_best_supplier_per_part": q_best_supplier_per_part,
+    "q22_sales_opportunity": q_sales_opportunity,
 }
 
 ORACLE = {
     "daily_revenue_trend": ORACLE_DAILY_REVENUE_TREND,
+    "q2_best_supplier_per_part": ORACLE_BEST_SUPPLIER_PER_PART,
+    "q22_sales_opportunity": ORACLE_SALES_OPPORTUNITY,
     "q1_pricing_summary": ORACLE_PRICING_SUMMARY,
     "q3_shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "q4_order_priority": ORACLE_ORDER_PRIORITY,

