@@ -69,6 +69,32 @@ def test_parse_envelope_tolerates_schema_drift(spark):
     assert with_v2["1"].b is None and with_v2["2"].b == "new"
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """At-least-once upstream (duplicated envelope) -> exactly-once rows
+    via dropDuplicatesWithinWatermark on (event_id) — the streaming
+    counterpart of increment_append's batch dedup (A4)."""
+    src = str(tmp_path / "dup-src")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_id")
+    ev.unionByName(ev).write.parquet(src)  # every event twice
+
+    stream = spark.readStream.schema("ts timestamp, event_id long").parquet(src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd-ckpt"))
+        .option("path", str(tmp_path / "dd-out"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "dd-out"))
+    assert out.count() == ev.count()  # duplicates collapsed
+    assert out.select("event_id").distinct().count() == ev.count()
+
+
 def test_parse_envelope_malformed_payload_yields_nulls_not_failure(spark):
     rows = [("2024-01-01 00:00:00", "not json at all")]
     env = spark.createDataFrame(rows, "timestamp string, value string").select(
