@@ -69,19 +69,17 @@ def infer_payload_schema(
     r.value))`` — a second full pass over the day's data through a
     Python lambda, executed *every* merge run
     (``daily_data_handler.py:61``, ``history_data_handler.py:84``).  At
-    100 TB that is a second 100 TB scan.  Here: take a bounded sample of
-    the JSON strings, infer the schema from that, never touch the RDD
-    API.  For drift-free production use, register the schema once and
-    read it from :class:`SchemaRegistry`.
+    100 TB that is a second 100 TB scan.  Here the inference input is a
+    bounded driver-side sample (``limit(sample)``), so the cost is
+    O(sample) regardless of data size.  For drift-free production use,
+    register the schema once and read it from :class:`SchemaRegistry`.
     """
     rows = raw_df.select(value_col).limit(sample).collect()
     if not rows:
         return StructType([])
-    inferred = spark.read.json(
-        spark.createDataFrame([(r[0],) for r in rows], f"{value_col} string")
-        .rdd.map(lambda r: r[0])
-    )
-    return inferred.schema
+    return spark.read.json(
+        spark.sparkContext.parallelize([r[0] for r in rows])
+    ).schema
 
 
 def schema_union(a: StructType, b: StructType) -> StructType:
