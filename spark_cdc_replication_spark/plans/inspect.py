@@ -45,6 +45,17 @@ def count_broadcast_joins(df: DataFrame) -> int:
     return executed_plan(df).count("BroadcastHashJoin")
 
 
+def final_plan(df: DataFrame) -> str:
+    """The post-AQE physical plan: executes the query, then returns the
+    final adaptive plan only (AdaptiveSparkPlan's toString appends the
+    initial plan after ``== Initial Plan ==`` — strip it so node counts
+    aren't doubled).  Use this to assert what AQE actually chose, e.g.
+    that a join with no broadcast hint still broadcast at test scale."""
+    df.collect()
+    plan = executed_plan(df)
+    return plan.split("== Initial Plan ==")[0]
+
+
 def has_cartesian(df: DataFrame) -> bool:
     plan = executed_plan(df)
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan

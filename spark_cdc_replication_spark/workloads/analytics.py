@@ -94,8 +94,11 @@ GROUP BY l_returnflag, l_linestatus
 
 # --------------------------------------------------------------------------
 # q3: shipping priority — selective dim filter, 3-way join, agg, top-10.
-# customer is tiny relative to lineitem: AQE broadcasts it; the rounded
-# revenue is computed BEFORE ordering so the top-k cut is deterministic.
+# customer is small relative to lineitem but grows with the scale
+# factor, so no broadcast hint: AQE broadcasts it when the filtered
+# side fits and degrades to shuffle join when it doesn't (at 100 TB a
+# forced hint would be a driver OOM).  The rounded revenue is computed
+# BEFORE ordering so the top-k cut is deterministic.
 # --------------------------------------------------------------------------
 
 _Q3_DATE = "1999-03-15"
@@ -109,7 +112,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _Q3_DATE)
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
@@ -133,10 +136,11 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
-# q5-style: revenue by nation — 6-table snowflake join; every dimension
-# (region/nation/customer/supplier) is broadcast-small, so the only big
-# shuffle is the orders<->lineitem join, and AQE usually broadcasts the
-# filtered orders side too.
+# q5-style: revenue by nation — 6-table snowflake join.  nation (25
+# rows) and region (5) are bounded by the data model, so they carry
+# explicit broadcast hints; customer/supplier grow with scale and are
+# left to AQE, which broadcasts them at test scale and shuffle-joins
+# them at 100 TB.  The only unavoidable big shuffle is orders<->lineitem.
 # --------------------------------------------------------------------------
 
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,8 +154,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .filter(cust.c_nationkey == sup.s_nationkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -189,7 +193,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return joined.groupBy("c_custkey", "c_name", "n_name").agg(
@@ -291,8 +295,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 
 # --------------------------------------------------------------------------
 # q14-style: promo revenue share — fact-dim join + conditional aggregate.
-# part is broadcast (dim << fact); the CASE folds into the aggregate so
-# there is exactly one pass over the joined rows.
+# part is dim << fact but scales with sf, so AQE decides the broadcast;
+# the CASE folds into the aggregate so there is exactly one pass over
+# the joined rows.
 # --------------------------------------------------------------------------
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +306,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.agg(
         F.round(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)).cast("decimal(27,8)"))
@@ -336,7 +341,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-0
 def q_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     return joined.groupBy("p_brand", "p_type", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
@@ -352,8 +357,9 @@ GROUP BY p_brand, p_type, p_size
 
 # --------------------------------------------------------------------------
 # q18-style: large-volume orders — HAVING over a fact aggregate, then
-# join back to orders.  The aggregate output (few keys) broadcasts for
-# the join-back, so the orders table is scanned once, shuffle-free.
+# join back to orders.  The aggregate output is small after the HAVING
+# cut but is still derived FROM the fact table, so the broadcast is
+# AQE's call at runtime (it sees the post-filter size), never a hint.
 # --------------------------------------------------------------------------
 
 def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +370,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(27,8)")), 2).cast("double").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
-    return orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey).select(
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty"
     )
 
@@ -389,7 +395,7 @@ JOIN (
 def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     bracket = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 15)))
         | ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 20)) & (F.col("l_quantity").between(10, 25)))
@@ -422,7 +428,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     j = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -492,7 +498,8 @@ WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 
 # --------------------------------------------------------------------------
 # q2-style: best supplier per part — per-group argmax (window rank over
-# a join).  lineitem stands in for partsupp; both dims broadcast.
+# a join).  lineitem stands in for partsupp; part/supplier scale with
+# sf, so broadcasting them is AQE's runtime decision.
 # --------------------------------------------------------------------------
 
 def q_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,8 +507,8 @@ def q_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     sup = load_table(spark, sf_dir, "supplier")
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
     )
     w = Window.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     return (

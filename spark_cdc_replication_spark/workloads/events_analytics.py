@@ -48,8 +48,8 @@ flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 )
 SELECT user_id, event_id, ts,
-       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                         ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM flagged
 """
 

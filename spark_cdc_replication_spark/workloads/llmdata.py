@@ -313,8 +313,8 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_LANG_STATS = f"""
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END) AS total_tokens
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang, source
 """
@@ -376,7 +376,7 @@ langed AS (
 )
 SELECT d.source, count(*) AS n_docs,
        CAST(round(sum(CAST(s.quality AS DECIMAL(27,8))), 4) AS DOUBLE) AS sum_quality,
-       sum(d.n_chars) AS total_chars
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
 FROM documents d
 JOIN survivors sv ON d.doc_id = sv.doc_id
 JOIN scored s ON d.doc_id = s.doc_id

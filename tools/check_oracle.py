@@ -84,9 +84,32 @@ def main() -> int:
                 print(f"      WARN: zero rows")
             continue
         try:
+            # Fetch through pandas like the driver does: DuckDB HUGEINT
+            # (bare integer sum()) becomes float64 there, so fetching via
+            # .df() reproduces the driver's normalizer exactly —
+            # fetchall() would hide that class of oracle-typing bug.
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            ddf = res.df()
+
+            def _unnan(v):
+                # The driver DOES normalize pandas missing values (NaN/
+                # NaT) back to NULL — r1 proved it: asof_purchase_view
+                # (left-join NULLs) hash-passed while HUGEINT floats
+                # failed.  Mirror that: missing -> None, types kept.
+                try:
+                    import pandas as pd
+
+                    if v is not None and not isinstance(v, (list, tuple)) and pd.isna(v):
+                        return None
+                except (TypeError, ValueError):
+                    pass
+                return v
+
+            drows = [
+                [_unnan(v) for v in r]
+                for r in ddf.itertuples(index=False, name=None)
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
