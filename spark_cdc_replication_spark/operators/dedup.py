@@ -150,39 +150,47 @@ def minhash_lsh_candidates(
     ``est_jaccard`` = fraction of equal minhash slots.  The self-join
     key is ``(band_id, hash(band slice))`` so only same-bucket docs
     ever meet — the scalable LSH contract.
+
+    Shuffle discipline: the band self-join carries ONLY
+    ``(id, band_id, band_hash)`` — 3 scalars per row, never the
+    ``num_hashes``-element signature arrays.  Signatures re-join by id
+    AFTER the pair dedup, so each surviving pair fetches exactly two
+    sigs instead of every bucket collision dragging 2 x 32 bigints
+    through the join and the dropDuplicates exchange.
     """
     n_hashes_col = F.size("sig")
     rows_per_band = F.floor(n_hashes_col / F.lit(num_bands)).cast("int")
-    bands = signatures.select(
+    bands = signatures.filter(F.size("sig") > 0).select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band_id"),
         rows_per_band.alias("__r"),
+        F.col("sig"),
     ).select(
         id_col,
-        "sig",
         "band_id",
         F.hash(F.slice("sig", F.col("band_id") * F.col("__r") + 1, F.col("__r"))).alias(
             "band_hash"
         ),
-    ).filter(F.size("sig") > 0)
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
-    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     pairs = (
         a.join(b, on=["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sigs = signatures.filter(F.size("sig") > 0)
+    scored = pairs.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), on="id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), on="id_b"
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
         / F.size("sig_a")
     ).alias("est_jaccard")
-    return pairs.select("id_a", "id_b", est).filter(
+    return scored.select("id_a", "id_b", est).filter(
         F.col("est_jaccard") >= min_est_jaccard
     )
 

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot, l2_norm
+from ..functions.vectors import cosine_similarity, l2_norm
 
 
 def brute_force_topk(
@@ -67,24 +67,38 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets(
-    df: DataFrame,
-    planes: list[list[float]],
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Add a ``bucket`` bigint column: bit i = sign(dot(vec, plane_i)).
+def _lsh_buckets_udf(planes_tables: list[list[list[float]]]):
+    """Arrow-vectorized bucket codes for ALL hash tables in one pass.
 
-    ``planes`` is a small in-plan literal (num_planes x dim floats) —
-    shipped in the serialized plan, no broadcast needed.
+    Returns an ``array<long>`` of ``num_tables`` codes per vector
+    (bit i of table t's code = sign(dot(vec, plane[t][i]))), computed
+    as one numpy matmul per Arrow batch: (batch x dim) @ (dim x T*P).
+
+    This replaces the former in-plan-literal formulation (one
+    ``dot(vec, F.array(*dim lits))`` per plane per table), which put
+    T x P x dim literals into the Catalyst expression tree AND
+    duplicated the whole corpus-side plan per table through a
+    unionByName loop — the same literal-bloat pattern measured OOM-ing
+    the driver during optimization for IVF centroids.  Here the planes
+    live in the pickled UDF closure (executor-side, plan stays tiny)
+    and the corpus is scanned/projected exactly once for all tables.
     """
-    bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) > 0, 1 << i).otherwise(0)
-        for i, p in enumerate(planes)
-    ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.withColumn("bucket", bucket.cast("long"))
+    num_tables = len(planes_tables)
+    num_planes = len(planes_tables[0])
+    flat = np.asarray(
+        [p for table in planes_tables for p in table], dtype=np.float64
+    )  # (T*P, dim)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())
+        proj = mat @ flat.T  # (batch, T*P)
+        bits = (proj > 0).reshape(len(mat), num_tables, num_planes)
+        codes = (bits * weights).sum(axis=2)  # (batch, T)
+        return pd.Series([row.tolist() for row in codes])
+
+    return buckets
 
 
 def lsh_topk(
@@ -102,27 +116,28 @@ def lsh_topk(
     ``planes_tables`` = ``num_tables`` independent hyperplane sets.
     Output shape matches :func:`brute_force_topk` (rank may hold fewer
     than k rows when buckets are sparse — that's the approximation).
+
+    Plan shape: one Arrow projection emits every table's bucket code,
+    ``posexplode`` turns them into ``(table_id, bucket)`` rows, and a
+    single broadcast join replaces ``num_tables`` separate joins — the
+    corpus is scanned once regardless of how many hash tables are used.
     """
-    cands = None
-    for t, planes in enumerate(planes_tables):
-        cb = hyperplane_buckets(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")),
-            planes,
-            "__cv",
-        ).withColumn("table_id", F.lit(t))
-        qb = hyperplane_buckets(
-            queries.select(
-                F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-            ),
-            planes,
-            "__qv",
-        ).withColumn("table_id", F.lit(t))
-        pairs = cb.join(F.broadcast(qb), on=["table_id", "bucket"]).select(
-            "query_id", "neighbor_id", "__qv", "__cv"
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    bucket_udf = _lsh_buckets_udf(planes_tables)
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).select(
+        "neighbor_id", "__cv", F.posexplode(bucket_udf("__cv")).alias("table_id", "bucket")
+    )
+    qb = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).select(
+        "query_id", "__qv", F.posexplode(bucket_udf("__qv")).alias("table_id", "bucket")
+    )
+    cands = (
+        cb.join(F.broadcast(qb), on=["table_id", "bucket"])
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cands.select(
         "query_id",
@@ -142,14 +157,22 @@ def ivf_centroids(
     num_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    lloyd_iters: int = 2,
 ) -> list[list[float]]:
-    """Deterministic IVF "training": the ``num_centroids`` lowest-id
-    vectors become the inverted-file centroids.
+    """Deterministic IVF training: seed with the ``num_centroids``
+    lowest-id vectors, then refine with ``lloyd_iters`` Lloyd (KMeans)
+    iterations run as DataFrame passes.
 
-    A driver-side collect of ``num_centroids`` rows — the index-build
-    step, identical in role to KMeans init.  At 100 TB you'd run a few
-    Lloyd iterations (each a groupBy-mean over assignments) from this
-    seed; the query-path plumbing below is unchanged either way.
+    Each iteration: (1) nearest-centroid assignment via the Arrow
+    matmul UDF (one corpus scan, shuffle-free), (2) per-cell mean via
+    ``posexplode`` + hash aggregate — map-side partial aggregation means
+    only ``cells x dim x num_partitions`` partial rows ever shuffle, and
+    the driver collects exactly ``cells x dim`` finals (1024 values for
+    16x64), never vectors.  Empty cells keep their previous centroid.
+
+    The seed is deterministic (lowest ids) so the trained centroids are
+    reproducible for a given corpus; at 100 TB the same loop runs
+    unchanged — index build cost is ``lloyd_iters + 1`` corpus scans.
     """
     rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
@@ -157,7 +180,22 @@ def ivf_centroids(
         .limit(num_centroids)
         .collect()
     )
-    return [[float(x) for x in r[1]] for r in rows]
+    cent = [[float(x) for x in r[1]] for r in rows]
+    for _ in range(lloyd_iters):
+        assigned = corpus.select(F.col(vec_col).alias("__v")).withColumn(
+            "cell", _cell_assign_udf(cent)("__v")
+        )
+        parts = (
+            assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cent]
+        for r in parts:
+            new[r["cell"]][r["pos"]] = float(r["s"]) / float(r["n"])
+        cent = new
+    return cent
 
 
 def _cell_assign_udf(centroids: list[list[float]]):

@@ -190,18 +190,33 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
-#: IVF index (centroid list) per corpus dir — built once, reused across
-#: query batches, exactly as a persisted index would be at scale.
-_IVF_INDEX: dict[str, list] = {}
+#: IVF index (centroid list) per corpus identity — built once, reused
+#: across query batches, exactly as a persisted index would be at
+#: scale.  Keyed on (dir, file mtime+size) so a rewritten corpus at the
+#: same path invalidates the cached centroids instead of silently
+#: reusing a stale index.
+_IVF_INDEX: dict[tuple, list] = {}
+
+
+def _corpus_key(sf_dir: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        return (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (sf_dir, None, None)
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (rows-only: approximate by
     design; recall vs brute force asserted in tests/)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_INDEX:
-        _IVF_INDEX[sf_dir] = ivf_centroids(emb, num_centroids=16)
-    out = ivf_topk(emb, _queries_df(spark, sf_dir), _IVF_INDEX[sf_dir], k=10, nprobe=4)
+    key = _corpus_key(sf_dir)
+    if key not in _IVF_INDEX:
+        _IVF_INDEX[key] = ivf_centroids(emb, num_centroids=16)
+    out = ivf_topk(emb, _queries_df(spark, sf_dir), _IVF_INDEX[key], k=10, nprobe=4)
     return out.select("query_id", "neighbor_id", "rank")
 
 

@@ -95,13 +95,15 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_topk(emb, queries, k=10)
+    # default = Lloyd-trained centroids (2 iterations from the
+    # deterministic lowest-id seed)
     cents = ivf_centroids(emb, num_centroids=16)
     approx = ivf_topk(emb, queries, cents, k=10, nprobe=4)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a_rows = approx.collect()
     a = {(r.query_id, r.neighbor_id) for r in a_rows}
     recall = len(e & a) / len(e)
-    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert recall >= 0.8, f"IVF recall@10 below floor: {recall}"
     assert all(1 <= r.rank <= 10 for r in a_rows)
     # nprobe = num_centroids must recover brute force exactly (the
     # probe set covers every cell, so no candidate is ever excluded)
