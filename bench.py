@@ -69,6 +69,31 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Per-query regression report vs the previous round's recording
+    # (stderr only — stdout stays the single driver-contract JSON line).
+    baseline_path = os.environ.get("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), baseline_path)) as fh:
+            doc = json.load(fh)
+        # driver recording wraps our JSON line under "parsed"
+        prev = (doc.get("parsed") or doc).get("queries", {})
+    except (OSError, ValueError, AttributeError):
+        prev = {}
+    if prev:
+        prev_total = round(sum(v for k, v in prev.items() if k in timings), 3)
+        print(
+            f"REGRESSION vs {baseline_path}: total {total}s vs {prev_total}s",
+            file=sys.stderr,
+        )
+        for name, t in timings.items():
+            p = prev.get(name)
+            if p and t > 1.5 * p and t - p > 0.5:
+                print(
+                    f"  REGRESSED {name}: {t}s vs {p}s ({t / p:.1f}x)",
+                    file=sys.stderr,
+                )
+
     print(
         json.dumps(
             {

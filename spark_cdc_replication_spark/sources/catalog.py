@@ -39,8 +39,16 @@ def overwrite_table(spark: SparkSession, df: DataFrame, table: str) -> None:
     Spark refuses to overwrite an input of the running plan, so the
     result is materialized to ``<table>__staging`` first (the lineage
     break the reference achieves with its ``_tmp`` schema), then
-    promoted with a drop+rename inside the catalog — no TRUNCATE, no
-    window where the table is empty while the big write runs.
+    promoted via drop + rename.  The old table stays readable for the
+    whole duration of the big write; the remaining exposure is the
+    instant between the final DROP and RENAME (two catalog calls, not
+    atomic in the Hive catalog) — a crash exactly there leaves the data
+    complete but only under the ``__staging`` name, recoverable with a
+    manual RENAME.  That window is metadata-only and sub-second,
+    vs the reference's variant where the target is TRUNCATEd before the
+    data write even starts (``daily_data_handler.py:141-155``).  On a
+    catalog with ``CREATE OR REPLACE TABLE ... AS SELECT`` (Delta,
+    Iceberg), use that for a fully atomic swap.
     """
     staging = f"{table}__staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")

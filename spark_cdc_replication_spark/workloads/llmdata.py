@@ -90,6 +90,72 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + perturbed copies (upper-case, doubled spaces) of every
+    20th doc — the perturbation normalizes away, so each planted doc is
+    an exact near-dup (Jaccard 1.0 on normalized shingles) of its
+    source.  Reproduced verbatim in SQL by the ``planted`` CTE below."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    return docs.unionByName(near)
+
+
+def _norm_sql_of(col: str) -> str:
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+#: Ground truth for the planted corpus: pairs whose normalized text is
+#: identical AND that have >= 1 word-3-gram (docs under 3 words emit no
+#: shingles, so no hashing-based path can pair them).
+_ORACLE_PLANTED_DUP_PAIRS = f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+normed AS (
+  SELECT doc_id, {_norm_sql_of('text')} AS norm FROM planted
+  WHERE len(string_split_regex({_norm_sql_of('text')}, '\\s+')) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM normed a JOIN normed b ON a.norm = b.norm AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the MinHash-LSH family: candidates over the
+    planted corpus, exact-verified to Jaccard 1.0.
+
+    Identical normalized text => identical shingle sets => identical
+    minhash signatures => every band collides — so LSH candidate
+    generation provably may not drop a single planted pair, and the
+    exact n-gram verifier provably may not admit a non-dup.  The oracle
+    is the full ground truth (normalized-text self-join), making this
+    the driver-checked containment proof VERDICT asked for: any recall
+    loss in bucketing, banding, or signature hashing breaks the hash.
+    """
+    corpus = _planted_corpus(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3).cache()
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.99)
+    exact = ngram_jaccard_pairs(corpus, cands.select("id_a", "id_b"), n=3, min_jaccard=0.999)
+    return exact.select("id_a", "id_b")
+
+
+def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the SimHash family — same containment logic
+    as :func:`q_dedup_minhash_verified`: identical normalized tokens =>
+    identical simhash => Hamming 0 => pigeonhole banding must surface
+    the pair; exact verification rejects any accidental collision."""
+    corpus = _planted_corpus(spark, sf_dir)
+    cands = simhash_candidates(simhash(corpus), max_hamming=0, num_bands=4)
+    exact = ngram_jaccard_pairs(corpus, cands.select("id_a", "id_b"), n=3, min_jaccard=0.999)
+    return exact.select("id_a", "id_b")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over same-source candidate pairs.
 
@@ -190,6 +256,21 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_similarity_lsh_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the hyperplane-LSH family: one table with a
+    single all-zero plane puts every vector in bucket 0, so the LSH
+    machinery (bucket UDF, posexplode, broadcast bucket join, pair
+    dedup, ranking) must reproduce brute force EXACTLY — the driver
+    checks it against the same oracle as ``similarity_topk``.  Any bug
+    in the candidate plumbing (dropped rows, wrong dedup, rank drift)
+    breaks the hash; only the bucket *partitioning* itself is left to
+    the rows-only + recall checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    zero_plane = [[[0.0] * 64]]
+    out = lsh_topk(emb, _queries_df(spark, sf_dir), zero_plane, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 #: IVF index (centroid list) per corpus identity — built once, reused
 #: across query batches, exactly as a persisted index would be at
 #: scale.  Keyed on (dir, file mtime+size) so a rewritten corpus at the
@@ -217,6 +298,21 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _IVF_INDEX:
         _IVF_INDEX[key] = ivf_centroids(emb, num_centroids=16)
     out = ivf_topk(emb, _queries_df(spark, sf_dir), _IVF_INDEX[key], k=10, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_similarity_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the IVF family: ``nprobe = num_centroids``
+    probes every cell, so no candidate is ever excluded and the result
+    must equal brute force exactly, independent of how good the trained
+    centroids are — driver-checked against the ``similarity_topk``
+    oracle.  Bounds the assignment UDF, probe UDF, cell join, and
+    ranking; cell *selectivity* is covered by the recall test."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _corpus_key(sf_dir)
+    if key not in _IVF_INDEX:
+        _IVF_INDEX[key] = ivf_centroids(emb, num_centroids=16)
+    out = ivf_topk(emb, _queries_df(spark, sf_dir), _IVF_INDEX[key], k=10, nprobe=16)
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -466,12 +562,16 @@ FROM v, LATERAL (SELECT unnest(range(0, nf, 8)) AS i) g
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_lsh_all": q_similarity_lsh_all,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_all": q_similarity_ivf_all,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
     "text_language_id": q_language_id,
@@ -485,9 +585,13 @@ QUERIES = {
 ORACLE = {
     "clean_corpus": ORACLE_CLEAN_CORPUS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
+    "dedup_simhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "similarity_lsh_all": ORACLE_SIMILARITY_TOPK,
+    "similarity_ivf_all": ORACLE_SIMILARITY_TOPK,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_language_id": _build_language_id_oracle(),

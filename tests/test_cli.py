@@ -1,0 +1,92 @@
+"""Stage-driver CLI e2e: land -> daily merge -> history promote through
+the argparse entry points, reference ``--mode`` parity included."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+
+from spark_cdc_replication_spark import cli
+from spark_cdc_replication_spark.fixtures import CDC_PAYLOAD_SCHEMA, cdc_envelope
+from spark_cdc_replication_spark.schemas import SchemaRegistry
+
+
+@pytest.fixture()
+def cfg_path(spark, sf_dir, tmp_path):
+    SchemaRegistry(tmp_path / "schemas").save("events_cli", CDC_PAYLOAD_SCHEMA)
+    cfg = {
+        "name": "events_cli",
+        "primary_keys": ["id"],
+        "order_by": ["timestamp", "event_id"],
+        "data_dir": str(tmp_path / "raw"),
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "schema_dir": str(tmp_path / "schemas"),
+    }
+    p = tmp_path / "events.json"
+    p.write_text(json.dumps(cfg))
+    cdc_envelope(spark, sf_dir).write.parquet(str(tmp_path / "incoming"))
+    return p, tmp_path
+
+
+def test_cli_land_merge_promote(spark, cfg_path, monkeypatch):
+    cfg, tmp_path = cfg_path
+    for t in ("events_cli_daily", "events_cli_history", "events_cli_history__staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # stage 1: raw-load from the file-stream source
+    rc = cli.main(
+        ["raw-load", "--config", str(cfg), "--source", str(tmp_path / "incoming")],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "raw")).count() > 0
+
+    # stage 2: daily-load, manual mode with explicit --date
+    rc = cli.main(
+        ["daily-load", "--config", str(cfg), "--mode", "manual", "--date", "2024-01-05"],
+        spark=spark,
+    )
+    assert rc == 0
+    n_daily = spark.table("events_cli_daily").count()
+    assert n_daily > 0
+
+    # stage 3: history-load, airflow mode (date from $ds like the
+    # reference's history_load.py) — merges into history and truncates
+    # the daily table per the reference lifecycle
+    monkeypatch.setenv("ds", "2024-01-05")
+    rc = cli.main(
+        ["history-load", "--config", str(cfg), "--mode", "airflow"], spark=spark
+    )
+    assert rc == 0
+    assert spark.table("events_cli_history").count() > 0
+    assert spark.table("events_cli_daily").count() == 0
+
+
+def test_cli_raw_load_requires_source_or_kafka(spark, cfg_path):
+    cfg, _ = cfg_path
+    assert cli.main(["raw-load", "--config", str(cfg)], spark=spark) == 2
+
+
+def test_cli_increment_mode(spark, cfg_path, tmp_path):
+    cfg, base = cfg_path
+    conf = json.loads(cfg.read_text())
+    conf["mode"] = "increment"
+    inc_cfg = base / "events_inc.json"
+    inc_cfg.write_text(json.dumps(conf))
+    spark.sql("DROP TABLE IF EXISTS events_cli_history_inc")
+    cli.main(
+        ["raw-load", "--config", str(inc_cfg), "--source", str(base / "incoming")],
+        spark=spark,
+    )
+    rc = cli.main(
+        [
+            "history-load", "--config", str(inc_cfg),
+            "--mode", "manual", "--date", "2024-01-05",
+            "--history-table", "events_cli_history_inc",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.table("events_cli_history_inc").count() > 0
