@@ -351,3 +351,77 @@ def embedding_cosine_dups(
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).filter(
         F.col("cosine") >= min_cosine
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering (connected components)
+# --------------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over duplicate-pair edges: the step after
+    candidate generation in a real dedup pipeline — near-dup pairs are
+    transitive in practice (A~B, B~C), so survivors must be picked per
+    CLUSTER, not per pair, or chains of near-dups survive in pieces.
+
+    Returns ``(doc_id, cluster_id)`` for every id that appears in a
+    pair, with ``cluster_id = min(id)`` of its component (the canonical
+    representative).  Ids in no pair are their own cluster and are
+    omitted — semi-join survivors against this frame to drop non-canon
+    members.
+
+    Algorithm: iterative min-label propagation —
+    ``label(x) <- min(label(x), min over neighbors label(n))`` to a
+    fixpoint, each round one hash join + one aggregate, converging in
+    O(component diameter) rounds (dup chains are shallow; ``max_iters``
+    bounds adversarial paths).  Per-round ``localCheckpoint`` truncates
+    the lineage so the plan does not grow with iterations — the classic
+    iterative-DataFrame trap.  This is the join-based formulation of
+    the map-reduce CC algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond"); at 100 TB each round shuffles only
+    ``(node, label)`` longs, never document payloads.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

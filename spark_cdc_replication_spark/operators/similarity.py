@@ -242,6 +242,22 @@ def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
     return probe
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF inverted file: ``(neighbor_id, __cv, cell)`` — every
+    corpus vector tagged with its nearest-centroid cell.  Build it once
+    per corpus, ``persist()`` it, and hand it to :func:`ivf_topk` for
+    each query batch; at scale this is the table you'd write to
+    storage partitioned BY cell so a probe reads only its cells."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("cell", _cell_assign_udf(centroids)("__cv"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -251,6 +267,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors live in the single
     nearest-centroid bucket; each query probes its ``nprobe`` nearest
@@ -263,14 +280,19 @@ def ivf_topk(
     optimization at 16x64 floats).  Candidate volume ~=
     ``|corpus| * nprobe / num_centroids`` per query — the FAISS
     IVF-Flat contract as DataFrame algebra.
+
+    Pass ``assigned`` (from :func:`ivf_assign`, typically persisted) to
+    reuse the corpus cell assignment across query batches — the real
+    index-use pattern; otherwise the assignment rides the query.
     """
     # Corpus -> one cell each.  This is the index-build hot path (every
     # corpus vector scores against every centroid): one Arrow-batched
-    # numpy matmul, shuffle-free.  In production the assignment is
-    # computed once and persisted; here it rides the query.
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("cell", _cell_assign_udf(centroids)("__cv"))
+    # numpy matmul, shuffle-free.
+    c = (
+        assigned
+        if assigned is not None
+        else ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
+    )
 
     # Queries -> nprobe cells each: one narrow Arrow projection + explode.
     q = queries.select(

@@ -572,13 +572,293 @@ GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# q7-style: volume shipping between two nations — double-dimension join
+# (nation joined twice under different roles), direction-pair filter,
+# per-year trend.  Both nation copies are bounded -> explicit broadcast.
+# --------------------------------------------------------------------------
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("__sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("__cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+ORACLE_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# q8-style: national market share — conditional-aggregate ratio (the
+# proven q14 decimal pattern) over a 7-table snowflake, per year.
+# --------------------------------------------------------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_regionkey").alias("__cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("__cn_key"))
+        .join(F.broadcast(region), F.col("__cr_key") == region.r_regionkey)
+        .join(F.broadcast(n_supp), sup.s_nationkey == F.col("__sn_key"))
+    )
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(27,8)")
+            )
+            * 100
+            / F.sum(rev.cast("decimal(27,8)")),
+            6,
+        ).cast("double").alias("mkt_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT year(o_orderdate) AS o_year,
+       CAST(round(
+         sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                  AS DECIMAL(27,8))) * 100
+         / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))),
+       6) AS DOUBLE) AS mkt_share_pct,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q9-style: product-type profit by nation and year.  The fixture has no
+# partsupp, so supply cost is modeled as 10% of p_retailprice — the
+# plan shape (part filter, 4-way join, negative term in the aggregate)
+# is q9's.
+# --------------------------------------------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(dsum(amount).alias("sum_profit"))
+
+
+ORACLE_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# q13-style: customer order-count distribution — LEFT OUTER join so
+# zero-order customers count, then a second aggregate over the first
+# (distribution of a distribution).  Two shuffles, both necessary.
+# --------------------------------------------------------------------------
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_outer"
+    ).groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# q15-style: top supplier(s) by quarterly revenue — aggregate, scalar
+# max over the aggregate (single-row broadcast), equality join-back.
+# Revenue stays DECIMAL until after the equality test, so the max
+# comparison is exact in both engines.
+# --------------------------------------------------------------------------
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,8)"))
+        .alias("__total")
+    )
+    top = rev.join(F.broadcast(rev.agg(F.max("__total").alias("__max"))))
+    return (
+        top.filter(F.col("__total") == F.col("__max"))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("__total", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(round(total, 2) AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total = (SELECT max(total) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# q17-style: small-quantity revenue — correlated per-part average
+# subquery, decorrelated into a groupBy + join-back.  The threshold
+# comparison is rearranged to stay in exact arithmetic
+# (qty * 5 * n < sum  <=>  qty < 0.2 * avg), so no engine ever divides.
+# --------------------------------------------------------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 5)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,8)")).alias("__qty_sum"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("__pk"))
+        .filter(
+            F.col("l_quantity").cast("decimal(27,8)") * 5 * F.col("__n")
+            < F.col("__qty_sum")
+        )
+    )
+    return j.agg(
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = f"""
+SELECT {_dsum_sql('l_extendedprice')} AS total_price, count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN (
+  SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(27,8))) AS qty_sum,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey
+) pp ON l_partkey = pp.pk
+WHERE p_brand = 'Brand#1' AND p_size < 5
+  AND CAST(l_quantity AS DECIMAL(27,8)) * 5 * n < qty_sum
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
     "q4_order_priority": q_order_priority,
     "q5_local_supplier_volume": q_local_supplier_volume,
     "q6_revenue_forecast": q_revenue_forecast,
+    "q7_volume_shipping": q_volume_shipping,
+    "q8_market_share": q_market_share,
+    "q9_product_profit": q_product_profit,
     "q10_returned_revenue": q_returned_revenue,
+    "q13_customer_distribution": q_customer_distribution,
+    "q15_top_supplier": q_top_supplier,
+    "q17_small_quantity_revenue": q_small_quantity_revenue,
     "q14_promo_revenue": q_promo_revenue,
     "q16_brand_supplier_count": q_brand_supplier_count,
     "q18_large_orders": q_large_orders,
@@ -599,7 +879,13 @@ ORACLE = {
     "q4_order_priority": ORACLE_ORDER_PRIORITY,
     "q5_local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "q6_revenue_forecast": ORACLE_REVENUE_FORECAST,
+    "q7_volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "q8_market_share": ORACLE_MARKET_SHARE,
+    "q9_product_profit": ORACLE_PRODUCT_PROFIT,
     "q10_returned_revenue": ORACLE_RETURNED_REVENUE,
+    "q13_customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
+    "q15_top_supplier": ORACLE_TOP_SUPPLIER,
+    "q17_small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
     "q14_promo_revenue": ORACLE_PROMO_REVENUE,
     "q16_brand_supplier_count": ORACLE_BRAND_SUPPLIER_COUNT,
     "q18_large_orders": ORACLE_LARGE_ORDERS,

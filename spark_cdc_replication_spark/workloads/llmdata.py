@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..fixtures import load_table
 from ..functions.text import STOPWORDS
 from ..operators.dedup import (
+    dup_clusters,
     embedding_cosine_dups,
     exact_dedup,
     minhash_lsh_candidates,
@@ -25,6 +26,7 @@ from ..operators.dedup import (
 from ..operators.similarity import (
     brute_force_topk,
     deterministic_planes,
+    ivf_assign,
     ivf_centroids,
     ivf_topk,
     lsh_topk,
@@ -156,6 +158,55 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.select("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering end-to-end: two independent perturbation
+    families per source doc make each dup group a 3-member component
+    (source, +10000, +20000) whose edges come from the minhash-LSH +
+    exact-verify path; :func:`dup_clusters` must then label every
+    member with the component minimum.  The oracle recomputes the
+    ground-truth components from normalized-text equality — transitive
+    agreement is exactly what connected components must reproduce."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(near1).unionByName(near2)
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3).cache()
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.99)
+    verified = ngram_jaccard_pairs(
+        corpus, cands.select("id_a", "id_b"), n=3, min_jaccard=0.999
+    )
+    return dup_clusters(verified.select("id_a", "id_b"))
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+normed AS (
+  SELECT doc_id, {_norm_sql_of('text')} AS norm FROM planted
+  WHERE len(string_split_regex({_norm_sql_of('text')}, '\\s+')) >= 3
+),
+comp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS cluster_id,
+         count(*) OVER (PARTITION BY norm) AS n
+  FROM normed
+)
+SELECT doc_id, cluster_id FROM comp WHERE n > 1
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over same-source candidate pairs.
 
@@ -271,33 +322,44 @@ def q_similarity_lsh_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
-#: IVF index (centroid list) per corpus identity — built once, reused
-#: across query batches, exactly as a persisted index would be at
-#: scale.  Keyed on (dir, file mtime+size) so a rewritten corpus at the
-#: same path invalidates the cached centroids instead of silently
-#: reusing a stale index.
-_IVF_INDEX: dict[tuple, list] = {}
+#: IVF index per corpus identity — (centroids, persisted cell-assigned
+#: corpus), built once and reused across query batches, exactly as a
+#: persisted index would be at scale.  Keyed on (app id, dir, file
+#: mtime+size): a rewritten corpus at the same path invalidates stale
+#: centroids, and a new SparkSession never sees a cached DataFrame
+#: bound to a dead session.
+_IVF_INDEX: dict[tuple, tuple] = {}
 
 
-def _corpus_key(sf_dir: str) -> tuple:
+def _corpus_key(spark: SparkSession, sf_dir: str) -> tuple:
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    app = spark.sparkContext.applicationId
     try:
         st = os.stat(path)
-        return (sf_dir, st.st_mtime_ns, st.st_size)
+        return (app, sf_dir, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (sf_dir, None, None)
+        return (app, sf_dir, None, None)
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    key = _corpus_key(spark, sf_dir)
+    if key not in _IVF_INDEX:
+        cents = ivf_centroids(emb, num_centroids=16)
+        assigned = ivf_assign(emb, cents).persist()
+        _IVF_INDEX[key] = (cents, assigned)
+    return _IVF_INDEX[key]
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (rows-only: approximate by
     design; recall vs brute force asserted in tests/)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _corpus_key(sf_dir)
-    if key not in _IVF_INDEX:
-        _IVF_INDEX[key] = ivf_centroids(emb, num_centroids=16)
-    out = ivf_topk(emb, _queries_df(spark, sf_dir), _IVF_INDEX[key], k=10, nprobe=4)
+    cents, assigned = _ivf_index(spark, sf_dir, emb)
+    out = ivf_topk(
+        emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=4, assigned=assigned
+    )
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -309,10 +371,10 @@ def q_similarity_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.  Bounds the assignment UDF, probe UDF, cell join, and
     ranking; cell *selectivity* is covered by the recall test."""
     emb = load_table(spark, sf_dir, "embeddings")
-    key = _corpus_key(sf_dir)
-    if key not in _IVF_INDEX:
-        _IVF_INDEX[key] = ivf_centroids(emb, num_centroids=16)
-    out = ivf_topk(emb, _queries_df(spark, sf_dir), _IVF_INDEX[key], k=10, nprobe=16)
+    cents, assigned = _ivf_index(spark, sf_dir, emb)
+    out = ivf_topk(
+        emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=16, assigned=assigned
+    )
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -563,6 +625,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -586,6 +649,7 @@ ORACLE = {
     "clean_corpus": ORACLE_CLEAN_CORPUS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,

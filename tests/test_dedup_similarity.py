@@ -110,3 +110,32 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     full = ivf_topk(emb, queries, cents, k=10, nprobe=16)
     f = {(r.query_id, r.neighbor_id) for r in full.collect()}
     assert f == e
+
+
+def test_dup_clusters_chain_and_star(spark):
+    from spark_cdc_replication_spark.operators.dedup import dup_clusters
+
+    # chain 1-2-3-...-9 (diameter 8: needs real iteration, not one hop),
+    # star 100-(101..105), and an isolated pair 200-201
+    edges = (
+        [(i, i + 1) for i in range(1, 9)]
+        + [(100, x) for x in range(101, 106)]
+        + [(200, 201)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    want = (
+        {(i, 1) for i in range(1, 10)}
+        | {(x, 100) for x in [100, 101, 102, 103, 104, 105]}
+        | {(200, 200), (201, 200)}
+    )
+    assert got == want
+
+
+def test_dup_clusters_reversed_edge_direction(spark):
+    from spark_cdc_replication_spark.operators.dedup import dup_clusters
+
+    # min id on the b side: symmetry must still label with the min
+    pairs = spark.createDataFrame([(5, 1), (5, 3)], "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (3, 1), (5, 1)}
