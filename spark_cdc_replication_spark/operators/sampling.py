@@ -1,0 +1,176 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines (``[EXT]``, no reference counterpart).
+
+Everything here is *hash-deterministic*, never RNG-based: a sample
+taken today equals the sample taken tomorrow on the same ids, survives
+re-partitioning and re-runs (Spark's ``sample()`` does not — its seed
+is per-partition-index, so any upstream repartition silently changes
+the sample), and is reproducible by any other engine from the spec.
+The hash is the first 8 hex chars of ``md5(key)`` — cheap, uniform,
+and computable in ANSI SQL, which is what makes these operators
+oracle-checkable in DuckDB.
+
+All pure native expressions (codegen'd, shuffle-free row filters /
+projections) except :func:`pack_greedy`, which is inherently
+sequential per group and uses ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash buckets per unit of rate (1e-4 rate resolution)
+_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, buckets: int = _BUCKETS) -> Column:
+    """Uniform deterministic bucket in ``[0, buckets)`` from md5(key).
+
+    SQL twin: ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+    AS BIGINT) % buckets`` (DuckDB) — verified to agree byte-for-byte
+    with Spark's ``conv(substr(md5(cast(k as string)), 1, 8), 16, 10)``.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per-row by ``hash(key) < rate``.
+
+    Unlike ``df.sample(rate)`` the decision is a pure function of the
+    key: stable across runs, partitionings, and engines, and a row kept
+    at rate r is also kept at every rate > r (nested samples — grow a
+    training subset without resampling everything).
+    """
+    return df.filter(hash_bucket(key_col) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the source-mixture knob of
+    a corpus pipeline (e.g. keep 100% wiki, 10% web crawl).
+
+    The rate lookup is a small CASE expression (bounded strata), so the
+    whole operator is one codegen'd filter — no join, no shuffle.
+    """
+    expr = F.lit(float(default_rate))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == value, F.lit(float(rate))).otherwise(expr)
+    return df.filter(
+        hash_bucket(key_col) < (expr * _BUCKETS).cast("long")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: Sequence[tuple[str, float]] = (("train", 0.98), ("val", 0.01), ("test", 0.01)),
+    key_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by hash range —
+    deterministic train/val/test partitioning.  Weights must sum to
+    <= 1; any remainder falls into the LAST split (so (…, 1.0-eps)
+    specs stay total).  A document never migrates between splits when
+    data is added or re-ordered — the property RNG splits lack.
+    """
+    bucket = hash_bucket(key_col)
+    upper = 0.0
+    expr: Column | None = None
+    for name, w in weights[:-1]:
+        upper += float(w)
+        cond = bucket < int(upper * _BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = weights[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)
+
+
+def pack_offsets(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    part_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Offset-based sequence packing: documents are laid out in
+    ``order_cols`` order and cut into packs of ``budget`` tokens by
+    cumulative offset — ``pack_id = floor(start_offset / budget)``.
+
+    A document whose tokens straddle a boundary belongs to the pack it
+    STARTS in (packs can overflow by at most one document — the
+    fixed-layout packing used when documents are later chunked anyway).
+    One window (one shuffle on ``part_cols``), exact SQL twin via the
+    same ``sum() OVER`` — this is the oracle-checkable variant;
+    :func:`pack_greedy` is the never-overflow variant.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(*[F.asc(c) for c in order_cols])
+    start = F.coalesce(
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn("pack_id", F.floor(start / F.lit(budget)).cast("long"))
+
+
+def pack_greedy(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: Sequence[str],
+    part_cols: Sequence[str],
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """First-fit greedy packing with reset: a pack closes when the next
+    document would exceed ``budget`` (documents larger than the budget
+    get a pack of their own).  Never overflows, so it is the variant
+    for hard context-length limits.
+
+    The running "current pack fill" resets conditionally — not
+    expressible as a window function — so each group is packed
+    sequentially inside ``applyInPandas`` (Arrow-batched; one shuffle
+    on ``part_cols``, the same shuffle :func:`pack_offsets` needs).
+    Groups are independent, so 100 TB parallelism = number of strata;
+    keep ``part_cols`` fine-grained (e.g. source x date-bucket).
+    """
+    out_cols = [*part_cols, *id_cols, token_col]
+    schema_parts = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*out_cols).schema.fields
+    )
+    out_schema = f"{schema_parts}, pack_id bigint"
+    order = list(order_cols)
+    tok = token_col
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        ids = []
+        pack_id, fill = 0, 0
+        for t in pdf[tok].to_numpy():
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                pack_id += 1
+                fill = 0
+            ids.append(pack_id)
+            fill += t
+        pdf = pdf[[c for c in out_cols]]
+        return pdf.assign(pack_id=ids)
+
+    return (
+        df.select(*dict.fromkeys([*out_cols, *order]))
+        .groupBy(*[F.col(c) for c in part_cols])
+        .applyInPandas(pack, out_schema)
+    )

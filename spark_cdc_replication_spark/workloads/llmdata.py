@@ -565,6 +565,117 @@ GROUP BY d.source
 
 
 # --------------------------------------------------------------------------
+# Deterministic sampling / splitting / packing / corpus statistics
+# --------------------------------------------------------------------------
+
+#: DuckDB twin of operators.sampling.hash_bucket (md5 first-8-hex ->
+#: bigint, verified byte-identical with Spark's conv(..., 16, 10)).
+_BUCKET_SQL = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)"
+
+_STRATA_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling: keep 100% of src0, 50% of src1, 25% of
+    src2, 10% of src3, drop the rest — each row's fate a pure function
+    of md5(doc_id), so the sample is stable across runs, partitionings,
+    and engines (the oracle reproduces it exactly in SQL)."""
+    from ..operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, _STRATA_RATES, strata_col="source", key_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, source FROM documents
+WHERE {_BUCKET_SQL} < CAST(
+  (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+               WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END) * 10000
+  AS BIGINT)
+"""
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-hash range — a
+    document never migrates between splits when the corpus grows."""
+    from ..operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_assign(
+        docs, weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)), key_col="doc_id"
+    )
+    return out.select("doc_id", "split")
+
+
+ORACLE_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL} < 9000 THEN 'train'
+            WHEN {_BUCKET_SQL} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing: per source, documents in doc_id
+    order are laid out end-to-end and cut into 2048-char packs by
+    cumulative offset (pack_id = floor(start_offset / budget)) — one
+    window, exact SQL twin.  The never-overflow greedy variant
+    (conditional reset, applyInPandas) is pytest-checked against a
+    python model in tests/."""
+    from ..operators.sampling import pack_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_offsets(
+        docs, token_col="n_chars", budget=2048, order_cols=["doc_id"],
+        part_cols=["source"],
+    )
+    return out.select("source", "doc_id", "pack_id")
+
+
+ORACLE_PACK_SEQUENCES = """
+SELECT source, doc_id,
+       CAST(floor(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048) AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length distribution: exact linear-interpolation
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
+    both rank = q*(n-1)) — the corpus-profiling rollup that sizes
+    packing budgets and length filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = [0.25, 0.5, 0.75, 0.95]
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        *[
+            F.round(F.expr(f"percentile(n_chars, {q})"), 6).alias(
+                f"p{int(q * 100)}_chars"
+            )
+            for q in pct
+        ],
+    )
+
+
+ORACLE_CORPUS_STATS = """
+SELECT source, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75_chars,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+FROM documents
+GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal: binary payload + metadata struct -> mapInPandas features
 # --------------------------------------------------------------------------
 
@@ -641,6 +752,10 @@ QUERIES = {
     "text_fingerprints": q_fingerprints,
     "text_lang_stats": q_lang_stats,
     "clean_corpus": q_clean_corpus,
+    "sample_stratified": q_sample_stratified,
+    "split_assign": q_split_assign,
+    "pack_sequences": q_pack_sequences,
+    "corpus_stats": q_corpus_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
 }
@@ -661,6 +776,10 @@ ORACLE = {
     "text_language_id": _build_language_id_oracle(),
     "text_fingerprints": ORACLE_FINGERPRINTS,
     "text_lang_stats": ORACLE_LANG_STATS,
+    "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "split_assign": ORACLE_SPLIT_ASSIGN,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "corpus_stats": ORACLE_CORPUS_STATS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,

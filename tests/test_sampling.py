@@ -1,0 +1,85 @@
+"""Deterministic sampling / splitting / packing operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.fixtures import load_table
+from spark_cdc_replication_spark.operators.sampling import (
+    deterministic_sample,
+    pack_greedy,
+    pack_offsets,
+    split_assign,
+)
+
+
+def test_deterministic_sample_is_stable_and_nested(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s10 = {r.doc_id for r in deterministic_sample(docs, 0.1).select("doc_id").collect()}
+    s10_again = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), 0.1).select("doc_id").collect()
+    }
+    # stable under repartitioning (Spark's sample() is not)
+    assert s10 == s10_again
+    # nested: everything kept at 10% is kept at 30%
+    s30 = {r.doc_id for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    assert s10 <= s30
+    assert 0.02 < len(s10) / docs.count() < 0.25  # roughly the rate
+
+
+def test_split_assign_total_and_disjoint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_assign(docs, (("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+
+
+def greedy_model(sizes: list[int], budget: int) -> list[int]:
+    out, pack, fill = [], 0, 0
+    for t in sizes:
+        if fill > 0 and fill + t > budget:
+            pack, fill = pack + 1, 0
+        out.append(pack)
+        fill += t
+    return out
+
+
+def test_pack_greedy_matches_python_model_and_never_overflows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 2048
+    out = pack_greedy(
+        docs, token_col="n_chars", budget=budget,
+        order_cols=["doc_id"], part_cols=["source"], id_cols=["doc_id"],
+    )
+    rows = out.collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, members in by_source.items():
+        members.sort(key=lambda r: r.doc_id)
+        want = greedy_model([int(r.n_chars) for r in members], budget)
+        assert [r.pack_id for r in members] == want, source
+        # no pack overflows unless it is a single oversized document
+        fills: dict[int, list[int]] = {}
+        for r in members:
+            fills.setdefault(r.pack_id, []).append(int(r.n_chars))
+        for sizes in fills.values():
+            assert sum(sizes) <= budget or len(sizes) == 1
+
+
+def test_pack_offsets_partitions_are_contiguous(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_offsets(docs, "n_chars", 2048, ["doc_id"], ["source"])
+    rows = out.select("source", "doc_id", "pack_id").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for members in by_source.values():
+        members.sort(key=lambda r: r.doc_id)
+        ids = [r.pack_id for r in members]
+        # pack ids are non-decreasing along the layout order, start at 0
+        assert ids[0] == 0
+        assert all(a <= b for a, b in zip(ids, ids[1:]))
