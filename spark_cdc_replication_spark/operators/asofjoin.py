@@ -40,13 +40,21 @@ def asof_join(
     ts_col: str,
     right_ts_col: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Left as-of join: every ``left`` row + the newest ``right`` row
-    with the same key and ``right.ts <= left.ts`` (right columns null
-    when no prior right row exists).
+    """Left as-of join: every ``left`` row + the nearest ``right`` row
+    with the same key — ``backward`` (default): newest right row with
+    ``right.ts <= left.ts``; ``forward``: earliest right row with
+    ``right.ts >= left.ts``.  Right columns are null when no such row
+    exists, or (with ``tolerance``, e.g. ``"1 hour"``) when the nearest
+    row is further than the tolerance away — pandas ``merge_asof``
+    semantics, as one distributed window pass.
 
     ``right``'s non-key payload columns are suffixed on collision.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_ts_col = right_ts_col or ts_col
     on = list(on)
 
@@ -64,12 +72,26 @@ def asof_join(
 
     unioned = l.unionByName(r, allowMissingColumns=True)
 
+    # backward: scan time ascending, carry the last right row seen.
+    # forward: scan time DESCENDING, so "last right seen" is the
+    # earliest at-or-after row.  Either way an equal-ts right row sorts
+    # before the left row (tag 0 < 1) and is therefore visible to it.
+    ts_order = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col(_TAG).asc())
+        .orderBy(ts_order, F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [ts_col + suffix] + [renamed[c] for c in payload]
     for c in carried:
         unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col(_TAG) == 1).drop(_TAG)
+    out = unioned.filter(F.col(_TAG) == 1).drop(_TAG)
+    if tolerance is not None:
+        matched_ts = F.col(ts_col + suffix)
+        if direction == "backward":
+            within = matched_ts >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+        else:
+            within = matched_ts <= F.col(ts_col) + F.expr(f"INTERVAL {tolerance}")
+        for c in carried:
+            out = out.withColumn(c, F.when(within, F.col(c)))
+    return out

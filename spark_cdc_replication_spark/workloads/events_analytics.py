@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..fixtures import load_table
 from ..operators.asofjoin import asof_join
 from ..operators.merge import latest_per_key
+from ..operators.rangejoin import range_join
 from ..operators.windows import sessionize, tumbling_counts
 
 #: µs-pinned events relation for every oracle below.
@@ -114,14 +115,98 @@ ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase paired with the
+    user's NEXT view within 1 hour (nulls beyond) — the pandas
+    ``merge_asof(direction='forward', tolerance=...)`` contract, run as
+    one distributed window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+    )
+    # One view per (user, µs): forward ties keep the MIN event_id (the
+    # first row the scan meets), so pre-dedup to min like the oracle.
+    w_min = F.min("view_event_id")
+    views = views.groupBy("user_id", "ts").agg(w_min.alias("view_event_id"))
+    out = asof_join(
+        purchases, views, on=["user_id"], ts_col="ts",
+        direction="forward", tolerance="1 HOUR",
+    )
+    return out.select("user_id", "event_id", "ts", "value", "view_event_id")
+
+
+ORACLE_ASOF_FORWARD_TOLERANCE = f"""
+WITH {_EV_US},
+purchases AS (
+  SELECT user_id, event_id, ts, value FROM ev WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts, min(event_id) AS view_event_id
+  FROM ev WHERE event_type = 'view' GROUP BY user_id, ts
+),
+nearest AS (
+  SELECT p.user_id, p.event_id, p.ts, p.value, v.view_event_id, v.ts AS v_ts,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY v.ts ASC NULLS LAST) AS rn
+  FROM purchases p LEFT JOIN views v
+    ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+SELECT user_id, event_id, ts, value,
+       CASE WHEN v_ts <= ts + INTERVAL 1 HOUR THEN view_event_id END AS view_event_id
+FROM nearest WHERE rn = 1
+"""
+
+
+def q_range_join_signup_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via the bucketized range join: views within
+    1 hour of the same user's signup.  The plan is an EQUI-join on
+    (user_id, hour-bucket) + in-bucket filter — never the
+    BroadcastNestedLoopJoin Spark plans for a raw BETWEEN join (plan
+    shape asserted in tests/test_plans.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "ts"
+    )
+    out = range_join(
+        views, signups, point_ts="ts", start_col="start_ts", end_col="end_ts",
+        on=["user_id"], bucket="1 hour",
+    )
+    return out.select("user_id", "signup_event_id", "view_event_id", "ts")
+
+
+ORACLE_RANGE_JOIN_SIGNUP_VIEWS = f"""
+WITH {_EV_US}
+SELECT s.user_id, s.event_id AS signup_event_id, v.event_id AS view_event_id, v.ts
+FROM ev s JOIN ev v
+  ON s.user_id = v.user_id
+ AND v.ts >= s.ts AND v.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup' AND v.event_type = 'view'
+"""
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
     "asof_purchase_view": q_asof_purchase_view,
+    "asof_forward_tolerance": q_asof_forward_tolerance,
+    "range_join_signup_views": q_range_join_signup_views,
 }
 
 ORACLE = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_tumbling_6h": ORACLE_TUMBLING,
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
+    "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,
+    "range_join_signup_views": ORACLE_RANGE_JOIN_SIGNUP_VIEWS,
 }

@@ -8,7 +8,7 @@ rows-only check (per the driver contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import load_table
@@ -564,6 +564,44 @@ GROUP BY d.source
 """
 
 
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per source (vocabulary profiling): explode-heavy
+    aggregation — posexplode-free ``explode(words)`` into a two-key
+    hash aggregate (map-side partials absorb the token fan-out), then a
+    per-source top-k window.  Word = normalized whitespace token,
+    length >= 3; ties break alphabetically for determinism."""
+    from ..functions.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(normalized("text"), " ")).alias("word")
+    ).filter(F.length("word") >= 3)
+    counts = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "word", "n", "rank")
+    )
+
+
+ORACLE_TOP_WORDS = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT source, word, count(*) AS n FROM toks
+  WHERE length(word) >= 3 GROUP BY source, word
+)
+SELECT source, word, n, rank FROM (
+  SELECT source, word, n,
+         row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC) AS rank
+  FROM counts
+) WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Deterministic sampling / splitting / packing / corpus statistics
 # --------------------------------------------------------------------------
@@ -752,6 +790,7 @@ QUERIES = {
     "text_fingerprints": q_fingerprints,
     "text_lang_stats": q_lang_stats,
     "clean_corpus": q_clean_corpus,
+    "top_words": q_top_words,
     "sample_stratified": q_sample_stratified,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
@@ -776,6 +815,7 @@ ORACLE = {
     "text_language_id": _build_language_id_oracle(),
     "text_fingerprints": ORACLE_FINGERPRINTS,
     "text_lang_stats": ORACLE_LANG_STATS,
+    "top_words": ORACLE_TOP_WORDS,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -80,3 +80,56 @@ def test_tumbling_alignment(spark):
     }
     assert out[(dt.datetime(2024, 1, 1, 0, 0), "a")] == (2, 3.0)
     assert out[(dt.datetime(2024, 1, 1, 6, 0), "a")] == (1, 4.0)
+
+
+def test_asof_forward_and_tolerance(spark):
+    from spark_cdc_replication_spark.operators.asofjoin import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, "2024-01-01 10:00:00")], "k string, lid int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            ("u", 1, "2024-01-01 09:00:00"),
+            ("u", 2, "2024-01-01 10:30:00"),
+            ("u", 3, "2024-01-01 12:30:00"),
+        ],
+        "k string, rid int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    back = asof_join(left, right, on=["k"], ts_col="ts").collect()[0]
+    assert back.rid == 1  # newest at-or-before 10:00
+
+    fwd = asof_join(left, right, on=["k"], ts_col="ts", direction="forward").collect()[0]
+    assert fwd.rid == 2  # earliest at-or-after 10:00
+
+    # tolerance kills the backward match (1h away exactly keeps it; 30min drops it)
+    tight = asof_join(
+        left, right, on=["k"], ts_col="ts", tolerance="30 MINUTE"
+    ).collect()[0]
+    assert tight.rid is None
+    keep = asof_join(
+        left, right, on=["k"], ts_col="ts", tolerance="1 HOUR"
+    ).collect()[0]
+    assert keep.rid == 1
+    # forward tolerance: 30min covers the 10:30 view
+    fkeep = asof_join(
+        left, right, on=["k"], ts_col="ts", direction="forward", tolerance="30 MINUTE"
+    ).collect()[0]
+    assert fkeep.rid == 2
+
+
+def test_asof_equal_timestamp_visible_both_directions(spark):
+    from spark_cdc_replication_spark.operators.asofjoin import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, "2024-01-01 10:00:00")], "k string, lid int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u", 7, "2024-01-01 10:00:00")], "k string, rid int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for direction in ("backward", "forward"):
+        row = asof_join(
+            left, right, on=["k"], ts_col="ts", direction=direction
+        ).collect()[0]
+        assert row.rid == 7, direction

@@ -85,6 +85,24 @@ def test_sessionize_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    from spark_cdc_replication_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    plan = plan_of(
+        range_join(views, signups, "ts", "start_ts", "end_ts", on=["user_id"])
+    )
+    # the whole point: a BETWEEN predicate joined as an equi-join on
+    # (key, bucket), never the nested-loop plan Spark gives raw BETWEEN
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_merge_snapshot_no_full_row_dedup_shuffle(spark, sf_dir):
     from spark_cdc_replication_spark.fixtures import CDC_PAYLOAD_SCHEMA, cdc_envelope
     from spark_cdc_replication_spark.operators.cdc_parse import parse_envelope
