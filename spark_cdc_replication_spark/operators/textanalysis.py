@@ -108,3 +108,43 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """md5-of-normalized-text fingerprint per document."""
     return df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with optional
+    overlap — the context-window chunking step of a training/RAG
+    pipeline, as pure native expressions (``sequence`` + ``explode`` +
+    ``substring``; the 1->N fan-out happens executor-side, no Python).
+
+    Output: ``(id_col, chunk_idx, chunk_start, chunk)`` where
+    ``chunk_start`` is the 0-based char offset and chunks advance by
+    ``chunk_size - overlap``.  Empty documents produce no chunks; a
+    final partial chunk is kept (it holds the document tail).
+    SQL twin: ``generate_series`` + ``substring`` (see the oracle in
+    workloads/llmdata.py).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    step = chunk_size - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text_col) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    out = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        F.col(text_col),
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.substring(F.col(text_col), F.col("chunk_start") + 1, chunk_size).alias("chunk"),
+    )

@@ -564,6 +564,28 @@ GROUP BY d.source
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 256-char chunks, 32-char overlap —
+    native sequence/posexplode/substring fan-out, no Python."""
+    from ..operators.textanalysis import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=256, overlap=32)
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+SELECT doc_id,
+       CAST(start // 224 AS INT) AS chunk_idx,
+       CAST(start AS INT) AS chunk_start,
+       substring(text, CAST(start AS INT) + 1, 256) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0), 224)) AS start
+  FROM documents WHERE length(text) > 0
+)
+"""
+
+
 def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 words per source (vocabulary profiling): explode-heavy
     aggregation — posexplode-free ``explode(words)`` into a two-key
@@ -791,6 +813,7 @@ QUERIES = {
     "text_lang_stats": q_lang_stats,
     "clean_corpus": q_clean_corpus,
     "top_words": q_top_words,
+    "chunk_documents": q_chunk_documents,
     "sample_stratified": q_sample_stratified,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
@@ -816,6 +839,7 @@ ORACLE = {
     "text_fingerprints": ORACLE_FINGERPRINTS,
     "text_lang_stats": ORACLE_LANG_STATS,
     "top_words": ORACLE_TOP_WORDS,
+    "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "pack_sequences": ORACLE_PACK_SEQUENCES,

@@ -139,3 +139,38 @@ def test_dup_clusters_reversed_edge_direction(spark):
     pairs = spark.createDataFrame([(5, 1), (5, 3)], "id_a long, id_b long")
     got = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
     assert got == {(1, 1), (3, 1), (5, 1)}
+
+
+def test_dup_clusters_property_random_graphs(spark):
+    """Model-check connected components against a python union-find on
+    seeded random graphs (varied density incl. forests and one blob)."""
+    import random
+
+    from spark_cdc_replication_spark.operators.dedup import dup_clusters
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed, n_nodes, n_edges in [(1, 30, 10), (2, 40, 40), (3, 25, 60)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = union_find_components(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+        assert got == want, f"seed={seed}"
