@@ -846,6 +846,236 @@ WHERE p_brand = 'Brand#1' AND p_size < 5
 """
 
 
+# --------------------------------------------------------------------------
+# q11-style: important part values — per-group aggregate kept only when
+# it exceeds a multiple of the MEAN per-group aggregate (scalar-
+# subquery HAVING).  Unlike TPC-H q11's fixed fraction-of-total
+# threshold — which vacuously filters everything once the part count
+# grows (0 rows at sf0.1) — the 2x-mean cut is scale-invariant.
+# Both sums are exact decimals, identical in both engines; the
+# threshold comparison is done in double space (identical decimal ->
+# identical double -> identical comparison; the divisor is an exact
+# integer count).  The fixture has no partsupp table (TESTDATA.md),
+# so "stock value" is shipped revenue per part from NATION_3's
+# suppliers — same plan shape as TPC-H q11: agg, single-row
+# broadcast, filter.
+# --------------------------------------------------------------------------
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    j = li.join(sup, li.l_suppkey == sup.s_suppkey).join(
+        F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+    )
+    val = j.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,8)")
+        ).alias("__val")
+    )
+    total = val.agg(
+        F.sum("__val").alias("__total"), F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(
+            F.col("__val").cast("double")
+            > F.col("__total").cast("double") / F.col("__cnt") * 2.0
+        )
+        .select(
+            "l_partkey", F.round("__val", 2).cast("double").alias("part_value")
+        )
+    )
+
+
+ORACLE_IMPORTANT_PART_VALUE = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,8))) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) / count(*) * 2.0 FROM val)
+"""
+
+
+# --------------------------------------------------------------------------
+# q12-style: shipping-delay priority distribution — derived grouping
+# key (CASE over datediff; the fixture has no l_shipmode, TESTDATA.md)
+# + conditional-aggregate pivot, the TPC-H q12 shape.  Counts stay
+# BIGINT on both engines (the round-1 HUGEINT lesson).
+# --------------------------------------------------------------------------
+
+def q_ship_priority_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "MEDIUM").otherwise("SLOW")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_SHIP_PRIORITY_DIST = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 'FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 90 THEN 'MEDIUM'
+            ELSE 'SLOW' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q20-style: dominant part suppliers — suppliers who shipped more than
+# a tenth of a small part's total shipped quantity, semi-joined into
+# the supplier dim (no partsupp availqty in the fixture; same shape as
+# TPC-H q20's nested-aggregate + IN).  Share test is exact decimal
+# arithmetic (qty*10 > total), no division; 10% is the largest
+# threshold that yields non-empty results at both sf0.01 and sf0.1
+# (each part has ~30+ supplier lines in the fixture).
+# --------------------------------------------------------------------------
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 3)
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    ps = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,8)")).alias("__ps_qty"))
+    )
+    pt = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,8)")).alias("__p_qty")
+    )
+    dominant = (
+        ps.join(pt, ps.l_partkey == F.col("__pk"))
+        .filter(F.col("__ps_qty") * 10 > F.col("__p_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+ORACLE_DOMINANT_SUPPLIERS = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(27,8))) AS ps_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 3)
+      GROUP BY 1, 2
+    ) a
+    JOIN (
+      SELECT l_partkey AS pk, sum(CAST(l_quantity AS DECIMAL(27,8))) AS p_qty
+      FROM lineitem GROUP BY 1
+    ) b ON a.l_partkey = b.pk
+    WHERE ps_qty * 10 > p_qty
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# q21-style: the supplier who held up the order — finished multi-
+# supplier orders where exactly ONE supplier attains the latest ship
+# date and that date is >60 days past the order date; count per
+# supplier.  TPC-H q21's EXISTS / NOT-EXISTS pair becomes one window
+# pass over (order, supplier) aggregates: a single shuffle on
+# l_orderkey instead of two correlated re-scans of lineitem — the
+# formulation that survives 100 TB (no receiptdate/commitdate in the
+# fixture; lateness is ship-vs-order-date, TESTDATA.md).
+# --------------------------------------------------------------------------
+
+def q_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("__s_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = (
+        per.withColumn("__o_max", F.max("__s_max").over(w))
+        .withColumn("__n_sup", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__n_latest",
+            F.sum(
+                F.when(F.col("__s_max") == F.col("__o_max"), 1).otherwise(0)
+            ).over(w),
+        )
+    )
+    culprit = per.filter(
+        (F.col("__s_max") == F.col("__o_max"))
+        & (F.col("__n_sup") > 1)
+        & (F.col("__n_latest") == 1)
+    )
+    j = culprit.join(orders, culprit.l_orderkey == orders.o_orderkey).filter(
+        F.col("__o_max") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        j.join(sup, j.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_WAITING_SUPPLIER = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+  FROM lineitem GROUP BY 1, 2
+), win AS (
+  SELECT *, max(s_max) OVER (PARTITION BY l_orderkey) AS o_max,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_sup
+  FROM per
+), win2 AS (
+  SELECT *, CAST(sum(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_latest
+  FROM win
+)
+SELECT s_name, count(*) AS numwait
+FROM win2
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_max = o_max AND n_sup > 1 AND n_latest = 1
+  AND o_orderstatus = 'F'
+  AND s_max > o_orderdate + INTERVAL 60 DAY
+GROUP BY s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -856,9 +1086,13 @@ QUERIES = {
     "q8_market_share": q_market_share,
     "q9_product_profit": q_product_profit,
     "q10_returned_revenue": q_returned_revenue,
+    "q11_important_part_value": q_important_part_value,
+    "q12_ship_priority_dist": q_ship_priority_dist,
     "q13_customer_distribution": q_customer_distribution,
     "q15_top_supplier": q_top_supplier,
     "q17_small_quantity_revenue": q_small_quantity_revenue,
+    "q20_dominant_suppliers": q_dominant_suppliers,
+    "q21_waiting_supplier": q_waiting_supplier,
     "q14_promo_revenue": q_promo_revenue,
     "q16_brand_supplier_count": q_brand_supplier_count,
     "q18_large_orders": q_large_orders,
@@ -883,9 +1117,13 @@ ORACLE = {
     "q8_market_share": ORACLE_MARKET_SHARE,
     "q9_product_profit": ORACLE_PRODUCT_PROFIT,
     "q10_returned_revenue": ORACLE_RETURNED_REVENUE,
+    "q11_important_part_value": ORACLE_IMPORTANT_PART_VALUE,
+    "q12_ship_priority_dist": ORACLE_SHIP_PRIORITY_DIST,
     "q13_customer_distribution": ORACLE_CUSTOMER_DISTRIBUTION,
     "q15_top_supplier": ORACLE_TOP_SUPPLIER,
     "q17_small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "q20_dominant_suppliers": ORACLE_DOMINANT_SUPPLIERS,
+    "q21_waiting_supplier": ORACLE_WAITING_SUPPLIER,
     "q14_promo_revenue": ORACLE_PROMO_REVENUE,
     "q16_brand_supplier_count": ORACLE_BRAND_SUPPLIER_COUNT,
     "q18_large_orders": ORACLE_LARGE_ORDERS,
