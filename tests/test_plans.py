@@ -103,6 +103,35 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q21_single_lineitem_scan_one_window_sort(spark, sf_dir):
+    # q21 replaces TPC-H's correlated EXISTS/NOT-EXISTS pair (which
+    # re-scans and re-shuffles lineitem twice) with one window pass:
+    # lineitem must appear in the plan exactly once, and the two window
+    # operators (max/count, then latest-count) must share one
+    # exchange + one sort on l_orderkey.
+    plan = plan_of(analytics.q_waiting_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Window") == 2
+    n_sorts_for_windows = plan.count("ASC NULLS FIRST], false")
+    assert n_sorts_for_windows == 1
+    # the (orderkey, suppkey) pre-agg, the orderkey window, and the
+    # final per-supplier count: 3 exchanges, none of them lineitem-wide
+    # twice (the correlated formulation would add 2 more full re-scans)
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_q11_threshold_join_broadcasts_single_row_aggregate(spark, sf_dir):
+    # the global-mean threshold side is a single-row aggregate — it must
+    # broadcast (explicitly hinted: bounded by construction), never
+    # shuffle the per-part values against it.
+    plan = final_plan(analytics.q_important_part_value(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 1
+
+
 def test_merge_snapshot_no_full_row_dedup_shuffle(spark, sf_dir):
     from spark_cdc_replication_spark.fixtures import CDC_PAYLOAD_SCHEMA, cdc_envelope
     from spark_cdc_replication_spark.operators.cdc_parse import parse_envelope
