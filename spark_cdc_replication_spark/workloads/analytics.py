@@ -1076,6 +1076,96 @@ GROUP BY s_name
 """
 
 
+# --------------------------------------------------------------------------
+# CUBE: multi-dimensional rollup over (status, priority) — all four
+# grouping sets in ONE pass (Spark Expand + single hash aggregate;
+# partial aggregation still applies, so the shuffle carries one row
+# per (grouping-set, key) per map partition, not the fact table).
+# --------------------------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+ORACLE_CUBE_REVENUE = f"""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       {_dsum_sql('o_totalprice')} AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# PIVOT: long->wide reshaping with an explicit value list (explicit so
+# the plan needs no extra distinct-values job and the output schema is
+# static — the only pivot formulation that scales: values come from the
+# data model, not a collect()).  Same single hash aggregate as a
+# conditional-agg rewrite — which is exactly the oracle.
+# --------------------------------------------------------------------------
+
+def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+        .withColumnsRenamed({"F": "f_total", "O": "o_total", "P": "p_total"})
+    )
+
+
+ORACLE_PIVOT_STATUS_REVENUE = f"""
+SELECT o_orderpriority,
+       {_dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+       {_dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS o_total,
+       {_dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS p_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# ntile decile bucketing per market segment — rank-based quantile
+# assignment (the feature-bucketing primitive).  Total order within
+# each partition via (acctbal, custkey) tie-break makes ntile
+# deterministic.  Scale note: ntile needs a full sort per PARTITION BY
+# group; parallelism = number of segments (bounded here).  For GLOBAL
+# rank bucketing at 100 TB use the corpus_stats percentile path
+# (sampled cut points + codegen'd range filter) instead of one window.
+# --------------------------------------------------------------------------
+
+def q_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+ORACLE_CUSTOMER_DECILES = f"""
+WITH d AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+SELECT c_mktsegment, decile, count(*) AS n,
+       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+       {_dsum_sql('c_acctbal')} AS total_bal
+FROM d GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -1098,6 +1188,9 @@ QUERIES = {
     "q18_large_orders": q_large_orders,
     "q19_bracket_revenue": q_bracket_revenue,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "pivot_status_revenue": q_pivot_status_revenue,
+    "customer_deciles": q_customer_deciles,
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_revenue_trend": q_daily_revenue_trend,
     "q2_best_supplier_per_part": q_best_supplier_per_part,
@@ -1129,5 +1222,8 @@ ORACLE = {
     "q18_large_orders": ORACLE_LARGE_ORDERS,
     "q19_bracket_revenue": ORACLE_BRACKET_REVENUE,
     "rollup_revenue": ORACLE_ROLLUP_REVENUE,
+    "cube_revenue": ORACLE_CUBE_REVENUE,
+    "pivot_status_revenue": ORACLE_PIVOT_STATUS_REVENUE,
+    "customer_deciles": ORACLE_CUSTOMER_DECILES,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
 }

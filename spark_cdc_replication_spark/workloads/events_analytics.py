@@ -195,12 +195,137 @@ WHERE s.event_type = 'signup' AND v.event_type = 'view'
 """
 
 
+# --------------------------------------------------------------------------
+# Native session windows: Spark's F.session_window gap-merge aggregate
+# — the SAME operator Structured Streaming uses for stateful session
+# aggregation, so this batch query is also the streaming contract
+# (equivalence tested in test_streaming_window.py).  End = last event
+# + gap by session_window's definition; the oracle reproduces that
+# from the lag/running-sum sessionization.
+# --------------------------------------------------------------------------
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(27,8)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+WITH {_EV_US},
+flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(27,8))), 4) AS DOUBLE) AS total_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate-aggregate bound queries: the sketch runs INSIDE the
+# query next to its exact twin and the driver hash-checks the bound —
+# making sketch quality gate-visible, not buried in pytest.  At 100 TB
+# you run ONLY the sketch (one pass, constant memory per group); these
+# twins are the certification harness.
+# --------------------------------------------------------------------------
+
+def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ (rsd=1%) vs exact count-distinct, asserted within
+    ±5% per group — 5 standard errors, so a hash-fail means the sketch
+    is broken, not unlucky."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("__approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
+ORACLE_APPROX_DISTINCT_BOUND = f"""
+WITH {_EV_US}
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM ev GROUP BY event_type
+"""
+
+
+def q_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch median (accuracy=10000 => rank error <= N/10000) vs
+    the exact 0.499/0.501 quantile envelope — a 10x-slack rank bound
+    the sketch must always satisfy."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("__approx"),
+            F.expr("percentile(value, 0.499)").alias("__lo"),
+            F.expr("percentile(value, 0.501)").alias("__hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (
+                (F.col("__approx") >= F.col("__lo"))
+                & (F.col("__approx") <= F.col("__hi"))
+            ).alias("within_rank_bound"),
+        )
+    )
+
+
+ORACLE_APPROX_PERCENTILE_BOUND = f"""
+WITH {_EV_US}
+SELECT event_type, count(*) AS n, TRUE AS within_rank_bound
+FROM ev GROUP BY event_type
+"""
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_forward_tolerance": q_asof_forward_tolerance,
     "range_join_signup_views": q_range_join_signup_views,
+    "events_session_window": q_session_window,
+    "approx_distinct_bound": q_approx_distinct_bound,
+    "approx_percentile_bound": q_approx_percentile_bound,
 }
 
 ORACLE = {
@@ -209,4 +334,7 @@ ORACLE = {
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
     "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,
     "range_join_signup_views": ORACLE_RANGE_JOIN_SIGNUP_VIEWS,
+    "events_session_window": ORACLE_SESSION_WINDOW,
+    "approx_distinct_bound": ORACLE_APPROX_DISTINCT_BOUND,
+    "approx_percentile_bound": ORACLE_APPROX_PERCENTILE_BOUND,
 }

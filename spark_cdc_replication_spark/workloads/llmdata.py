@@ -792,6 +792,112 @@ FROM v, LATERAL (SELECT unnest(range(0, nf, 8)) AS i) g
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic two-aggregate + join
+# shape: term frequency (per doc), document frequency (per term, from
+# the tf relation so the token explode runs ONCE), and a single-row
+# corpus count broadcast into the score.  Scores are raw IEEE doubles
+# (tf * N/df — identical bit patterns in both engines, no rounding
+# needed); ties rank alphabetically for determinism.  At scale df is
+# |vocabulary| rows — AQE broadcasts it when small, shuffles when not.
+# --------------------------------------------------------------------------
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized("text"), " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "score", F.col("tf") * (F.col("__n").cast("double") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) >= 3 GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+total AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (CAST(total.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN total
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroids — the vector-aggregation primitive
+# (class prototypes / cluster summaries).  Elements are quantized to
+# integer micro-units (floor(e * 1e6): float->double widening and
+# floor are bit-deterministic) so the per-cell sum is EXACT integer
+# arithmetic — order-independent under any partitioning, unlike a
+# float sum.  posexplode keeps everything codegen'd; the shuffle
+# carries (label, pos) longs, and map-side partial sums mean one row
+# per (label, pos) per partition — the same scale shape as IVF's
+# Lloyd step (operators/similarity.py).  Output is long (label, pos,
+# centroid) rows, not arrays: array re-assembly is presentation, not
+# aggregation, and scalar rows hash across engines.
+# --------------------------------------------------------------------------
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "e")
+    ).withColumn(
+        "qe", F.floor(F.col("e").cast("double") * 1000000.0).cast("bigint")
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("qe").alias("__qsum"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            "n",
+            (F.col("__qsum").cast("double") / F.col("n")).alias("centroid_micro"),
+        )
+    )
+
+
+ORACLE_EMBEDDING_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS e
+  FROM embeddings
+)
+SELECT label, pos, count(*) AS n,
+       CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / count(*) AS centroid_micro
+FROM ex GROUP BY label, pos
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -813,6 +919,8 @@ QUERIES = {
     "text_lang_stats": q_lang_stats,
     "clean_corpus": q_clean_corpus,
     "top_words": q_top_words,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "embedding_label_centroids": q_embedding_label_centroids,
     "chunk_documents": q_chunk_documents,
     "sample_stratified": q_sample_stratified,
     "split_assign": q_split_assign,
@@ -839,6 +947,8 @@ ORACLE = {
     "text_fingerprints": ORACLE_FINGERPRINTS,
     "text_lang_stats": ORACLE_LANG_STATS,
     "top_words": ORACLE_TOP_WORDS,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "embedding_label_centroids": ORACLE_EMBEDDING_LABEL_CENTROIDS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "split_assign": ORACLE_SPLIT_ASSIGN,

@@ -42,6 +42,41 @@ def test_tumbling_agg_streams_with_watermark(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_session_window_streams_equal_batch(spark, sf_dir, tmp_path):
+    """F.session_window is the stateful streaming session operator;
+    the batch query (events_session_window, oracle-checked) must be
+    reproduced exactly by the streaming run over the same data — the
+    batch oracle therefore certifies the streaming semantics too."""
+    src = str(tmp_path / "sess-src")
+    load_table(spark, sf_dir, "events").select("ts", "user_id").write.parquet(src)
+
+    def sessions(df):
+        return df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    stream = spark.readStream.schema("ts timestamp, user_id long").parquet(src)
+    q = (
+        sessions(stream.withWatermark("ts", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("session_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.w.start, r.w.end): r.n_events
+        for r in spark.table("session_stream").collect()
+    }
+    expect = {
+        (r.user_id, r.w.start, r.w.end): r.n_events
+        for r in sessions(spark.read.parquet(src)).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_parse_envelope_tolerates_schema_drift(spark):
     """v2 schema (extra column) over v1 payloads -> nulls; unknown
     payload keys under v1 schema -> ignored.  This is the explicit-
