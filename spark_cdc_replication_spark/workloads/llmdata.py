@@ -793,13 +793,15 @@ FROM v, LATERAL (SELECT unnest(range(0, nf, 8)) AS i) g
 
 
 # --------------------------------------------------------------------------
-# TF-IDF top terms per document — the classic two-aggregate + join
-# shape: term frequency (per doc), document frequency (per term, from
-# the tf relation so the token explode runs ONCE), and a single-row
-# corpus count broadcast into the score.  Scores are raw IEEE doubles
+# TF-IDF top terms per document.  Document frequency is a COUNT
+# window over the tf relation, NOT a self-join of two aggregates: the
+# join formulation duplicates the scan+explode+aggregate subtree
+# (measured: 3 parquet scans, 4 Generates, zero exchange reuse), while
+# the window re-partitions the already-tiny (doc, term, tf) rows by
+# term — the token explode runs ONCE.  The corpus count is a
+# single-row column-less scan, broadcast.  Scores are raw IEEE doubles
 # (tf * N/df — identical bit patterns in both engines, no rounding
-# needed); ties rank alphabetically for determinism.  At scale df is
-# |vocabulary| rows — AQE broadcasts it when small, shuffles when not.
+# needed); ties rank alphabetically for determinism.
 # --------------------------------------------------------------------------
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,10 +812,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(normalized("text"), " ")).alias("term")
     ).filter(F.length("term") >= 3)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .join(F.broadcast(total))
         .withColumn(
             "score", F.col("tf") * (F.col("__n").cast("double") / F.col("df"))
