@@ -25,9 +25,13 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q10_returned_revenue",
     "q18_large_orders",
+    "q21_waiting_supplier",
+    "cube_revenue",
     "top_orders_per_customer",
     "asof_purchase_view",
     "events_sessionize",
+    "events_session_window",
+    "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",

@@ -77,6 +77,70 @@ def test_session_window_streams_equal_batch(spark, sf_dir, tmp_path):
     assert got == expect and len(got) > 0
 
 
+def test_stream_stream_interval_join_equals_batch_range_join(spark, sf_dir, tmp_path):
+    """Stream-stream inner join with an event-time interval condition
+    (watermarks on both sides bound the join state) must reproduce the
+    batch bucketized range join exactly — certifying the streaming
+    execution of the same interval-containment semantics."""
+    from spark_cdc_replication_spark.workloads.events_analytics import (
+        q_range_join_signup_views,
+    )
+
+    src = str(tmp_path / "ssj-src")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    ).write.parquet(src)
+
+    schema = "ts timestamp, event_id long, user_id long, event_type string"
+    signups = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    joined = views.join(
+        signups,
+        F.expr(
+            "v_user = s_user AND v_ts >= s_ts "
+            "AND v_ts <= s_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.s_user, r.signup_event_id, r.view_event_id, r.v_ts)
+        for r in spark.table("ssj_stream").collect()
+    }
+    expect = {
+        (r.user_id, r.signup_event_id, r.view_event_id, r.ts)
+        for r in q_range_join_signup_views(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_parse_envelope_tolerates_schema_drift(spark):
     """v2 schema (extra column) over v1 payloads -> nulls; unknown
     payload keys under v1 schema -> ignored.  This is the explicit-
