@@ -1166,6 +1166,45 @@ FROM d GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics) — customer
+# retention between two years.  Spark plans both as aggregates +
+# left-semi/left-anti joins on the deduped key sets, so the shuffled
+# payload is distinct customer keys, never order rows.  UNION ALL of
+# the two tagged branches completes the set-op family (U1 covers
+# unionByName).
+# --------------------------------------------------------------------------
+
+def q_customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    y97 = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+        .distinct()
+    )
+    retained = y96.intersect(y97).withColumn("status", F.lit("retained"))
+    churned = y96.subtract(y97).withColumn("status", F.lit("churned"))
+    return retained.unionByName(churned)
+
+
+ORACLE_CUSTOMER_RETENTION_SETOPS = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+),
+y97 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT o_custkey, 'churned' AS status FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -1191,6 +1230,7 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     "pivot_status_revenue": q_pivot_status_revenue,
     "customer_deciles": q_customer_deciles,
+    "customer_retention_setops": q_customer_retention_setops,
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_revenue_trend": q_daily_revenue_trend,
     "q2_best_supplier_per_part": q_best_supplier_per_part,
@@ -1225,5 +1265,6 @@ ORACLE = {
     "cube_revenue": ORACLE_CUBE_REVENUE,
     "pivot_status_revenue": ORACLE_PIVOT_STATUS_REVENUE,
     "customer_deciles": ORACLE_CUSTOMER_DECILES,
+    "customer_retention_setops": ORACLE_CUSTOMER_RETENTION_SETOPS,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
 }
