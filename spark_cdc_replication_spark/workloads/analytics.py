@@ -963,16 +963,21 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
     )
-    ps = (
-        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,8)")).alias("__ps_qty"))
+    # ONE lineitem scan: the per-part total is a window SUM over the
+    # (part, supplier) pre-aggregate — exact decimal sums nest
+    # losslessly — not a second aggregate joined back (which would
+    # duplicate the scan subtree; Spark does not reuse it).  The part
+    # semi-join runs BEFORE the window: it drops whole l_partkey
+    # partitions, so within-part totals are unchanged and only small
+    # parts' rows ride the window exchange.
+    base = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,8)")).alias("__ps_qty")
     )
-    pt = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(27,8)")).alias("__p_qty")
-    )
+    ps = base.join(part, base.l_partkey == part.p_partkey, "left_semi")
     dominant = (
-        ps.join(pt, ps.l_partkey == F.col("__pk"))
+        ps.withColumn(
+            "__p_qty", F.sum("__ps_qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("__ps_qty") * 10 > F.col("__p_qty"))
         .select("l_suppkey")
         .distinct()
@@ -1172,7 +1177,11 @@ FROM d GROUP BY 1, 2
 # left-semi/left-anti joins on the deduped key sets, so the shuffled
 # payload is distinct customer keys, never order rows.  UNION ALL of
 # the two tagged branches completes the set-op family (U1 covers
-# unionByName).
+# unionByName).  Scan note: orders is read twice (once per year
+# branch) — the single-scan rewrite is a conditional-agg
+# (max(year=1996), max(year=1997)) groupBy, but this query exists to
+# exercise INTERSECT/EXCEPT themselves; both filters push to parquet
+# so each scan reads only its year's row groups.
 # --------------------------------------------------------------------------
 
 def q_customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
