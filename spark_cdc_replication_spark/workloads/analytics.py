@@ -777,7 +777,12 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,8)"))
         .alias("__total")
     )
-    top = rev.join(F.broadcast(rev.agg(F.max("__total").alias("__max"))))
+    # Global max via a window over the POST-AGGREGATE relation (one
+    # row per supplier) — a single-partition pass over the reduced
+    # relation, instead of the scalar-aggregate join-back that scans
+    # lineitem twice (Spark does not reuse the duplicated subtree;
+    # measured: 2 full fact scans).  The fact table is read once.
+    top = rev.withColumn("__max", F.max("__total").over(Window.partitionBy()))
     return (
         top.filter(F.col("__total") == F.col("__max"))
         .join(sup, F.col("l_suppkey") == sup.s_suppkey)
@@ -814,13 +819,21 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 5)
     )
-    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(27,8)")).alias("__qty_sum"),
-        F.count(F.lit(1)).alias("__n"),
-    )
+    # Per-part stats via ONE window over the part-joined relation, not
+    # a second lineitem aggregate joined back (which duplicates the
+    # fact scan — measured, no subtree reuse).  The inner part join
+    # only drops WHOLE parts (its predicates are part-level), so
+    # within-part sums/counts are unchanged, and only the ~1/brand
+    # fraction of lineitem rides the window exchange.  Both window
+    # functions share partitioning -> one exchange.
+    w_part = Window.partitionBy("l_partkey")
     j = (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(per_part, li.l_partkey == F.col("__pk"))
+        .withColumn(
+            "__qty_sum",
+            F.sum(F.col("l_quantity").cast("decimal(27,8)")).over(w_part),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w_part))
         .filter(
             F.col("l_quantity").cast("decimal(27,8)") * 5 * F.col("__n")
             < F.col("__qty_sum")
