@@ -54,9 +54,18 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
     """Composite [0,1] quality score from length / punctuation /
-    stopword signals — the standard pre-training corpus filter shape."""
+    stopword signals — the standard pre-training corpus filter shape.
+
+    ``append=True`` keeps every input column so pipelines can chain
+    row-wise feature operators into ONE projection over one scan
+    instead of re-scanning and joining per feature."""
     n_tok = token_count(text_col)
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(
@@ -66,21 +75,29 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.coalesce(stopword_ratio(text_col), F.lit(0.0)) * 4.0, F.lit(1.0)
     )
     score = F.round((len_score + punct_ok + stop_ok) / 3.0, 6)
-    return df.select(
-        F.col(id_col),
+    cols = [
         F.round(len_score, 6).alias("len_score"),
         F.round(punct_ok, 6).alias("punct_score"),
         F.round(stop_ok, 6).alias("stop_score"),
         score.alias("quality"),
-    )
+    ]
+    if append:
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
+) -> DataFrame:
     """Marker-word-ratio language ID over the token array.
 
     Score per language = count of marker tokens / total tokens; predicted
     language = argmax with deterministic alphabetical tie-break (falls
-    back to 'und' when nothing matches).
+    back to 'und' when nothing matches).  ``append=True`` keeps every
+    input column (see :func:`quality_score`).
     """
     w = words(normalized(text_col))
     n = F.nullif(F.size(w), F.lit(0))
@@ -88,7 +105,8 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         (count_matching(w, markers) / n).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select(F.col(id_col), *scores)
+    keep = list(df.columns) if append else [id_col]
+    scored = df.select(*keep, *scores)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.coalesce(F.col(f"score_{l}"), F.lit(0.0)) for l in langs])
     pred = F.lit("und")
@@ -99,7 +117,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.lit(lang),
         ).otherwise(pred)
     return scored.select(
-        id_col,
+        *keep,
         pred.alias("pred_lang"),
         F.round(best, 6).alias("lang_score"),
     )

@@ -503,13 +503,13 @@ GROUP BY lang, source
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     survivors = exact_dedup(docs).select("doc_id")
-    quality = quality_score(docs).select("doc_id", "quality")
-    lang = language_id(docs).select("doc_id", "pred_lang")
-    kept = (
-        docs.join(F.broadcast(survivors), on="doc_id", how="left_semi")
-        .join(quality, on="doc_id")
-        .join(lang, on="doc_id")
-        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    # Row-wise features chain into ONE projection over one documents
+    # scan (append=True keeps the base columns); the only second scan
+    # is the dedup groupBy, whose survivor *ids* broadcast back.
+    # (The previous join-per-feature shape scanned documents 4x.)
+    enriched = language_id(quality_score(docs, append=True), append=True)
+    kept = enriched.join(F.broadcast(survivors), on="doc_id", how="left_semi").filter(
+        (F.col("quality") >= 0.5) & (F.col("pred_lang") == "en")
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
