@@ -15,7 +15,7 @@ the identical microsecond values before any comparison or bucketing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..fixtures import load_table
@@ -317,6 +317,109 @@ FROM ev GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel conversion: signup -> view -> purchase, each stage's timestamp
+# the MIN at-or-after the previous stage's.  Three role-scans of events
+# (each with its event_type filter pushed to parquet) chained by
+# per-user joins; the per-user stage tables shrink at every step, and
+# AQE broadcasts them when small.
+# --------------------------------------------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(etype):
+        return ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+
+    s = stage("signup").groupBy("user_id").agg(F.min("ts").alias("t_s"))
+    v = (
+        stage("view")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    p = (
+        stage("purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_signup"),
+            F.count("t_v").alias("n_viewed"),
+            F.count("t_p").alias("n_purchased"),
+        )
+    )
+
+
+ORACLE_FUNNEL_CONVERSION = f"""
+WITH {_EV_US},
+s AS (
+  SELECT user_id, min(ts) AS t_s FROM ev WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+v AS (
+  SELECT ev.user_id, min(ev.ts) AS t_v
+  FROM ev JOIN s ON ev.user_id = s.user_id
+  WHERE ev.event_type = 'view' AND ev.ts >= s.t_s
+  GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, min(ev.ts) AS t_p
+  FROM ev JOIN v ON ev.user_id = v.user_id
+  WHERE ev.event_type = 'purchase' AND ev.ts >= v.t_v
+  GROUP BY ev.user_id
+)
+SELECT count(*) AS n_signup, count(t_v) AS n_viewed, count(t_p) AS n_purchased
+FROM s LEFT JOIN v ON s.user_id = v.user_id LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, activity
+# counted per week offset.  ONE events scan: the first-event week is a
+# min() window over user_id riding the same exchange as the
+# per-(user, week) dedup that follows it.
+# --------------------------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    w_user = Window.partitionBy("user_id")
+    per = (
+        ev.select("user_id", week.alias("wk"))
+        .withColumn("cohort_wk", F.min("wk").over(w_user))
+        .select("user_id", "cohort_wk", "wk")
+        .distinct()
+    )
+    return per.groupBy(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        ((F.datediff(F.col("wk"), F.col("cohort_wk"))) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+ORACLE_COHORT_RETENTION = f"""
+WITH {_EV_US},
+per AS (
+  SELECT DISTINCT user_id,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_wk,
+         date_trunc('week', ts) AS wk
+  FROM ev
+)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM per GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
@@ -326,6 +429,8 @@ QUERIES = {
     "events_session_window": q_session_window,
     "approx_distinct_bound": q_approx_distinct_bound,
     "approx_percentile_bound": q_approx_percentile_bound,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLE = {
@@ -337,4 +442,6 @@ ORACLE = {
     "events_session_window": ORACLE_SESSION_WINDOW,
     "approx_distinct_bound": ORACLE_APPROX_DISTINCT_BOUND,
     "approx_percentile_bound": ORACLE_APPROX_PERCENTILE_BOUND,
+    "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
+    "cohort_retention": ORACLE_COHORT_RETENTION,
 }
