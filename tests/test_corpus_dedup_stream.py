@@ -1,0 +1,66 @@
+"""Incremental streaming corpus dedup must converge to the same corpus
+as batch exact_dedup over everything seen — across micro-batches AND
+across duplicate re-deliveries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.fixtures import load_table
+from spark_cdc_replication_spark.operators.dedup import exact_dedup
+from spark_cdc_replication_spark.streaming.corpus_ingest import corpus_dedup_stream
+
+
+def _run(spark, src, tmp_path):
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).parquet(src)
+    q = corpus_dedup_stream(
+        stream,
+        corpus_dir=str(tmp_path / "corpus"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_converges_to_batch_exact_dedup(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "src")
+
+    # batch 1: first half.  batch 2: second half, PLUS a re-delivery
+    # of the first half under new doc_ids (at-least-once upstream →
+    # cross-batch index anti-join must drop it), PLUS an in-batch
+    # duplicate of the second half under new doc_ids (within-batch
+    # min-id rule must drop it).
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    redelivered = half.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    in_batch_dup = rest.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+
+    half.write.mode("append").parquet(src)
+    _run(spark, src, tmp_path)
+
+    rest.unionByName(redelivered).unionByName(in_batch_dup).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, src, tmp_path)
+
+    got = spark.read.parquet(str(tmp_path / "corpus"))
+    # every surviving text is unique by normalized form
+    from spark_cdc_replication_spark.functions.text import fingerprint
+
+    n_fp = got.select(fingerprint("text").alias("fp")).distinct().count()
+    assert got.count() == n_fp
+
+    # same content set (and cardinality) as batch exact_dedup over all
+    # originals: one survivor per distinct normalized text
+    assert got.count() == exact_dedup(docs).count()
+    got_fps = {r.fp for r in got.select(fingerprint("text").alias("fp")).collect()}
+    exp_fps = {
+        r.fp
+        for r in docs.select(fingerprint("text").alias("fp")).distinct().collect()
+    }
+    assert got_fps == exp_fps
+    # re-delivered duplicates never re-entered (original ids won)
+    assert got.filter(F.col("doc_id") >= 1_000_000).count() == 0
