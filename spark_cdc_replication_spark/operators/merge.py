@@ -131,6 +131,12 @@ def merge_snapshot(
 
     ``unionByName`` replaces the reference's positional union +
     column-order select dance (P2/U1, ``daily_data_handler.py:99-100``).
+
+    NULL primary keys: SQL join semantics — a null key matches nothing,
+    so a null-keyed snapshot row always survives and a null-keyed
+    change always appends (it can never overwrite).  Repeated null-key
+    changes therefore ACCUMULATE; CDC upstreams must guarantee non-null
+    keys (pinned by ``test_merge_null_pk_rows_accumulate_not_overwrite``).
     """
     upserts = apply_changes(changes, primary_keys, order_by, policy=policy)
     touched = changes.select(*primary_keys).dropDuplicates(list(primary_keys))

@@ -121,3 +121,25 @@ def test_latest_per_key_multiple_keys(spark):
     )
     out = latest_per_key(df, PK, ORDER)
     assert rows_of(out.select("id", "v")) == {("a", "y"), ("b", "p")}
+
+
+def test_merge_null_pk_rows_accumulate_not_overwrite(spark):
+    """SQL join semantics: a NULL key matches nothing — a null-keyed
+    snapshot row always survives, a null-keyed change always appends.
+    Pinned so the data-loss-vs-accumulation behavior is explicit (CDC
+    upstreams must guarantee non-null keys; see merge_snapshot doc)."""
+    snapshot = spark.createDataFrame(
+        [(None, 0, 0, "snap"), ("a", 0, 0, "a0")], "id string, timestamp int, event_id int, v string"
+    )
+    batch = changes(
+        spark,
+        [(None, 5, 5, "chg", "u"), ("a", 5, 5, "a5", "u")],
+    )
+    out = merge_snapshot(snapshot, batch, PK, ORDER)
+    got = rows_of(out)
+    # keyed row overwritten; BOTH null-key rows present
+    assert ("a", 5, 5, "a5") in got
+    assert ("a", 0, 0, "a0") not in got
+    assert (None, 0, 0, "snap") in got
+    assert (None, 5, 5, "chg") in got
+    assert len(got) == 3
