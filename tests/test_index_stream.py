@@ -1,0 +1,59 @@
+"""Streaming IVF index maintenance: the streamed, cell-partitioned
+inverted file must be equivalent to the batch-built one — both as data
+and as the probe input to ivf_topk."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.fixtures import load_table
+from spark_cdc_replication_spark.operators.similarity import (
+    ivf_assign,
+    ivf_centroids,
+    ivf_topk,
+)
+from spark_cdc_replication_spark.streaming.index_stream import ivf_index_stream
+
+
+def test_streamed_index_equals_batch_index(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, num_centroids=8)
+    src = str(tmp_path / "emb-src")
+    idx = str(tmp_path / "ivf-index")
+
+    # two arrivals
+    emb.filter(F.col("vec_id") % 2 == 0).write.mode("append").parquet(src)
+    schema = "vec_id bigint, embedding array<float>, label int"
+
+    def run():
+        q = ivf_index_stream(
+            spark.readStream.schema(schema).parquet(src),
+            cents,
+            index_dir=idx,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    emb.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+    run()
+
+    streamed = spark.read.parquet(idx)
+    batch = ivf_assign(emb, cents)
+    # identical (id, cell) assignment
+    assert {(r.neighbor_id, r.cell) for r in streamed.collect()} == {
+        (r.neighbor_id, r.cell) for r in batch.collect()
+    }
+
+    # identical probe results when handed to ivf_topk
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    via_stream = ivf_topk(
+        emb, queries, cents, k=5, nprobe=3,
+        assigned=streamed.select("neighbor_id", "__cv", "cell"),
+    )
+    via_batch = ivf_topk(emb, queries, cents, k=5, nprobe=3, assigned=batch)
+    assert {tuple(r) for r in via_stream.collect()} == {
+        tuple(r) for r in via_batch.collect()
+    }
