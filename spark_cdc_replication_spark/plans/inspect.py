@@ -59,3 +59,15 @@ def final_plan(df: DataFrame) -> str:
 def has_cartesian(df: DataFrame) -> bool:
     plan = executed_plan(df)
     return "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def count_table_scans(df: DataFrame, table_file: str) -> int:
+    """How many FileScan nodes read ``table_file`` (e.g.
+    ``"lineitem.parquet"``) in the final plan — the duplicate-subtree
+    detector: Spark does not reuse a repeated scan+aggregate subtree
+    (SCALE.md "Fact-scan deduplication"), so every count above the
+    number of distinct ROLES the table plays is a plan bug."""
+    plan = final_plan(df)
+    return sum(
+        1 for line in plan.splitlines() if "FileScan" in line and table_file in line
+    )

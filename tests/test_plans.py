@@ -146,3 +146,22 @@ def test_merge_snapshot_no_full_row_dedup_shuffle(spark, sf_dir):
     # merged union itself must not be re-aggregated.
     assert plan.count("HashAggregate") <= 2
     assert "Union" in plan
+
+
+def test_single_fact_scan_for_threshold_rewrites(spark, sf_dir):
+    # Queries rewritten from scalar-aggregate join-backs to
+    # window-over-aggregate (SCALE.md): the fact table must appear in
+    # the final plan exactly once.  A regression to the join-back
+    # formulation doubles the 100 TB scan.
+    from spark_cdc_replication_spark.plans.inspect import count_table_scans
+    from spark_cdc_replication_spark.workloads import llmdata
+
+    for name, fn, table, expect in (
+        ("q15", analytics.QUERIES["q15_top_supplier"], "lineitem.parquet", 1),
+        ("q17", analytics.QUERIES["q17_small_quantity_revenue"], "lineitem.parquet", 1),
+        ("q20", analytics.QUERIES["q20_dominant_suppliers"], "lineitem.parquet", 1),
+        ("q21", analytics.QUERIES["q21_waiting_supplier"], "lineitem.parquet", 1),
+        # tfidf: token explode + the column-less corpus-count scan
+        ("tfidf", llmdata.QUERIES["tfidf_top_terms"], "documents.parquet", 2),
+    ):
+        assert count_table_scans(fn(spark, sf_dir), table) == expect, name
