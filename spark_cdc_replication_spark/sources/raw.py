@@ -22,6 +22,8 @@ Our re-expression:
 from __future__ import annotations
 
 import datetime as dt
+import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,3 +73,82 @@ def read_raw_all(spark: SparkSession, data_dir: str, fmt: str = "parquet") -> Da
     ``history_data_handler.py:77-81`` — which globs ``{dir}/*``; we
     just read the root)."""
     return spark.read.format(fmt).load(data_dir)
+
+
+def compact_day(
+    spark: SparkSession,
+    data_dir: str,
+    day: dt.date,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Compact one ingest-day partition's small files.
+
+    Streaming ingest commits files per micro-batch, so a day accrues
+    many small files — the classic raw-layer disease at scale (every
+    downstream scan pays open/seek/footer costs per file, and the
+    driver pays listing).  This rewrites the day into
+    ``ceil(day_bytes / target_file_bytes)`` files via a round-robin
+    ``repartition`` (no keys: compaction must not skew), using dynamic
+    partition overwrite so ONLY the rewritten day is replaced — other
+    days' files are untouched.  Returns the file count written.
+
+    The reference has no compaction at all; its ``coalesce(1)``
+    increments (X2) are the opposite failure (one giant serial file).
+    """
+    import math
+
+    day_df = read_raw_day(spark, data_dir, day, fmt=fmt)
+    stats = day_df.inputFiles()
+    total = sum(
+        os.path.getsize(f.removeprefix("file:")) for f in stats if "op_year=" in f
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            day_df.repartition(n_files)
+            .write.partitionBy(*PARTITION_COLS)
+            .mode("overwrite")
+            .format(fmt)
+            .save(data_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n_files
+
+
+def land_sorted(
+    df: DataFrame,
+    data_dir: str,
+    sort_cols: Sequence[str],
+    num_partitions: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """K1 variant with data-skipping layout.
+
+    ``repartitionByRange`` on the skip keys makes every task — hence
+    every FILE — own a disjoint key range, and the local sort keeps
+    row-group min/max stats tight inside large files; scans filtering
+    on those columns then skip whole files/row groups off parquet
+    statistics alone, no index.  The trade is one extra shuffle at
+    landing, paid once, against footer-only reads on every downstream
+    scan — the standard layout-optimization bargain (same family as
+    Z-ordering; a single-key linear order is its exact 1-D case).
+
+    The partition columns lead the local sort: the partitioned writer
+    REQUIRES task rows ordered by them and inserts its own (unstable)
+    sort otherwise, which would discard the data-skipping order."""
+    ranged = (
+        with_partition_cols(df).repartitionByRange(num_partitions, *sort_cols)
+        if num_partitions
+        else with_partition_cols(df).repartitionByRange(*sort_cols)
+    )
+    (
+        ranged.sortWithinPartitions(*PARTITION_COLS, *sort_cols)
+        .write.partitionBy(*PARTITION_COLS)
+        .mode("append")
+        .format(fmt)
+        .save(data_dir)
+    )
