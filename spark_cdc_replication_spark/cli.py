@@ -150,6 +150,26 @@ def cmd_history_load(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Maintenance: rewrite one raw day's micro-batch files into
+    size-targeted files (no reference counterpart — its coalesce(1)
+    increments are the opposite failure mode).  Run after the day's
+    daily-load, e.g. from the same scheduler line."""
+    from .sources.raw import compact_day
+
+    cfg = load_config(args.config)
+    day = resolve_ds(args)
+    n = compact_day(
+        spark,
+        cfg["data_dir"],
+        day,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        seal=args.seal,
+    )
+    print(f"Compaction finished: {n} file(s).")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="spark-cdc-replication")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -180,6 +200,19 @@ def build_parser() -> argparse.ArgumentParser:
     p_hist.add_argument("--daily-table", help="default <name>_daily")
     p_hist.add_argument("--history-table", help="default <name>_history")
     p_hist.set_defaults(func=cmd_history_load)
+
+    p_cmp = sub.add_parser("compact", help="maintenance: compact one raw day")
+    common(p_cmp)
+    p_cmp.add_argument(
+        "--target-mb", type=int, default=128, help="target file size (MiB)"
+    )
+    p_cmp.add_argument(
+        "--seal",
+        action="store_true",
+        help="delete the retired stream's _spark_metadata log first "
+        "(required for streaming-landed roots; see compact_day docs)",
+    )
+    p_cmp.set_defaults(func=cmd_compact)
     return parser
 
 

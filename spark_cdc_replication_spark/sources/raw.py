@@ -81,6 +81,7 @@ def compact_day(
     day: dt.date,
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
+    seal: bool = False,
 ) -> int:
     """Compact one ingest-day partition's small files.
 
@@ -93,10 +94,33 @@ def compact_day(
     partition overwrite so ONLY the rewritten day is replaced — other
     days' files are untouched.  Returns the file count written.
 
+    **Streaming-landed roots must be sealed first.**  The file-sink
+    transaction log (``_spark_metadata``) is the AUTHORITATIVE file
+    list for every read of that path — rewriting files underneath it
+    leaves readers resolving deleted files.  ``seal=True`` deletes the
+    log, converting the root to a plain listing-based directory; do
+    this only once the root's ingestion stream is decommissioned (a
+    restart against the old checkpoint would no longer be
+    exactly-once).  The lifecycle is land -> (stream retired) -> seal +
+    compact -> serve; for a live stream, point new ingestion at a
+    fresh root (e.g. monthly roots) and seal the closed ones.
+    Without ``seal``, a logged root raises instead of corrupting.
+
     The reference has no compaction at all; its ``coalesce(1)``
     increments (X2) are the opposite failure (one giant serial file).
     """
     import math
+    import shutil
+
+    meta = os.path.join(data_dir, "_spark_metadata")
+    if os.path.isdir(meta):
+        if not seal:
+            raise ValueError(
+                f"{data_dir} is a streaming-sink root (_spark_metadata is "
+                "authoritative); pass seal=True once its stream is retired"
+            )
+        shutil.rmtree(meta)
+        spark.catalog.refreshByPath(data_dir)
 
     day_df = read_raw_day(spark, data_dir, day, fmt=fmt)
     stats = day_df.inputFiles()
@@ -116,6 +140,10 @@ def compact_day(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # drop the session's cached file listing for the rewritten path —
+    # otherwise later reads resolve the pre-compaction files (K7's
+    # refresh discipline, applied to path-based reads)
+    spark.catalog.refreshByPath(data_dir)
     return n_files
 
 

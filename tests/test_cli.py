@@ -90,3 +90,37 @@ def test_cli_increment_mode(spark, cfg_path, tmp_path):
     )
     assert rc == 0
     assert spark.table("events_cli_history_inc").count() > 0
+
+
+def test_cli_compact_day(spark, cfg_path):
+    import glob
+    import os
+
+    cfg, base = cfg_path
+    cli.main(
+        ["raw-load", "--config", str(cfg), "--source", str(base / "incoming")],
+        spark=spark,
+    )
+    raw = json.loads(cfg.read_text())["data_dir"]
+    day_rows = spark.read.parquet(raw).filter("op_day = 5").count()
+    assert day_rows > 0
+    # streaming-landed root: the sink's _spark_metadata log is the
+    # authoritative file list, so compaction refuses without --seal
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seal"):
+        cli.main(
+            ["compact", "--config", str(cfg), "--mode", "manual", "--date", "2024-01-05"],
+            spark=spark,
+        )
+    rc = cli.main(
+        [
+            "compact", "--config", str(cfg), "--mode", "manual",
+            "--date", "2024-01-05", "--seal",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    files = glob.glob(os.path.join(raw, "op_year=*", "op_month=*", "op_day=5", "*.parquet"))
+    assert len(files) == 1
+    assert spark.read.parquet(raw).filter("op_day = 5").count() == day_rows
