@@ -76,6 +76,33 @@ def stratified_sample(
     )
 
 
+def sample_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen by hash order
+    — the deterministic reservoir: uniform (md5 order is independent of
+    any data column), stable across runs/engines, and a group's sample
+    at k is a prefix of its sample at k' > k (grow without resampling).
+
+    One shuffle on the group key.  The window sorts each group; when a
+    single group is huge AND k is tiny, pre-filter with
+    :func:`deterministic_sample` at a safe rate (>= ~10k/|group|) first
+    — hash order makes the two compose exactly (same order, earlier
+    cutoff), unlike random sampling.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: Sequence[tuple[str, float]] = (("train", 0.98), ("val", 0.01), ("test", 0.01)),

@@ -656,6 +656,25 @@ WHERE {_BUCKET_SQL} < CAST(
 """
 
 
+def q_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir: exactly 5 docs per source, chosen by
+    md5 hash order — uniform, engine-reproducible, and prefix-nested
+    across k (see operators.sampling.sample_k_per_group)."""
+    from ..operators.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_k_per_group(docs, ["source"], k=5, key_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+ORACLE_SAMPLE_K_PER_SOURCE = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+) <= 5
+"""
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5-hash range — a
     document never migrates between splits when the corpus grows."""
@@ -924,6 +943,7 @@ QUERIES = {
     "embedding_label_centroids": q_embedding_label_centroids,
     "chunk_documents": q_chunk_documents,
     "sample_stratified": q_sample_stratified,
+    "sample_k_per_source": q_sample_k_per_source,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
     "corpus_stats": q_corpus_stats,
@@ -952,6 +972,7 @@ ORACLE = {
     "embedding_label_centroids": ORACLE_EMBEDDING_LABEL_CENTROIDS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+    "sample_k_per_source": ORACLE_SAMPLE_K_PER_SOURCE,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "corpus_stats": ORACLE_CORPUS_STATS,

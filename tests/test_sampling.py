@@ -83,3 +83,18 @@ def test_pack_offsets_partitions_are_contiguous(spark, sf_dir):
         # pack ids are non-decreasing along the layout order, start at 0
         assert ids[0] == 0
         assert all(a <= b for a, b in zip(ids, ids[1:]))
+
+
+def test_sample_k_per_group_exact_uniform_and_nested(spark, sf_dir):
+    from spark_cdc_replication_spark.operators.sampling import sample_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    s5 = sample_k_per_group(docs, ["source"], k=5)
+    sizes = {r["source"]: r["n"] for r in s5.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    per_group = {r["source"]: r["n"] for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for src, n in sizes.items():
+        assert n == min(5, per_group[src]), src
+    # prefix nesting: the k=2 sample is a subset of the k=5 sample
+    s2 = {(r.doc_id, r.source) for r in sample_k_per_group(docs, ["source"], k=2).select("doc_id", "source").collect()}
+    s5set = {(r.doc_id, r.source) for r in s5.select("doc_id", "source").collect()}
+    assert s2 < s5set
