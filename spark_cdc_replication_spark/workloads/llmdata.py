@@ -786,6 +786,33 @@ FROM m
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (mapInPandas, stub decode): the binary
+    payload round-trips Spark -> Arrow -> pandas -> Arrow -> Spark and
+    the driver hash-checks its hex against DuckDB's encode(text) —
+    proving the multimodal binary path is lossless, not just typed.
+    (Hex, not raw bytes: the driver's pandas fetch renders DuckDB
+    blobs as bytearray, which no normalizer hexes — same convention as
+    multimodal_frames.)"""
+    from ..operators.multimodal import attach_binary, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize_images(attach_binary(docs), width=64, height=64)
+    return out.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "width",
+        "height",
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+SELECT doc_id, lower(hex(encode(text))) AS payload_hex,
+       64::INT AS width, 64::INT AS height
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out (mapInPandas 1->N); frame bytes are
     deterministic payload slices, so the oracle is exact SQL."""
@@ -948,6 +975,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "corpus_stats": q_corpus_stats,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
 }
 
@@ -977,6 +1005,7 @@ ORACLE = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "corpus_stats": ORACLE_CORPUS_STATS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
