@@ -76,7 +76,13 @@ def main() -> None:
 
     # Per-query regression report vs the previous round's recording
     # (stderr only — stdout stays the single driver-contract JSON line).
-    baseline_path = os.environ.get("SPARK_GRAFT_BASELINE", "BENCH_r01.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest = sorted(
+        f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    baseline_path = os.environ.get(
+        "SPARK_GRAFT_BASELINE", latest[-1] if latest else "BENCH_r01.json"
+    )
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), baseline_path)) as fh:
             doc = json.load(fh)

@@ -143,3 +143,20 @@ def test_merge_null_pk_rows_accumulate_not_overwrite(spark):
     assert (None, 0, 0, "snap") in got
     assert (None, 5, 5, "chg") in got
     assert len(got) == 3
+
+
+def test_merge_schema_evolution_new_column_nulls_old_rows(spark):
+    """Changes carrying a NEW payload column merge via unionByName
+    (allowMissingColumns): surviving snapshot rows get NULL for it —
+    additive schema evolution without rewriting the snapshot."""
+    snapshot = spark.createDataFrame(
+        [("a", 0, 0, "a0"), ("b", 0, 0, "b0")],
+        "id string, timestamp int, event_id int, v string",
+    )
+    batch = spark.createDataFrame(
+        [("a", 5, 5, "a5", "extra", "u")],
+        "id string, timestamp int, event_id int, v string, w string, __op string",
+    )
+    out = merge_snapshot(snapshot, batch, PK, ORDER)
+    got = {r.id: (r.v, r.w) for r in out.collect()}
+    assert got == {"a": ("a5", "extra"), "b": ("b0", None)}
