@@ -420,6 +420,96 @@ FROM per GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series similarity search: each user's activity becomes a fixed
+# 24-dim hour-of-day vector (one conditional-aggregate pass — exact
+# decimal sums, so the vectors are engine-identical), then top-k
+# cosine against a BOUNDED query set via broadcast — the same
+# bounded-queries/corpus-scanned-once contract as brute_force_topk,
+# on derived behavior vectors instead of stored embeddings.
+# --------------------------------------------------------------------------
+
+_HOURS = list(range(24))
+
+
+def q_user_behavior_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity, l2_norm
+
+    ev = load_table(spark, sf_dir, "events")
+    sums = [
+        F.coalesce(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.hour("ts") == h, F.col("value").cast("decimal(27,8)")
+                    )
+                ),
+                4,
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias(f"h{h}")
+        for h in _HOURS
+    ]
+    # 24 flat columns collapse into ONE array column immediately:
+    # per-hour column chains (24-term dot/norm expressions over both
+    # join sides) blow up Catalyst's commutative canonicalization
+    # (measured: driver OOM in orderCommutative) — arrays +
+    # zip_with/aggregate fold left-to-right, IEEE-identical to the SQL
+    # twin's h0+h1+... chain, and the plan stays linear.
+    vec = (
+        ev.groupBy("user_id")
+        .agg(*sums)
+        .select(
+            "user_id", F.array(*[F.col(f"h{h}") for h in _HOURS]).alias("v")
+        )
+        .withColumn("__norm", l2_norm("v"))
+        .filter(F.col("__norm") > 0)
+    )
+    q = vec.filter(F.col("user_id") < 5).select(
+        F.col("user_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    pairs = vec.join(F.broadcast(q), F.col("user_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("user_id").alias("neighbor_id"),
+        cosine_similarity("v", "qv", "__norm", "__qnorm").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _behavior_sql() -> str:
+    sums = ", ".join(
+        "coalesce(CAST(round(sum(CASE WHEN hour(ts) = {h} THEN "
+        "CAST(value AS DECIMAL(27,8)) END), 4) AS DOUBLE), 0.0) AS h{h}".format(h=h)
+        for h in _HOURS
+    )
+    sq = " + ".join(f"h{h} * h{h}" for h in _HOURS)
+    dot = " + ".join(f"v.h{h} * q.h{h}" for h in _HOURS)
+    return f"""
+WITH {_EV_US},
+vec0 AS (SELECT user_id, {sums} FROM ev GROUP BY user_id),
+vec AS (SELECT *, sqrt({sq}) AS nrm FROM vec0 WHERE sqrt({sq}) > 0),
+q AS (SELECT * FROM vec WHERE user_id < 5)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.user_id AS query_id, v.user_id AS neighbor_id,
+         ({dot}) / (v.nrm * q.nrm) AS cosine,
+         row_number() OVER (PARTITION BY q.user_id
+                            ORDER BY ({dot}) / (v.nrm * q.nrm) DESC,
+                                     v.user_id ASC) AS rank
+  FROM vec v JOIN q ON v.user_id <> q.user_id
+) WHERE rank <= 5
+"""
+
+
+ORACLE_USER_BEHAVIOR_TOPK = _behavior_sql()
+
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
@@ -431,6 +521,7 @@ QUERIES = {
     "approx_percentile_bound": q_approx_percentile_bound,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "user_behavior_topk": q_user_behavior_topk,
 }
 
 ORACLE = {
@@ -444,4 +535,5 @@ ORACLE = {
     "approx_percentile_bound": ORACLE_APPROX_PERCENTILE_BOUND,
     "funnel_conversion": ORACLE_FUNNEL_CONVERSION,
     "cohort_retention": ORACLE_COHORT_RETENTION,
+    "user_behavior_topk": ORACLE_USER_BEHAVIOR_TOPK,
 }
