@@ -76,6 +76,22 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row Bernoulli with keep-probability = ``weight`` (a [0,1]
+    column, e.g. a quality score) — deterministic: hash(key)/buckets <
+    weight.  Quality-weighted corpus thinning in ONE codegen'd filter;
+    like :func:`deterministic_sample`, raising a row's weight can only
+    ADD it (nested across weightings), and the decision is independent
+    of partitioning and engine."""
+    return df.filter(
+        hash_bucket(key_col) < (weight * _BUCKETS).cast("long")
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -675,6 +675,38 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus thinning: each document kept with
+    probability equal to its quality score — the composition of the
+    (oracle-checked) quality operator with the deterministic hash
+    filter, all in one codegen'd projection+filter pass."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, append=True)
+    out = weighted_sample(scored, F.col("quality"))
+    return out.select("doc_id", "source", "quality")
+
+
+ORACLE_SAMPLE_QUALITY_WEIGHTED = f"""
+WITH feats AS (
+  SELECT doc_id, source,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
+    coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+             / nullif(len({_WORDS_SQL}), 0), 0) AS sr
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+    round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+  FROM feats
+)
+SELECT doc_id, source, quality FROM scored
+WHERE {_BUCKET_SQL} < CAST(floor(quality * 10000) AS BIGINT)
+"""
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by md5-hash range — a
     document never migrates between splits when the corpus grows."""
@@ -971,6 +1003,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "sample_stratified": q_sample_stratified,
     "sample_k_per_source": q_sample_k_per_source,
+    "sample_quality_weighted": q_sample_quality_weighted,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
     "corpus_stats": q_corpus_stats,
@@ -1001,6 +1034,7 @@ ORACLE = {
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sample_k_per_source": ORACLE_SAMPLE_K_PER_SOURCE,
+    "sample_quality_weighted": ORACLE_SAMPLE_QUALITY_WEIGHTED,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "corpus_stats": ORACLE_CORPUS_STATS,
