@@ -34,9 +34,32 @@ ops AS (
 """
 
 
+#: Parsed change batches per (session, corpus identity, filter) — the
+#: A3 pattern (cache before multi-consume): merge_snapshot consumes the
+#: batch two-to-three times (upserts, touched keys), and the three CDC
+#: headline queries share it; without this, the envelope synth + JSON
+#: parse re-executes for every consumer.  Keyed on events.parquet
+#: mtime+size so a rewritten fixture invalidates (the IVF-index rule).
+_CHANGES_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _changes(spark: SparkSession, sf_dir: str, where: str | None = None) -> DataFrame:
-    """envelope -> parsed change rows (P1+P3+P5+S6 path)."""
-    return parse_envelope(cdc_envelope(spark, sf_dir, where=where), CDC_PAYLOAD_SCHEMA)
+    """envelope -> parsed change rows (P1+P3+P5+S6 path), persisted."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        where,
+        st.st_mtime_ns,
+        st.st_size,
+    )
+    if key not in _CHANGES_CACHE:
+        _CHANGES_CACHE[key] = parse_envelope(
+            cdc_envelope(spark, sf_dir, where=where), CDC_PAYLOAD_SCHEMA
+        ).persist()
+    return _CHANGES_CACHE[key]
 
 
 def _present(df: DataFrame) -> DataFrame:
