@@ -1227,6 +1227,46 @@ SELECT o_custkey, 'churned' AS status FROM (SELECT * FROM y96 EXCEPT SELECT * FR
 """
 
 
+# --------------------------------------------------------------------------
+# FULL OUTER diff: per-customer yearly revenue 1996 vs 1997 through
+# the generic table_diff operator (operators/diff.py) — the snapshot-
+# reconciliation primitive, here as year-over-year churn analytics.
+# --------------------------------------------------------------------------
+
+def q_yoy_customer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_rev(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(dsum(F.col("o_totalprice")).alias("rev"))
+        )
+
+    return table_diff(year_rev(1996), year_rev(1997), ["o_custkey"], ["rev"])
+
+
+ORACLE_YOY_CUSTOMER_DIFF = f"""
+WITH a AS (
+  SELECT o_custkey, {_dsum_sql('o_totalprice')} AS rev_left
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+),
+b AS (
+  SELECT o_custkey, {_dsum_sql('o_totalprice')} AS rev_right
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+)
+SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+       CASE WHEN a.o_custkey IS NULL THEN 'added'
+            WHEN b.o_custkey IS NULL THEN 'removed'
+            WHEN a.rev_left = b.rev_right THEN 'unchanged'
+            ELSE 'changed' END AS diff_status,
+       a.rev_left, b.rev_right
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -1253,6 +1293,7 @@ QUERIES = {
     "pivot_status_revenue": q_pivot_status_revenue,
     "customer_deciles": q_customer_deciles,
     "customer_retention_setops": q_customer_retention_setops,
+    "yoy_customer_diff": q_yoy_customer_diff,
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_revenue_trend": q_daily_revenue_trend,
     "q2_best_supplier_per_part": q_best_supplier_per_part,
@@ -1288,5 +1329,6 @@ ORACLE = {
     "pivot_status_revenue": ORACLE_PIVOT_STATUS_REVENUE,
     "customer_deciles": ORACLE_CUSTOMER_DECILES,
     "customer_retention_setops": ORACLE_CUSTOMER_RETENTION_SETOPS,
+    "yoy_customer_diff": ORACLE_YOY_CUSTOMER_DIFF,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
 }
