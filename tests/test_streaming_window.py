@@ -202,3 +202,61 @@ def test_parse_envelope_malformed_payload_yields_nulls_not_failure(spark):
     schema = StructType([StructField("id", StringType()), StructField("n", LongType())])
     [row] = parse_envelope(env, schema).collect()
     assert row.id is None and row.n is None  # PERMISSIVE parse, no crash
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Watermark semantics pinned end-to-end: a row arriving in a later
+    trigger with event time older than the advanced watermark must NOT
+    revise an already-finalized window (append mode emits each window
+    once, late data is dropped — the bounded-state contract)."""
+    import datetime as dt
+
+    src = str(tmp_path / "late-src")
+    outd = str(tmp_path / "late-out")
+
+    def run():
+        stream = spark.readStream.schema("ts timestamp, k string").parquet(src)
+        # group by the window STRUCT (extracting .start in the groupBy
+        # severs watermark propagation); project start after the agg
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("bucket"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late-ckpt"))
+            .option("path", outd)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    # batch 1: three rows in [10:00, 11:00) plus a 12:00 row that
+    # advances the watermark to 11:30 -> the 10:00 window finalizes
+    spark.createDataFrame(
+        [(ts(10, 0), "a"), (ts(10, 5), "a"), (ts(10, 50), "a"), (ts(12, 0), "a")],
+        "ts timestamp, k string",
+    ).write.mode("append").parquet(src)
+    run()
+    first = {r.bucket: r.n for r in spark.read.parquet(outd).collect()}
+    assert first[ts(10, 0)] == 3  # finalized with exactly the on-time rows
+
+    # batch 2: a LATE row for the finalized window (10:20 < watermark
+    # 11:30) plus a 14:00 row pushing the watermark to 13:30 — past the
+    # 12:00 window's END (13:00), so that window finalizes this batch
+    spark.createDataFrame(
+        [(ts(10, 20), "late"), (ts(14, 0), "a")],
+        "ts timestamp, k string",
+    ).write.mode("append").parquet(src)
+    run()
+    final = {}
+    for r in spark.read.parquet(outd).collect():
+        final[r.bucket] = final.get(r.bucket, 0) + r.n
+    assert final[ts(10, 0)] == 3   # late row dropped, window NOT revised
+    assert final[ts(12, 0)] == 1   # on-time window finalized by batch 2
