@@ -1228,6 +1228,45 @@ SELECT o_custkey, 'churned' AS status FROM (SELECT * FROM y96 EXCEPT SELECT * FR
 
 
 # --------------------------------------------------------------------------
+# Data profiling: per-column quality report over one scan (operator in
+# operators/profile.py — single aggregate, executor-side stack
+# unpivot).  String/integer columns only: double min/max would render
+# differently per engine.
+# --------------------------------------------------------------------------
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+ORACLE_PROFILE_ORDERS = """
+SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
 # FULL OUTER diff: per-customer yearly revenue 1996 vs 1997 through
 # the generic table_diff operator (operators/diff.py) — the snapshot-
 # reconciliation primitive, here as year-over-year churn analytics.
@@ -1294,6 +1333,7 @@ QUERIES = {
     "customer_deciles": q_customer_deciles,
     "customer_retention_setops": q_customer_retention_setops,
     "yoy_customer_diff": q_yoy_customer_diff,
+    "profile_orders": q_profile_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_revenue_trend": q_daily_revenue_trend,
     "q2_best_supplier_per_part": q_best_supplier_per_part,
@@ -1330,5 +1370,6 @@ ORACLE = {
     "customer_deciles": ORACLE_CUSTOMER_DECILES,
     "customer_retention_setops": ORACLE_CUSTOMER_RETENTION_SETOPS,
     "yoy_customer_diff": ORACLE_YOY_CUSTOMER_DIFF,
+    "profile_orders": ORACLE_PROFILE_ORDERS,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
 }
