@@ -675,6 +675,59 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_dedup_shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap detector: document pairs sharing at
+    least one 64-char shingle (stride 16) of normalized text — the
+    "copied span" dedup modality (exact contiguous overlap), distinct
+    from token-set similarity (Jaccard/MinHash) and bit-signature
+    similarity (SimHash).
+
+    Scale shape: explode to (doc, md5(shingle)) — 32-byte keys, never
+    text — then a self-join per shingle hash.  Stride subsampling
+    bounds the explode fan-out at len/16 rows per doc; any shared
+    span >= 80 chars is guaranteed caught (it contains a full
+    stride-aligned 64-shingle of the earlier document)."""
+    from ..functions.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", normalized("text").alias("__t")).filter(
+        F.length("__t") >= 64
+    )
+    sh = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(__t) - 63, 1), 16), "
+                "i -> md5(substring(__t, i, 64)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+ORACLE_DEDUP_SHARED_SHINGLES = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM_SQL} AS t FROM documents
+  WHERE length({_NORM_SQL}) >= 64
+),
+sh AS (
+  SELECT DISTINCT doc_id, md5(substring(t, i, 64)) AS sh
+  FROM norm, LATERAL (
+    SELECT unnest(range(1, greatest(length(t) - 63, 1) + 1, 16)) AS i
+  ) g
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+"""
+
+
 def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus thinning: each document kept with
     probability equal to its quality score — the composition of the
@@ -985,6 +1038,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_shared_shingles": q_dedup_shared_shingles,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -1019,6 +1073,7 @@ ORACLE = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_shared_shingles": ORACLE_DEDUP_SHARED_SHINGLES,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_all": ORACLE_SIMILARITY_TOPK,
