@@ -52,11 +52,22 @@ def kafka_stream(
 
 
 def file_stream(
-    spark: SparkSession, source_dir: str, schema: str = "timestamp timestamp, value string"
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "timestamp timestamp, value string",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Test-friendly envelope source: a directory of parquet files with
-    the same ``(timestamp, value)`` shape as the Kafka topic."""
-    return spark.readStream.schema(schema).parquet(source_dir)
+    the same ``(timestamp, value)`` shape as the Kafka topic.
+
+    ``max_files_per_trigger`` is the file-source backpressure knob —
+    the counterpart of Kafka's ``maxOffsetsPerTrigger``: bounds each
+    micro-batch so one availableNow catch-up run over a large backlog
+    becomes many bounded epochs instead of one unbounded one."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def land_stream(

@@ -132,3 +132,55 @@ def test_promote_history_truncates_daily(spark, sf_dir, pipe, tmp_path):
     pipe.promote_history(dt.date(2024, 1, 5), daily, history)
     assert spark.table(history).count() > 0
     assert spark.table(daily).count() == 0  # reference truncate-after-merge
+
+
+def test_bounded_epochs_land_identically(spark, sf_dir, pipe, tmp_path):
+    """maxFilesPerTrigger backpressure: an 8-file backlog drained as
+    bounded micro-batches (<=2 files each) must land EXACTLY the rows
+    a single unbounded epoch lands — and actually run >1 epoch."""
+    from spark_cdc_replication_spark.streaming.ingest import file_stream
+
+    src = str(tmp_path / "incoming-mft")
+    env = cdc_envelope(spark, sf_dir)
+    env.repartition(8).write.parquet(src)
+
+    stream = file_stream(spark, src, max_files_per_trigger=2)
+    q = pipe.land(stream)
+    q.awaitTermination(180)
+    progress = q.recentProgress
+    assert len(progress) >= 4  # 8 files / 2 per trigger
+    assert spark.read.parquet(pipe.spec.data_dir).count() == env.count()
+
+
+def test_reconcile_rebuilt_snapshot_with_table_diff(spark, sf_dir, pipe, tmp_path):
+    """Dogfood the reconciliation operator: a snapshot rebuilt through
+    the full land -> merge pipeline diffed against the direct one-shot
+    fold must be 100% 'unchanged'."""
+    from spark_cdc_replication_spark.operators.diff import table_diff
+    from spark_cdc_replication_spark.operators.merge import apply_changes
+
+    land_all(spark, sf_dir, pipe, tmp_path)
+    table = "cdc_e2e_reconcile"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+    for d in range(15, 31):
+        day = dt.date(2024, 1, d)
+        if d == 15:
+            apply_changes(
+                pipe.changes_for(None).filter(F.col("timestamp") < "2024-01-16"),
+                list(pipe.spec.primary_keys),
+                list(pipe.spec.order_by),
+            ).write.saveAsTable(table)
+        else:
+            pipe.merge_day(day, table)
+    rebuilt = spark.table(table)
+    direct = apply_changes(
+        pipe.changes_for(None), list(pipe.spec.primary_keys), list(pipe.spec.order_by)
+    )
+    verdicts = (
+        table_diff(rebuilt, direct, ["id"], ["event_id", "value", "k"])
+        .groupBy("diff_status")
+        .count()
+        .collect()
+    )
+    assert {r.diff_status for r in verdicts} == {"unchanged"}, verdicts
