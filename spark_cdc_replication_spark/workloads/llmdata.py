@@ -607,6 +607,41 @@ def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_words_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-k: identical output to :func:`q_top_words`
+    (same oracle), but the ranking window runs per (source, salt-of-
+    word) — |sources| x 8 partitions instead of |sources| — then a
+    final window over the tiny candidate set (<= sources x 8 x k rows).
+
+    Correct because counts are complete per word BEFORE salting (the
+    salt partitions the vocabulary, not a word's rows): every global
+    top-k word ranks <= k inside its own salt bucket, so the candidate
+    union always contains the global top-k.  This is the pattern for
+    few-huge-groups skew, where the plain per-group window serializes
+    each group through one task (operators/skew.py holds the join-side
+    equivalent)."""
+    from ..functions.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(normalized("text"), " ")).alias("word")
+    ).filter(F.length("word") >= 3)
+    counts = toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    salted = counts.withColumn("__salt", F.pmod(F.xxhash64("word"), F.lit(8)))
+    w1 = Window.partitionBy("source", "__salt").orderBy(F.desc("n"), F.asc("word"))
+    candidates = (
+        salted.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= 5)
+        .drop("__salt", "__r")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("source", "word", "n", "rank")
+    )
+
+
 ORACLE_TOP_WORDS = f"""
 WITH toks AS (
   SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS word
@@ -1052,6 +1087,7 @@ QUERIES = {
     "text_lang_stats": q_lang_stats,
     "clean_corpus": q_clean_corpus,
     "top_words": q_top_words,
+    "top_words_salted": q_top_words_salted,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_label_centroids": q_embedding_label_centroids,
     "chunk_documents": q_chunk_documents,
@@ -1084,6 +1120,7 @@ ORACLE = {
     "text_fingerprints": ORACLE_FINGERPRINTS,
     "text_lang_stats": ORACLE_LANG_STATS,
     "top_words": ORACLE_TOP_WORDS,
+    "top_words_salted": ORACLE_TOP_WORDS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "embedding_label_centroids": ORACLE_EMBEDDING_LABEL_CENTROIDS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
