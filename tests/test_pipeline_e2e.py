@@ -184,3 +184,26 @@ def test_reconcile_rebuilt_snapshot_with_table_diff(spark, sf_dir, pipe, tmp_pat
         .collect()
     )
     assert {r.diff_status for r in verdicts} == {"unchanged"}, verdicts
+
+
+def test_merge_day_rerun_is_idempotent(spark, sf_dir, pipe, tmp_path):
+    """Scheduler retry safety: re-running a day's merge (a restarted
+    Airflow task) must leave the snapshot byte-identical — the anti-
+    join replaces the day's keys with the same end-state."""
+    land_all(spark, sf_dir, pipe, tmp_path)
+    table = "cdc_e2e_idem"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}__staging")
+    def rows():
+        # name-keyed: the bootstrap write and the merge write may order
+        # columns differently; idempotence is about VALUES per column
+        return {
+            tuple(sorted(r.asDict().items()))
+            for r in spark.table(table).collect()
+        }
+
+    pipe.merge_day(dt.date(2024, 1, 5), table)
+    first = rows()
+    assert first
+    pipe.merge_day(dt.date(2024, 1, 5), table)  # retry
+    assert rows() == first
