@@ -9,8 +9,9 @@ pipelines (label event -> latest feature snapshot).
 Implementation is the **merge/union algorithm**, not a range join:
 
 1. tag right rows 0 and left rows 1, union them on (key, ts, tag);
-2. one window per key ordered by (ts, tag) carries the right payload
-   forward with ``last(col, ignorenulls=True)``;
+2. one window per key ordered by (ts, tag) carries the right row —
+   packed as ONE struct of (ts, payload...) so the match is atomic —
+   forward with ``last(struct, ignorenulls=True)``;
 3. keep only left rows — each now paired with the most recent right
    row at-or-before it (ties: right sorts first, so an equal-ts right
    row IS visible to the left row).
@@ -31,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _TAG = "__asof_tag"
+_CARRY = "__asof_carry"
 
 
 def asof_join(
@@ -62,12 +64,20 @@ def asof_join(
     renamed = {
         c: (c + suffix if c in left.columns else c) for c in payload
     }
+    # The whole right row rides in ONE struct: last(struct, ignorenulls)
+    # carries it atomically, so a NULL inside one payload column can
+    # never be backfilled from a *different* (older) right row, and the
+    # tolerance check below provably refers to the same row as every
+    # payload value (pandas merge_asof semantics).
     r = right.select(
         *on,
         F.col(right_ts_col).alias(ts_col),
         F.lit(0).alias(_TAG),
-        *[F.col(c).alias(renamed[c]) for c in payload],
-    ).withColumn(ts_col + suffix, F.col(ts_col))
+        F.struct(
+            F.col(right_ts_col).alias(ts_col + suffix),
+            *[F.col(c).alias(renamed[c]) for c in payload],
+        ).alias(_CARRY),
+    )
     l = left.withColumn(_TAG, F.lit(1))
 
     unioned = l.unionByName(r, allowMissingColumns=True)
@@ -82,16 +92,17 @@ def asof_join(
         .orderBy(ts_order, F.col(_TAG).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [ts_col + suffix] + [renamed[c] for c in payload]
-    for c in carried:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = unioned.filter(F.col(_TAG) == 1).drop(_TAG)
+    unioned = unioned.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+    out = unioned.filter(F.col(_TAG) == 1)
     if tolerance is not None:
-        matched_ts = F.col(ts_col + suffix)
+        matched_ts = F.col(_CARRY)[ts_col + suffix]
         if direction == "backward":
             within = matched_ts >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
         else:
             within = matched_ts <= F.col(ts_col) + F.expr(f"INTERVAL {tolerance}")
-        for c in carried:
-            out = out.withColumn(c, F.when(within, F.col(c)))
-    return out
+        out = out.withColumn(_CARRY, F.when(within, F.col(_CARRY)))
+    return out.select(
+        *left.columns,
+        *[F.col(_CARRY)[renamed[c]].alias(renamed[c]) for c in payload],
+        F.col(_CARRY)[ts_col + suffix].alias(ts_col + suffix),
+    )

@@ -46,6 +46,31 @@ def test_asof_join_suffixes_collisions(spark):
     assert row.value == 1.0 and row.value_right == 2.0
 
 
+def test_asof_join_null_payload_is_not_backfilled(spark):
+    # The nearest right row carries a NULL in one payload column; an
+    # older right row holds a non-NULL there.  merge_asof semantics: the
+    # matched row is carried ATOMICALLY, so the NULL must survive — no
+    # per-column backfill from a different row ("chimera" match).
+    left = spark.createDataFrame(
+        [(1, ts(30), "p")], "k int, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0), 100.0, "old"), (1, ts(20), None, "new")],
+        "k int, ts timestamp, feat double, tag string",
+    )
+    [row] = asof_join(left, right, on=["k"], ts_col="ts").collect()
+    assert row.tag == "new" and row.ts_right == ts(20)
+    assert row.feat is None  # NOT 100.0 from the older row
+
+    # Same atomicity under tolerance: the only in-tolerance row has a
+    # NULL payload; the non-NULL value lives on an out-of-tolerance row
+    # and must not leak through.
+    [trow] = asof_join(
+        left, right, on=["k"], ts_col="ts", tolerance="15 MINUTE"
+    ).collect()
+    assert trow.tag == "new" and trow.feat is None
+
+
 def test_sessionize_gap_boundaries(spark):
     rows = [
         (1, ts(0), 1),   # session 1
