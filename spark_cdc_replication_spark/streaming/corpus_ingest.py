@@ -3,61 +3,63 @@ the LLM-data surface.
 
 New documents stream in; each micro-batch is (1) deduped within itself
 by normalized-text fingerprint (min doc_id wins — same rule as batch
-``exact_dedup``), then (2) anti-joined against the PERSISTED
-fingerprint index, and the survivors append to both the corpus and the
-index.  This is structurally the reference's daily CDC merge
-(anti-join new keys against the snapshot,
+``exact_dedup``), then (2) anti-joined against the fingerprints of the
+corpus written so far, and the survivors append to the corpus WITH
+their fingerprint as a column.  This is structurally the reference's
+daily CDC merge (anti-join new keys against the snapshot,
 ``/root/reference/pipelines/daily_data_handler.py:84-101``) with
 "primary key" = content fingerprint — how a 100 TB crawl dedups
 continuously instead of re-scanning the corpus per drop.
 
-Scale shape: the per-batch anti-join shuffles 32-byte md5 keys, never
-document bodies; the index side carries only ``fp``, and AQE
-broadcasts a small batch's fingerprints against it.  The corpus itself
-is append-only — no rewrite, no full-corpus dropDuplicates (the
-anti-pattern the batch merge layer also avoids, SCALE.md).
+The guard and the data commit together: the fingerprint index IS the
+``fp`` column of the corpus itself, so there is no window where a
+document is persisted but unguarded (or vice versa).  A crashed batch
+that committed some part files is healed on replay — whatever rows
+made it into ``corpus_dir`` carry their fps and are anti-joined away.
+Parquet column pruning keeps the guard scan cheap: the anti-join reads
+ONLY the 32-byte ``fp`` column, never document bodies.
+
+Scale shape: the per-batch anti-join shuffles md5 keys only, and AQE
+broadcasts a small batch's fingerprints against the corpus side.  The
+corpus is append-only — no rewrite, no full-corpus dropDuplicates
+(the anti-pattern the batch merge layer also avoids, SCALE.md).
 
 ``foreachBatch`` is used deliberately (vs the native sink used for
 raw landing): the batch body is NOT a stateless append — it reads the
-index written by previous epochs.  Restart safety comes from the
-fingerprint-anti-join itself: a replayed batch finds its fingerprints
-already indexed and appends nothing (the dedup predicate doubles as
-the idempotence guard).
+state written by previous epochs.
 """
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.text import fingerprint
 
 
-def _dedup_batch_against_index(
-    batch: DataFrame, corpus_dir: str, index_dir: str, id_col: str, text_col: str
+def _dedup_batch_against_corpus(
+    batch: DataFrame, corpus_dir: str, id_col: str, text_col: str
 ) -> None:
     spark = batch.sparkSession
     fp = batch.withColumn("fp", fingerprint(text_col))
     # within-batch winner: min id per fingerprint (exact_dedup's rule)
     w_min = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
     fresh = fp.join(w_min, ["fp", id_col], "left_semi")
-    if os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
-    ):
-        index = spark.read.parquet(index_dir).select("fp")
+    try:
+        # the corpus carries its own index: prune to the fp column
+        index = spark.read.parquet(corpus_dir).select("fp")
+    except AnalysisException:
+        index = None  # first batch: corpus does not exist yet
+    if index is not None:
         fresh = fresh.join(index, "fp", "left_anti")
-    # persist survivors: corpus rows + their fingerprints
-    fresh.drop("fp").write.mode("append").parquet(corpus_dir)
-    fresh.select("fp").write.mode("append").parquet(index_dir)
+    fresh.write.mode("append").parquet(corpus_dir)
 
 
 def corpus_dedup_stream(
     documents: DataFrame,
     corpus_dir: str,
-    index_dir: str,
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -66,12 +68,12 @@ def corpus_dedup_stream(
     """Continuously ingest documents, appending only content-new ones.
 
     ``documents`` is any streaming frame with (id, text, ...) columns;
-    survivors land under ``corpus_dir``, their fingerprints under
-    ``index_dir``."""
+    survivors land under ``corpus_dir`` with an extra ``fp`` column —
+    the corpus doubles as its own dedup index."""
     writer = (
         documents.writeStream.foreachBatch(
-            lambda batch, _epoch: _dedup_batch_against_index(
-                batch, corpus_dir, index_dir, id_col, text_col
+            lambda batch, _epoch: _dedup_batch_against_corpus(
+                batch, corpus_dir, id_col, text_col
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -18,7 +18,6 @@ def _run(spark, src, tmp_path):
     q = corpus_dedup_stream(
         stream,
         corpus_dir=str(tmp_path / "corpus"),
-        index_dir=str(tmp_path / "index"),
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
     q.awaitTermination(120)
@@ -64,3 +63,30 @@ def test_streaming_dedup_converges_to_batch_exact_dedup(spark, sf_dir, tmp_path)
     assert got_fps == exp_fps
     # re-delivered duplicates never re-entered (original ids won)
     assert got.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_partial_corpus_commit_heals_on_replay(spark, sf_dir, tmp_path):
+    """Crash-after-partial-write: rows that reached the corpus WITHOUT
+    the epoch completing must not duplicate when the batch replays —
+    the guard (fp column) travels with the data, so it covers them."""
+    from spark_cdc_replication_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    corpus = str(tmp_path / "corpus")
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+
+    # simulate a crashed epoch that committed half its part files
+    partial = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "fp", fingerprint("text")
+    )
+    partial.write.mode("append").parquet(corpus)
+    before = spark.read.parquet(corpus).count()
+
+    _run(spark, src, tmp_path)  # "replay" delivers ALL 200 docs
+
+    got = spark.read.parquet(corpus)
+    n_fp = got.select("fp").distinct().count()
+    assert got.count() == n_fp  # zero duplicated content
+    assert got.count() == docs.select(fingerprint("text")).distinct().count()
+    assert got.count() > before  # the odd half did land
