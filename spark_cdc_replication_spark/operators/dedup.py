@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalized, words
@@ -83,22 +83,26 @@ def _hashed_shingles(
 ) -> DataFrame:
     """``(id, __h0)``: one xxhash64 per word-n-gram occurrence.
 
-    posexplode + window ``lead`` + multi-column ``xxhash64`` — no
-    string concatenation, no higher-order functions (HOF lambdas run
-    interpreted; this formulation measured ~6x faster than
-    ``transform(sequence, i -> concat_ws(slice(...)))``).  Duplicate
-    shingles are kept: downstream MIN aggregation is idempotent.
+    Computed PER ROW: ``transform(sequence(1, k), i ->
+    xxhash64(element_at(w, i), ..., element_at(w, i+n-1)))`` then
+    explode the resulting long array.  No string concatenation (the
+    ``concat_ws(slice(...))`` formulation measured ~6x slower) and —
+    unlike a posexplode + window-``lead`` formulation — ZERO shuffle:
+    at 100 TB the window variant shuffles every token by doc id before
+    hashing; this one never moves a token off its input partition.
+    Duplicate shingles are kept: downstream MIN aggregation is
+    idempotent.
     """
-    toks = df.select(
-        F.col(id_col), F.posexplode(words(normalized(text_col))).alias("__pos", "__w0")
-    )
-    win = Window.partitionBy(id_col).orderBy("__pos")
-    lead_cols = [F.lead("__w0", k).over(win).alias(f"__w{k}") for k in range(1, n)]
-    tri = toks.select(F.col(id_col), F.col("__w0"), *lead_cols)
-    return tri.filter(F.col(f"__w{n-1}").isNotNull()).select(
-        F.col(id_col),
-        F.xxhash64(*[f"__w{k}" for k in range(n)]).alias("__h0"),
-    )
+    toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
+    k = F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0))
+    harr = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.xxhash64(*[F.element_at("__w", i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toks.select(F.col(id_col), F.explode(harr).alias("__h0"))
 
 
 def minhash_signatures(

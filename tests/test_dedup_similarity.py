@@ -52,6 +52,18 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert planted <= found
 
 
+def test_minhash_16_hash_family_keeps_planted_recall(spark, sf_dir):
+    # Pins the exact configuration q_dedup_minhash_lsh runs with
+    # (16 hashes x 8 bands): the smaller family must still surface
+    # every planted near-dup.
+    corpus = corpus_with_near_dups(spark, sf_dir)
+    sigs = minhash_signatures(corpus, num_hashes=16, shingle_n=3)
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.8)
+    found = {(r.id_a, r.id_b) for r in cands.collect()}
+    planted = {(i, i + 10_000) for i in range(0, 500, 20)}
+    assert planted <= found
+
+
 def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     corpus = corpus_with_near_dups(spark, sf_dir)
     sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3)
