@@ -29,11 +29,22 @@ def salted_join(
     on: Sequence[str],
     how: str = "inner",
     n_salts: int = 16,
+    deterministic: bool = False,
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys are spread over
     ``n_salts`` sub-partitions.
 
-    Each skewed row gets a deterministic salt from its full row hash;
+    Each skewed row gets a salt from a per-partition row counter
+    (``monotonically_increasing_id() % n_salts``), NOT a row-content
+    hash: the archetypal hot key (a null-FK default row, a sentinel
+    value) repeats BYTE-IDENTICALLY, and content-hash salting would
+    send every copy to the same salt — one reducer, exactly the
+    hotspot salting exists to break.  The counter spreads identical
+    rows uniformly.  ``deterministic=True`` switches to the full-row
+    hash variant, whose salt assignment is stable across runs and
+    input re-orderings (useful for plan-diffing tests) but MUST NOT be
+    used when hot rows can be identical.
+
     ``other`` is replicated ``n_salts`` times (explode of a literal
     range — cheap when ``other`` is the smaller side, which is the
     case worth salting).  Join keys become ``on + [salt]``, so one hot
@@ -41,14 +52,16 @@ def salted_join(
 
     Semantics preserved for ``inner`` and ``left`` joins (every skewed
     row appears exactly once per matching other-row, as in the plain
-    join).
+    join) — the salt only routes rows, it never filters them.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner|left, got {how!r}")
     on = list(on)
-    left = skewed.withColumn(
-        _SALT, F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
-    )
+    if deterministic:
+        salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    left = skewed.withColumn(_SALT, salt)
     right = other.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

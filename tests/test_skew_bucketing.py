@@ -31,6 +31,36 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert rows == {1: 10.0, 2: None}
 
 
+def test_salted_join_spreads_identical_hot_rows(spark):
+    # The case salting exists for: one hot key whose 10k rows are
+    # BYTE-IDENTICAL (e.g. a null-FK default row).  Content-hash
+    # salting puts them all on ONE salt; the row-counter salt must
+    # spread them, and the join output must still equal the plain join.
+    from spark_cdc_replication_spark.operators.skew import _SALT
+
+    hot = spark.range(10_000).select(
+        F.lit(42).alias("k"), F.lit("same-payload").alias("v")
+    )
+    cold = spark.range(100).select(
+        (F.col("id") + 100).cast("int").alias("k"), F.lit("x").alias("v")
+    )
+    left = hot.unionByName(cold)
+    right = spark.createDataFrame([(42, 1.0), (100, 2.0)], "k int, w double")
+
+    n_salts = 8
+    salted = left.withColumn(
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    hot_salts = salted.filter(F.col("k") == 42).select(_SALT).distinct().count()
+    assert hot_salts > 1, "identical hot rows all landed on one salt"
+
+    out = salted_join(left, right, on=["k"], n_salts=n_salts)
+    plain = left.join(right, on="k")
+    assert out.count() == plain.count() == 10_001
+    assert out.groupBy("k").count().orderBy("k").collect() == \
+        plain.groupBy("k").count().orderBy("k").collect()
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     for t in ("bt_orders", "bt_lineitem"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
