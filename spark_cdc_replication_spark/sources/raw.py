@@ -22,7 +22,6 @@ Our re-expression:
 from __future__ import annotations
 
 import datetime as dt
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -108,25 +107,37 @@ def compact_day(
 
     The reference has no compaction at all; its ``coalesce(1)``
     increments (X2) are the opposite failure (one giant serial file).
+
+    All path operations (metadata probe, seal delete, size summation)
+    go through the Hadoop FileSystem API, so the seal guard fires and
+    the size estimate is correct on ANY filesystem the session can
+    reach (``hdfs://``, ``s3a://``, ...), not just local paths — a
+    silent miss of the guard on a remote root is precisely the
+    reader-corruption scenario it exists to prevent.
     """
     import math
-    import shutil
 
-    meta = os.path.join(data_dir, "_spark_metadata")
-    if os.path.isdir(meta):
+    jvm = spark._jvm
+    jconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(data_dir)
+    fs = root.getFileSystem(jconf)
+    meta = hpath(root, "_spark_metadata")
+    if fs.exists(meta):
         if not seal:
             raise ValueError(
                 f"{data_dir} is a streaming-sink root (_spark_metadata is "
                 "authoritative); pass seal=True once its stream is retired"
             )
-        shutil.rmtree(meta)
+        fs.delete(meta, True)
         spark.catalog.refreshByPath(data_dir)
 
     day_df = read_raw_day(spark, data_dir, day, fmt=fmt)
-    stats = day_df.inputFiles()
-    total = sum(
-        os.path.getsize(f.removeprefix("file:")) for f in stats if "op_year=" in f
-    )
+    total = 0
+    for f in day_df.inputFiles():
+        if "op_year=" in f:
+            p = hpath(f)
+            total += p.getFileSystem(jconf).getFileStatus(p).getLen()
     n_files = max(1, math.ceil(total / target_file_bytes))
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -20,42 +20,56 @@ from spark_cdc_replication_spark.sources.raw import (
 )
 
 
-def _day_files(root: str, day: dt.date) -> list[str]:
+import pytest
+
+
+def _day_files(root: str, day: dt.date, ext: str = "parquet") -> list[str]:
     pat = os.path.join(
-        root, f"op_year={day.year}", f"op_month={day.month}", f"op_day={day.day}", "*.parquet"
+        root, f"op_year={day.year}", f"op_month={day.month}", f"op_day={day.day}", f"*.{ext}"
     )
     return glob.glob(pat)
 
 
-def test_compact_day_collapses_files_preserves_data(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_compact_day_collapses_files_preserves_data(spark, sf_dir, tmp_path, fmt):
+    """Land -> read-back -> compact round-trip in BOTH on-disk formats:
+    the reference writes ORC everywhere (raw_data_handler.py:86,
+    history_data_handler.py:151,187), so format parity means the whole
+    raw lifecycle must hold under fmt='orc' too, not just the parquet
+    default."""
     root = str(tmp_path / "raw")
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").alias("timestamp"), F.col("props").alias("value")
     )
     # simulate many micro-batch commits: 8 small appends
     for i in range(8):
-        land_batch(ev.filter(F.col("timestamp").isNotNull() & (F.crc32(F.col("value")) % 8 == i)), root)
+        land_batch(
+            ev.filter(F.col("timestamp").isNotNull() & (F.crc32(F.col("value")) % 8 == i)),
+            root,
+            fmt=fmt,
+        )
 
     days = sorted(
         (r.op_year, r.op_month, r.op_day)
-        for r in spark.read.parquet(root)
+        for r in spark.read.format(fmt)
+        .load(root)
         .select("op_year", "op_month", "op_day")
         .distinct()
         .collect()
     )
     day = dt.date(*days[0])
     other = dt.date(*days[1])
-    before_files = _day_files(root, day)
-    before_rows = read_raw_day(spark, root, day).count()
-    other_files_before = set(_day_files(root, other))
+    before_files = _day_files(root, day, ext=fmt)
+    before_rows = read_raw_day(spark, root, day, fmt=fmt).count()
+    other_files_before = set(_day_files(root, other, ext=fmt))
     assert len(before_files) >= 8  # one per append at least
 
-    n = compact_day(spark, root, day, target_file_bytes=10**9)
-    after_files = _day_files(root, day)
+    n = compact_day(spark, root, day, target_file_bytes=10**9, fmt=fmt)
+    after_files = _day_files(root, day, ext=fmt)
     assert n == 1 and len(after_files) == 1
-    assert read_raw_day(spark, root, day).count() == before_rows
+    assert read_raw_day(spark, root, day, fmt=fmt).count() == before_rows
     # dynamic overwrite: untouched day keeps its exact files
-    assert set(_day_files(root, other)) == other_files_before
+    assert set(_day_files(root, other, ext=fmt)) == other_files_before
 
 
 def test_land_sorted_gives_tight_rowgroup_stats(spark, sf_dir, tmp_path):
