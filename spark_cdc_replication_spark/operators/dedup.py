@@ -366,6 +366,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over duplicate-pair edges: the step after
     candidate generation in a real dedup pipeline — near-dup pairs are
@@ -388,7 +389,23 @@ def dup_clusters(
     the map-reduce CC algorithm (Kiveris et al., "Connected Components
     in MapReduce and Beyond"); at 100 TB each round shuffles only
     ``(node, label)`` longs, never document payloads.
+
+    Convergence detection is free: each round's aggregate also tracks
+    the node's own previous label (one extra MIN over the same
+    groups), and a ``Observation`` on the checkpoint job reports how
+    many labels changed — zero extra jobs, vs. a per-round
+    compare-join + count which re-scans the labels frame.
+
+    A component whose diameter exceeds ``max_iters`` would exit with
+    fixpoint-looking but WRONG (split) labels; that must never be
+    silent.  ``on_nonconverged``: ``"raise"`` (default) raises
+    ``RuntimeError``; ``"warn"`` logs a warning and returns the
+    partial labels (callers that prefer progress over completeness).
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be raise|warn, got {on_nonconverged!r}")
+    from pyspark.sql import Observation
+
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -405,27 +422,41 @@ def dup_clusters(
         .withColumnRenamed("src", "node")
         .localCheckpoint()
     )
+    changed = None
     for _ in range(max_iters):
         prop = (
             edges.join(labels, edges.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
+            .select(F.col("src").alias("node"), "label", F.lit(False).alias("__own"))
         )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+        merged = labels.withColumn("__own", F.lit(True)).unionByName(prop)
+        # one aggregate computes BOTH the new label and the node's old
+        # label (__own rows carry it); changed == new < old.
+        agg = merged.groupBy("node").agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("__own"), F.col("label"))).alias("__old"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        obs = Observation()
+        observed = agg.observe(
+            obs,
+            F.sum((F.col("label") < F.col("__old")).cast("long")).alias("changed"),
         )
-        labels = new_labels
+        # the localCheckpoint materialization IS the job the
+        # observation piggybacks on
+        labels = observed.select("node", "label").localCheckpoint()
+        changed = obs.get["changed"] or 0
         if changed == 0:
             break
+    if changed:
+        msg = (
+            f"dup_clusters did not converge within max_iters={max_iters} "
+            f"({changed} labels still changing): a component's diameter "
+            "exceeds the iteration bound and its labels are split"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

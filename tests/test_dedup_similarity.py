@@ -153,6 +153,62 @@ def test_dup_clusters_reversed_edge_direction(spark):
     assert got == {(1, 1), (3, 1), (5, 1)}
 
 
+def test_dup_clusters_nonconvergence_is_loud(spark):
+    import warnings
+
+    import pytest
+
+    from spark_cdc_replication_spark.operators.dedup import dup_clusters
+
+    # chain 1-...-9 needs ~8 label hops; max_iters=3 cannot finish
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iters=3).collect()
+    # warn mode: partial labels come back, but never silently
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = dup_clusters(pairs, max_iters=3, on_nonconverged="warn").collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert len(out) == 9
+
+
+def test_dup_clusters_convergence_costs_no_extra_jobs(spark):
+    """The changed-labels probe rides the per-round checkpoint job via
+    observe(): ONE action per iteration.  AQE splits each
+    materialization into ~5 query-stage jobs, so assert the MARGINAL
+    job count per extra round stays at that single-action level — the
+    old compare-join + limit(1).count() formulation added a second
+    action (~3-4 more jobs) per round and lands well above the bound."""
+    import warnings
+
+    from spark_cdc_replication_spark.operators.dedup import dup_clusters
+
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+
+    def jobs_for(iters: int, tag: str) -> int:
+        sc.setJobGroup(tag, tag)
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                dup_clusters(pairs, max_iters=iters, on_nonconverged="warn").collect()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    a = jobs_for(2, "cc-jobs-a")
+    b = jobs_for(5, "cc-jobs-b")
+    per_round = (b - a) / 3
+    assert per_round <= 6, (
+        f"{per_round:.1f} marginal jobs/round — convergence probe is "
+        "spawning an extra action per iteration"
+    )
+
+
 def test_dup_clusters_property_random_graphs(spark):
     """Model-check connected components against a python union-find on
     seeded random graphs (varied density incl. forests and one blob)."""
