@@ -170,6 +170,27 @@ def cmd_compact(args: argparse.Namespace, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_tick(args: argparse.Namespace, spark: SparkSession) -> int:
+    """One scheduler tick of the reference DAG's cadence
+    (``airflow_dags/cdc_ingestion_dag.py:20-61``): every hour raw-load
+    then daily-load; when the tick hour is 0, additionally history-load
+    — the DAG's ``check_load_history_for_<t>_or_not`` branch as code.
+    An hourly cron line ``python -m ...cli tick --config t.json
+    --source DIR --mode airflow`` reproduces the whole DAG without an
+    Airflow dependency (``--hour`` overrides the wall clock for tests
+    and backfills)."""
+    rc = cmd_raw_load(args, spark)
+    if rc:
+        return rc
+    rc = cmd_daily_load(args, spark)
+    if rc:
+        return rc
+    hour = args.hour if args.hour is not None else dt.datetime.now().hour
+    if hour == 0:
+        rc = cmd_history_load(args, spark)
+    return rc
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="spark-cdc-replication")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -213,6 +234,23 @@ def build_parser() -> argparse.ArgumentParser:
         "(required for streaming-landed roots; see compact_day docs)",
     )
     p_cmp.set_defaults(func=cmd_compact)
+
+    p_tick = sub.add_parser(
+        "tick", help="one DAG tick: raw+daily hourly, +history at hour 0"
+    )
+    common(p_tick)
+    p_tick.add_argument("--source", help="envelope parquet dir (file-stream source)")
+    p_tick.add_argument("--timeout", type=int, default=600, help="await seconds")
+    p_tick.add_argument(
+        "--hour",
+        type=int,
+        default=None,
+        help="tick hour (default: wall clock); hour 0 runs history-load",
+    )
+    p_tick.add_argument("--table", help="daily table name (default <name>_daily)")
+    p_tick.add_argument("--daily-table", help="default <name>_daily")
+    p_tick.add_argument("--history-table", help="default <name>_history")
+    p_tick.set_defaults(func=cmd_tick)
     return parser
 
 

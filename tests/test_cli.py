@@ -64,6 +64,59 @@ def test_cli_land_merge_promote(spark, cfg_path, monkeypatch):
     assert spark.table("events_cli_daily").count() == 0
 
 
+def test_cli_tick_reproduces_dag_cadence(spark, sf_dir, tmp_path, monkeypatch):
+    """Two scheduler ticks through the `tick` subcommand — hour 23
+    (raw+daily only) then hour 0 (plus history) — reproduce the
+    reference DAG's hourly + hour-0 branch end-to-end: the second tick
+    drains only the NEW envelope files (checkpointed file stream),
+    re-merges the day, promotes it to history, and truncates daily."""
+    SchemaRegistry(tmp_path / "schemas").save("events_tick", CDC_PAYLOAD_SCHEMA)
+    cfg = {
+        "name": "events_tick",
+        "primary_keys": ["id"],
+        "order_by": ["timestamp", "event_id"],
+        "data_dir": str(tmp_path / "raw"),
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "schema_dir": str(tmp_path / "schemas"),
+    }
+    p = tmp_path / "events_tick.json"
+    p.write_text(json.dumps(cfg))
+    for t in ("events_tick_daily", "events_tick_history", "events_tick_history__staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    incoming = str(tmp_path / "incoming")
+    split = "2024-01-05 12:00:00"
+    day = ("ts >= '2024-01-05 00:00:00' AND ts < '2024-01-06 00:00:00'")
+    cdc_envelope(spark, sf_dir, where=f"{day} AND ts < '{split}'").write.mode(
+        "append"
+    ).parquet(incoming)
+
+    def tick(hour: int) -> int:
+        return cli.main(
+            [
+                "tick", "--config", str(p), "--source", incoming,
+                "--mode", "manual", "--date", "2024-01-05", "--hour", str(hour),
+            ],
+            spark=spark,
+        )
+
+    assert tick(23) == 0
+    raw_after_1 = spark.read.parquet(str(tmp_path / "raw")).count()
+    daily_after_1 = spark.table("events_tick_daily").count()
+    assert raw_after_1 > 0 and daily_after_1 > 0
+    assert not spark.catalog.tableExists("events_tick_history")
+
+    # the next hour's drop arrives, and the hour-0 tick runs history
+    cdc_envelope(spark, sf_dir, where=f"{day} AND ts >= '{split}'").write.mode(
+        "append"
+    ).parquet(incoming)
+    assert tick(0) == 0
+    raw_after_2 = spark.read.parquet(str(tmp_path / "raw")).count()
+    assert raw_after_2 > raw_after_1  # second drop landed incrementally
+    assert spark.table("events_tick_history").count() > 0
+    assert spark.table("events_tick_daily").count() == 0  # truncated
+
+
 def test_cli_raw_load_requires_source_or_kafka(spark, cfg_path):
     cfg, _ = cfg_path
     assert cli.main(["raw-load", "--config", str(cfg)], spark=spark) == 2

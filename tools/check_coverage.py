@@ -1,6 +1,12 @@
-"""Docs honesty check: every ``queries()`` key must appear in
-COVERAGE.md (the judge-facing operator map), and every query name
-mentioned there must still exist in the registry.
+"""Coverage honesty checks:
+
+1. every ``queries()`` key must appear in COVERAGE.md (the judge-facing
+   operator map), and every query name mentioned there must still exist
+   in the registry;
+2. every operator FAMILY — SURVEY.md §2 surfaces and the [EXT]
+   LLM-data surfaces — must keep at least one ``oracle_sql()``-paired
+   query, so a refactor can never silently drop a family out of the
+   driver's correctness gate.
 
     python tools/check_coverage.py
 """
@@ -12,11 +18,50 @@ import sys
 
 sys.path.insert(0, ".")
 
+#: family -> query-name prefixes; each family must have >=1 registered
+#: query with an oracle.  Names mirror SURVEY.md §2 (cdc/analytics/
+#: events) and the [EXT] north-star families (dedup/similarity/text/
+#: multimodal/sampling).
+FAMILIES: dict[str, tuple[str, ...]] = {
+    "cdc merge algebra": ("cdc_",),
+    "tpch analytics": ("q1_", "q6_", "q18_"),
+    "olap extensions": ("rollup_", "cube_", "pivot_"),
+    "events/windows": ("events_",),
+    "asof/range join": ("asof_", "range_join"),
+    "dedup": ("dedup_",),
+    "similarity": ("similarity_",),
+    "text analysis": ("text_",),
+    "multimodal": ("multimodal_",),
+    "sampling/packing": ("sample_", "split_assign", "pack_sequences"),
+}
+
 
 def main() -> int:
     import __spark_entry__ as entry
 
     names = set(entry.queries())
+    oracles = set(entry.oracle_sql())
+    rc = 0
+
+    dangling = oracles - names
+    if dangling:
+        print("oracle entries without queries:", sorted(dangling))
+        rc = 1
+
+    for family, prefixes in FAMILIES.items():
+        with_oracle = sorted(
+            n for n in oracles if any(n.startswith(p) for p in prefixes)
+        )
+        if not with_oracle:
+            registered = sorted(
+                n for n in names if any(n.startswith(p) for p in prefixes)
+            )
+            print(
+                f"family {family!r} has NO oracle-paired query "
+                f"(registered without oracle: {registered or 'none'})"
+            )
+            rc = 1
+
     text = open("COVERAGE.md").read()
     tokens = set(re.findall(r"[a-z0-9_]+", text))
 
@@ -30,9 +75,13 @@ def main() -> int:
     missing = sorted(n for n in names if not documented(n))
     if missing:
         print("queries missing from COVERAGE.md:", missing)
-        return 1
-    print(f"COVERAGE.md mentions all {len(names)} registered queries")
-    return 0
+        rc = 1
+    if rc == 0:
+        print(
+            f"COVERAGE.md mentions all {len(names)} registered queries; "
+            f"all {len(FAMILIES)} operator families hold >=1 oracle entry"
+        )
+    return rc
 
 
 if __name__ == "__main__":
