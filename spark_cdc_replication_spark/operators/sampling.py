@@ -119,6 +119,41 @@ def sample_k_per_group(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    seed: str,
+    id_col: str = "doc_id",
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``(shard, pos)`` address that is a pure function of ``(seed, id)``
+    — the epoch-shuffle step of a training pipeline, reproducible
+    across runs, partitionings, and engines (the reason NOT to use
+    ``df.orderBy(rand(seed))``, whose order changes with the upstream
+    partitioning).
+
+    ``shard = first hex char(s) of md5(seed || id)`` (16^shard_chars
+    shards), ``pos = row_number`` within the shard ordered by the full
+    md5.  Readers stream shards in any order and rows by ``pos`` —
+    a different seed produces an entirely different permutation.
+
+    Scale: no global sort.  The only movement is one shuffle into
+    16^``shard_chars`` ranges with a per-shard local sort; pick
+    ``shard_chars`` so a shard fits an executor (2 -> 256 shards,
+    3 -> 4096).  SQL twin in workloads/llmdata.py (md5 + row_number).
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col), key.alias("__k"))
+    w = Window.partitionBy(F.substring("__k", 1, shard_chars)).orderBy(
+        "__k", id_col
+    )
+    return base.select(
+        F.substring("__k", 1, shard_chars).alias("shard"),
+        F.col(id_col),
+        F.row_number().over(w).alias("pos"),
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: Sequence[tuple[str, float]] = (("train", 0.98), ("val", 0.01), ("test", 0.01)),

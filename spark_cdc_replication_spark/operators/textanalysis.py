@@ -128,6 +128,112 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetitious text"): heavily self-repeating documents are
+    low-quality machine-generated or boilerplate text, filtered before
+    training.
+
+    Output per doc: ``n_words``, ``distinct_word_frac`` (|distinct| /
+    |words|), ``top_bigram_frac`` (occurrences of the most frequent
+    word bigram / total bigrams; NULL when the doc has < 2 words).
+
+    Shape: one scan; per-row native stats + one explode/groupBy for the
+    bigram mode (the per-group state is a single (bigram,count) max —
+    map-side partial aggregation keeps the shuffle at one row per
+    (doc, partition)).
+    """
+    w = words(normalized(text_col))
+    base = df.select(F.col(id_col), w.alias("__w"))
+    stats = base.select(
+        F.col(id_col),
+        F.size("__w").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct("__w")) / F.nullif(F.size("__w"), F.lit(0)), 6
+        ).alias("distinct_word_frac"),
+    )
+    k = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
+    bigrams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__w", i), F.element_at("__w", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        base.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .groupBy(id_col, "__bg")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("__top"),
+            F.sum("__n").alias("__total"),
+        )
+    )
+    return stats.join(counts, on=id_col, how="left").select(
+        id_col,
+        "n_words",
+        "distinct_word_frac",
+        F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_frac"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval contamination audit: for each training document, how
+    many of its distinct word-``n``-grams appear ANYWHERE in the
+    benchmark corpus — the overlap check run before training so eval
+    sets aren't memorized (the GPT-3/PaLM appendix methodology, as a
+    distributed join).
+
+    Output: ``(id_col, n_shingles, n_contaminated, contaminated_frac)``
+    for every training doc with >= 1 shingle.
+
+    Shape: benchmark shingles are exploded + deduped once (tiny vs the
+    corpus — eval sets are fixed-size), then ONE left join from the
+    exploded corpus shingles; AQE broadcasts the benchmark side.  The
+    join key here is the shingle string for oracle parity; at 100 TB
+    key by ``xxhash64(shingle)`` so the shuffle/broadcast carries 8-byte
+    keys instead of strings.
+    """
+    from .dedup import _shingles
+
+    sh = df.select(
+        F.col(id_col), _shingles(normalized(text_col), n).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    bench_sh = (
+        benchmark.select(_shingles(normalized(text_col), n).alias("__sh"))
+        .select(F.explode("__sh").alias("__s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = sh.select(
+        F.col(id_col), F.size("__sh").alias("n_shingles"), F.explode("__sh").alias("__s")
+    )
+    return (
+        exploded.join(bench_sh, on="__s", how="left")
+        .groupBy(id_col, "n_shingles")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"))
+        .select(
+            id_col,
+            "n_shingles",
+            F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6).alias(
+                "contaminated_frac"
+            ),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int,

@@ -1107,6 +1107,155 @@ FROM ex GROUP BY label, pos
 """
 
 
+# --------------------------------------------------------------------------
+# Round-3 additions: repetition stats, contamination audit, PII scrub,
+# deterministic epoch shuffle
+# --------------------------------------------------------------------------
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document."""
+    from ..operators.textanalysis import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH w AS (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS ws FROM documents),
+stats AS (
+  SELECT doc_id, len(ws) AS n_words,
+         round(len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0), 6)
+           AS distinct_word_frac
+  FROM w
+),
+bgs AS (
+  SELECT doc_id,
+         unnest([array_to_string(ws[i:i+1], ' ')
+                 FOR i IN range(1, greatest(len(ws), 1))]) AS b
+  FROM w
+),
+top AS (
+  SELECT doc_id, max(cnt) AS topc, sum(cnt) AS total
+  FROM (SELECT doc_id, b, count(*) AS cnt FROM bgs GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_words, s.distinct_word_frac,
+       round(t.topc::DOUBLE / t.total::DOUBLE, 6) AS top_bigram_frac
+FROM stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+"""
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval overlap audit: every 50th doc plays the benchmark."""
+    from ..operators.textanalysis import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(train, bench, n=3)
+
+
+ORACLE_TEXT_CONTAMINATION = f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS w FROM documents)
+),
+nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+bench AS (SELECT DISTINCT unnest(shingles) AS s FROM nonempty WHERE doc_id % 50 = 0),
+corpus AS (
+  SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+  FROM nonempty WHERE doc_id % 50 <> 0
+)
+SELECT c.doc_id, c.n_shingles,
+       CAST(count(b.s) AS BIGINT) AS n_contaminated,
+       round(count(b.s)::DOUBLE / c.n_shingles, 6) AS contaminated_frac
+FROM corpus c LEFT JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id, c.n_shingles
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the corpus with deterministically
+    planted emails / IPs / phone numbers (the fixture text itself
+    carries none); the oracle replays the identical planting and
+    regexes, and the md5 of the redacted text pins the exact
+    replacement output."""
+    from ..operators.privacy import pii_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_stats(planted)
+
+
+# plain string (not f-string): regex braces stay literal
+ORACLE_PII_SCRUB = """
+WITH planted AS (
+  SELECT doc_id, concat(text,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN concat(' host 192.168.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
+    CASE WHEN doc_id % 13 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END
+  ) AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
+  len(regexp_extract_all(text, '\\+\\d{1,3}-\\d{3}-\\d{4}')) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+      '\\+\\d{1,3}-\\d{3}-\\d{4}', '<PHONE>', 'g')) AS redacted_fp
+FROM planted
+"""
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: (shard, pos) address per doc."""
+    from ..operators.sampling import corpus_shuffle
+
+    return corpus_shuffle(load_table(spark, sf_dir, "documents"), seed="epoch0")
+
+
+ORACLE_CORPUS_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, md5(concat('epoch0-', CAST(doc_id AS VARCHAR))) AS kk
+  FROM documents
+)
+SELECT substr(kk, 1, 1) AS shard, doc_id,
+       row_number() OVER (PARTITION BY substr(kk, 1, 1) ORDER BY kk, doc_id) AS pos
+FROM k
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1142,6 +1291,10 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "text_repetition": q_text_repetition,
+    "text_contamination": q_text_contamination,
+    "pii_scrub": q_pii_scrub,
+    "corpus_shuffle": q_corpus_shuffle,
 }
 
 ORACLE = {
@@ -1175,6 +1328,10 @@ ORACLE = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_contamination": ORACLE_TEXT_CONTAMINATION,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

@@ -1,0 +1,98 @@
+"""Round-3 corpus-hygiene operators: repetition stats, contamination
+audit, PII scrub, deterministic epoch shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.operators.privacy import pii_stats, redact
+from spark_cdc_replication_spark.operators.sampling import corpus_shuffle
+from spark_cdc_replication_spark.operators.textanalysis import (
+    contamination_check,
+    repetition_stats,
+)
+
+
+def test_repetition_stats_flags_repetitious_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),        # one word repeated
+            (2, "all words here are fully distinct"),
+            (3, "single"),                                # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[1].n_words == 6
+    assert got[1].distinct_word_frac == round(1 / 6, 6)
+    assert got[1].top_bigram_frac == 1.0  # every bigram is "spam spam"
+    assert got[2].distinct_word_frac == 1.0
+    assert got[2].top_bigram_frac == 0.2  # 5 distinct bigrams, top = 1/5
+    assert got[3].top_bigram_frac is None  # < 2 words
+
+
+def test_contamination_check_counts_benchmark_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # fully contaminated
+            (2, "a totally unrelated sentence here"),
+            (3, "quick brown fox elsewhere entirely now"),  # 1 shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_check(train, bench, n=3).collect()}
+    assert got[1].n_shingles == 3 and got[1].contaminated_frac == 1.0
+    assert got[2].n_contaminated == 0
+    assert got[3].n_contaminated == 1  # "quick brown fox"
+
+
+def test_pii_stats_and_redact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "server 10.0.255.3 and backup 192.168.1.1"),
+            (3, "call +44-555-1234 or +1-555-0000"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_stats(docs).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (1, 0, 0)
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 2, 0)
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 2)
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+
+    red = {r.doc_id: r.text for r in redact(docs).collect()}
+    assert red[1] == "mail me at <EMAIL> today"
+    assert red[2] == "server <IP> and backup <IP>"
+    assert red[3] == "call <PHONE> or <PHONE>"
+    assert red[4] == "nothing sensitive here"
+
+
+def test_corpus_shuffle_is_a_deterministic_permutation(spark):
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    a = corpus_shuffle(docs, seed="s1").collect()
+    b = corpus_shuffle(docs.repartition(7), seed="s1").collect()
+    # same addresses regardless of input partitioning
+    assert {(r.shard, r.doc_id, r.pos) for r in a} == {
+        (r.shard, r.doc_id, r.pos) for r in b
+    }
+    # every doc exactly once; positions are 1..n_shard_members per shard
+    assert len({r.doc_id for r in a}) == 1000
+    by_shard: dict[str, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poses in by_shard.items():
+        assert sorted(poses) == list(range(1, len(poses) + 1)), shard
+    # a different seed yields a different permutation
+    c = corpus_shuffle(docs, seed="s2").collect()
+    assert {(r.shard, r.doc_id, r.pos) for r in c} != {
+        (r.shard, r.doc_id, r.pos) for r in a
+    }
+    # wider shard key: 256 shards, still a permutation
+    wide = corpus_shuffle(docs, seed="s1", shard_chars=2).collect()
+    assert len({r.doc_id for r in wide}) == 1000
+    assert len({r.shard for r in wide}) > 16

@@ -32,7 +32,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "similarity": ("similarity_",),
     "text analysis": ("text_",),
     "multimodal": ("multimodal_",),
-    "sampling/packing": ("sample_", "split_assign", "pack_sequences"),
+    "sampling/packing": ("sample_", "split_assign", "pack_sequences", "corpus_shuffle"),
+    "privacy": ("pii_",),
+    "contamination/repetition": ("text_contamination", "text_repetition"),
 }
 
 
