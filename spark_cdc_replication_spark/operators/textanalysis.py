@@ -140,20 +140,13 @@ def repetition_stats(
     |words|), ``top_bigram_frac`` (occurrences of the most frequent
     word bigram / total bigrams; NULL when the doc has < 2 words).
 
-    Shape: one scan; per-row native stats + one explode/groupBy for the
-    bigram mode (the per-group state is a single (bigram,count) max —
-    map-side partial aggregation keeps the shuffle at one row per
-    (doc, partition)).
+    Shape: ONE scan (the fact-scan-dedup rule, SCALE.md): the row-local
+    stats ride the bigram explode as carried grouping columns —
+    ``explode_outer`` keeps bigram-less docs — then two aggregates
+    (per-(doc,bigram) count, per-doc max).  Map-side partials keep each
+    shuffle at one row per (doc[,bigram], partition).
     """
     w = words(normalized(text_col))
-    base = df.select(F.col(id_col), w.alias("__w"))
-    stats = base.select(
-        F.col(id_col),
-        F.size("__w").alias("n_words"),
-        F.round(
-            F.size(F.array_distinct("__w")) / F.nullif(F.size("__w"), F.lit(0)), 6
-        ).alias("distinct_word_frac"),
-    )
     k = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
     bigrams = F.when(
         k > 0,
@@ -164,21 +157,28 @@ def repetition_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    counts = (
-        base.select(F.col(id_col), F.explode(bigrams).alias("__bg"))
-        .groupBy(id_col, "__bg")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .groupBy(id_col)
-        .agg(
-            F.max("__n").alias("__top"),
-            F.sum("__n").alias("__total"),
-        )
+    exploded = df.select(F.col(id_col), w.alias("__w")).select(
+        F.col(id_col),
+        F.size("__w").alias("n_words"),
+        F.round(
+            F.size(F.array_distinct("__w")) / F.nullif(F.size("__w"), F.lit(0)), 6
+        ).alias("distinct_word_frac"),
+        F.explode_outer(bigrams).alias("__bg"),
     )
-    return stats.join(counts, on=id_col, how="left").select(
-        id_col,
-        "n_words",
-        "distinct_word_frac",
-        F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_frac"),
+    return (
+        exploded.groupBy(id_col, "n_words", "distinct_word_frac", "__bg")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col, "n_words", "distinct_word_frac")
+        .agg(
+            F.max(F.when(F.col("__bg").isNotNull(), F.col("__n"))).alias("__top"),
+            F.sum(F.when(F.col("__bg").isNotNull(), F.col("__n"))).alias("__total"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "distinct_word_frac",
+            F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_frac"),
+        )
     )
 
 
