@@ -108,8 +108,9 @@ def main() -> None:
         shared = sorted(k for k in timings if k in prev)
         cur_shared = round(sum(timings[k] for k in shared), 3)
         prev_shared = round(sum(prev[k] for k in shared), 3)
+        label = "REGRESSION" if cur_shared > prev_shared else "IMPROVED"
         print(
-            f"REGRESSION vs {baseline_path}: like-for-like "
+            f"{label} vs {baseline_path}: like-for-like "
             f"({len(shared)} shared queries) {cur_shared}s vs {prev_shared}s"
             f" (full total this run: {total}s over {len(timings)} queries)",
             file=sys.stderr,
