@@ -76,6 +76,43 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample-only re-mixing toward target *proportions* — the
+    domain-mixture step of a training-data pipeline ("web:wiki:code =
+    6:2:1").  Unlike :func:`stratified_sample` (absolute per-stratum
+    rates), the keep-rates here are derived from the data: the
+    achievable corpus is bounded by the stratum that runs out first
+    (scale ``T = min_s(n_s / w_s)`` rows per unit weight), and each
+    stratum keeps ``rate_s = w_s * T / n_s`` via the deterministic
+    hash filter.  Strata absent from ``weights`` are dropped.
+
+    Shape: one bounded-cardinality count aggregate; the derived cut
+    table (one row per stratum) broadcast-joins back onto the scan —
+    no driver round-trip, so the whole thing stays one lazy plan and
+    works identically at 100 TB (the fact table is never shuffled).
+    """
+    expr = F.lit(None).cast("double")
+    for value, wt in sorted(weights.items()):
+        expr = F.when(F.col(strata_col) == value, F.lit(float(wt))).otherwise(expr)
+    tagged = df.withColumn("__w", expr).filter(F.col("__w").isNotNull())
+    counts = tagged.groupBy(strata_col, "__w").agg(F.count(F.lit(1)).alias("__n"))
+    t = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    cuts = counts.join(F.broadcast(t)).select(
+        strata_col,
+        F.floor(F.col("__w") * F.col("__t") / F.col("__n") * _BUCKETS).alias("__cut"),
+    )
+    return (
+        tagged.join(F.broadcast(cuts), strata_col)
+        .filter(hash_bucket(key_col) < F.col("__cut"))
+        .drop("__w", "__cut")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,

@@ -272,3 +272,54 @@ def chunk_documents(
         "chunk_start",
         F.substring(F.col(text_col), F.col("chunk_start") + 1, chunk_size).alias("chunk"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean-unigram-log-likelihood quality proxy: score each document
+    under the corpus's OWN unigram model (the cheap perplexity filter
+    run before training — rare-word soup, OCR noise, and boilerplate
+    all score low; CCNet used a real LM, the unigram variant is the
+    shuffle-cheap first pass).
+
+    Output per doc: ``n_tokens`` and ``logprob_micro`` = sum over
+    token occurrences of ``floor(ln(count(tok) / total_tokens) * 1e6)``
+    — exact BIGINTs, so the distributed sums are order-independent and
+    engine-reproducible (the micro-unit trick from the embedding
+    centroid oracle).  Mean log-prob = logprob_micro / 1e6 / n_tokens.
+
+    Shape: ONE token explode.  Corpus term counts come from a SUM
+    window over the per-doc tf relation (the tfidf one-scan trick —
+    no second explode, no self-join of the token subtree); the corpus
+    token total is a scan-only ``sum(size(words))`` single-row
+    aggregate (no explode) joined by broadcast.  At 100 TB the window
+    shuffle carries (doc, term, tf) triples only and the model
+    cardinality is Zipf-bounded.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(normalized(text_col))).alias("__tok")
+    )
+    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    total = df.agg(
+        F.sum(F.size(words(normalized(text_col)))).alias("__total")
+    )
+    return (
+        tf.withColumn("__cnt", F.sum("__tf").over(Window.partitionBy("__tok")))
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("__tf"),
+            F.floor(
+                F.log(F.col("__cnt").cast("double") / F.col("__total").cast("double"))
+                * 1e6
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("__tf") * F.col("__lp")).cast("long").alias("logprob_micro"),
+        )
+    )

@@ -30,4 +30,11 @@ def collect_registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         oracle.update(mod.ORACLE)
     missing = set(oracle) - set(queries)
     assert not missing, f"oracle entries without queries: {missing}"
+    # Oracle-less entries (approximate / hash-seeded, rows-only checks)
+    # sort to the tail so every slot in the driver's 50-entry window
+    # goes to a query with a full rows+schema+hash oracle.
+    queries = {
+        **{k: v for k, v in queries.items() if k in oracle},
+        **{k: v for k, v in queries.items() if k not in oracle},
+    }
     return queries, oracle

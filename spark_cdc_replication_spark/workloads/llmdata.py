@@ -1256,6 +1256,87 @@ FROM k
 """
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: re-mix four sources to 3:1:0.5:0.25
+    target proportions; keep-rates derive from per-source counts."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs, {"src0": 3.0, "src1": 1.0, "src2": 0.5, "src3": 0.25}
+    )
+    return out.select("doc_id", "source")
+
+
+ORACLE_SAMPLE_MIXTURE = """
+WITH tagged AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+                     WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25 END AS w
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+),
+counts AS (SELECT source, w, count(*) AS n FROM tagged GROUP BY 1, 2),
+t AS (SELECT min(n / w) AS t FROM counts),
+cuts AS (SELECT source, floor(w * t.t / n * 10000) AS cut FROM counts, t)
+SELECT d.doc_id, d.source
+FROM tagged d JOIN cuts USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      < cut
+"""
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained unigram LM quality proxy per document."""
+    from ..operators.textanalysis import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.tf * CAST(floor(ln(CAST(cnt.cnt AS DOUBLE)
+                                      / CAST(total.total AS DOUBLE))
+                                   * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS logprob_micro
+FROM tf JOIN cnt USING (tok) CROSS JOIN total
+GROUP BY tf.doc_id
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantize every embedding; value-exact md5 fingerprint."""
+    from ..operators.embeddings import quantize_int8
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 v -> abs(CAST(v AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id, len(embedding) AS n_dims,
+       CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro,
+       md5(array_to_string(list_transform(embedding,
+           v -> CAST(CASE WHEN scale = 0 THEN 0
+                          ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale
+                                          + 0.5) AS BIGINT)
+                     END AS VARCHAR)), ',')) AS q_fp
+FROM s
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1295,6 +1376,9 @@ QUERIES = {
     "text_contamination": q_text_contamination,
     "pii_scrub": q_pii_scrub,
     "corpus_shuffle": q_corpus_shuffle,
+    "sample_mixture": q_sample_mixture,
+    "text_unigram_logprob": q_text_unigram_logprob,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLE = {
@@ -1332,6 +1416,9 @@ ORACLE = {
     "text_contamination": ORACLE_TEXT_CONTAMINATION,
     "pii_scrub": ORACLE_PII_SCRUB,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
+    "sample_mixture": ORACLE_SAMPLE_MIXTURE,
+    "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
+    "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

@@ -1,0 +1,56 @@
+"""Embedding quantization + unigram-LM scoring operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.fixtures import load_table
+from spark_cdc_replication_spark.operators.embeddings import quantize_int8
+from spark_cdc_replication_spark.operators.textanalysis import unigram_logprob
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    # recompute q values locally and check range + reconstruction error
+    rows = emb.select("vec_id", "embedding").limit(50).collect()
+    out = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    for r in rows:
+        o = out[r.vec_id]
+        xs = [float(v) for v in r.embedding]
+        scale = max(abs(v) for v in xs)
+        assert o.n_dims == len(xs)
+        assert o.scale_micro == math.floor(scale * 1e6)
+        qs = [math.floor(v * 127.0 / scale + 0.5) for v in xs]
+        assert all(-127 <= q <= 127 for q in qs)
+        # reconstruction error bounded by half a quantization step
+        for v, q in zip(xs, qs):
+            assert abs(q * scale / 127.0 - v) <= scale / 127.0 * 0.5 + 1e-9
+
+
+def test_quantize_int8_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = quantize_int8(df).collect()[0]
+    assert row.scale_micro == 0
+    import hashlib
+
+    assert row.q_fp == hashlib.md5(b"0,0,0").hexdigest()
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    # 20 docs of a shared word + 1 doc of a unique word: the unique-word
+    # doc must score strictly lower per token
+    rows = [(i, "common common common") for i in range(20)]
+    rows.append((99, "zzyzxq"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    common = out[0].logprob_micro / out[0].n_tokens
+    rare = out[99].logprob_micro / out[99].n_tokens
+    assert rare < common < 0
+    assert out[0].n_tokens == 3 and out[99].n_tokens == 1
+    # exact value: ln(60/61) for each of the 3 tokens
+    expected = 3 * math.floor(math.log(60 / 61) * 1e6)
+    assert out[0].logprob_micro == expected

@@ -98,3 +98,32 @@ def test_sample_k_per_group_exact_uniform_and_nested(spark, sf_dir):
     s2 = {(r.doc_id, r.source) for r in sample_k_per_group(docs, ["source"], k=2).select("doc_id", "source").collect()}
     s5set = {(r.doc_id, r.source) for r in s5.select("doc_id", "source").collect()}
     assert s2 < s5set
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    from spark_cdc_replication_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 4.0, "src1": 1.0}
+    out = mixture_sample(docs, weights)
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # only weighted strata survive
+    assert set(by_src) <= {"src0", "src1"}
+    # the binding stratum (largest weight per row available) keeps ~everything
+    n0 = docs.filter(F.col("source") == "src0").count()
+    assert by_src.get("src0", 0) >= n0 * 0.99
+    # achieved ratio tracks 4:1 (hash-sampling tolerance at tiny sf)
+    ratio = by_src["src0"] / max(by_src.get("src1", 0), 1)
+    assert 1.5 < ratio < 12.0
+    # deterministic: stable under repartitioning
+    a = {r.doc_id for r in out.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in mixture_sample(docs.repartition(7), weights).select("doc_id").collect()
+    }
+    assert a == b
+    # pure downsample: output rows are input rows
+    assert a <= {r.doc_id for r in docs.select("doc_id").collect()}
