@@ -38,6 +38,9 @@ HEADLINE = [
     "similarity_ivf_topk",
     "text_stats",
     "text_language_id",
+    "text_unigram_logprob",
+    "sample_mixture",
+    "embedding_quantize",
     "multimodal_features",
 ]
 
