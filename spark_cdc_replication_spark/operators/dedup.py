@@ -142,6 +142,81 @@ def minhash_signatures(
     )
 
 
+def _bands(signatures: DataFrame, id_col: str, num_bands: int) -> DataFrame:
+    """``(id, band_id, band_hash)`` — 3 scalars per row; the signature
+    array never enters a join/dedup exchange."""
+    rows_per_band = F.floor(F.size("sig") / F.lit(num_bands)).cast("int")
+    return (
+        signatures.filter(F.size("sig") > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band_id"),
+            rows_per_band.alias("__r"),
+            F.col("sig"),
+        )
+        .select(
+            id_col,
+            "band_id",
+            F.hash(
+                F.slice("sig", F.col("band_id") * F.col("__r") + 1, F.col("__r"))
+            ).alias("band_hash"),
+        )
+    )
+
+
+def cross_corpus_candidates(
+    train_sigs: DataFrame,
+    bench_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Asymmetric banded LSH between a training corpus and a (much
+    smaller) benchmark corpus — the candidate stage of *fuzzy*
+    decontamination (`contamination_check` is the exact-n-gram audit;
+    this catches paraphrased / reformatted eval leakage the same way
+    near-dup dedup catches non-byte-identical copies).
+
+    Returns ``(id_train, id_bench, est_jaccard)``.
+
+    Same shuffle discipline as :func:`minhash_lsh_candidates` (the band
+    join carries 3 scalars per row; signatures re-join AFTER pair
+    dedup), plus the asymmetric upgrade: eval suites are fixed-size, so
+    the bench band table and bench signatures are explicitly broadcast
+    — the training corpus is never shuffled at all (filter-shaped, like
+    the exact audit).
+    """
+    t = _bands(train_sigs, id_col, num_bands).select(
+        F.col(id_col).alias("id_train"), "band_id", "band_hash"
+    )
+    b = _bands(bench_sigs, id_col, num_bands).select(
+        F.col(id_col).alias("id_bench"), "band_id", "band_hash"
+    )
+    pairs = (
+        t.join(F.broadcast(b), on=["band_id", "band_hash"])
+        .select("id_train", "id_bench")
+        .dropDuplicates(["id_train", "id_bench"])
+    )
+    scored = pairs.join(
+        train_sigs.select(F.col(id_col).alias("id_train"), F.col("sig").alias("sig_a")),
+        on="id_train",
+    ).join(
+        F.broadcast(
+            bench_sigs.select(
+                F.col(id_col).alias("id_bench"), F.col("sig").alias("sig_b")
+            )
+        ),
+        on="id_bench",
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda e: e))
+        / F.size("sig_a")
+    ).alias("est_jaccard")
+    return scored.select("id_train", "id_bench", est).filter(
+        F.col("est_jaccard") >= min_est_jaccard
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -162,20 +237,7 @@ def minhash_lsh_candidates(
     sigs instead of every bucket collision dragging 2 x 32 bigints
     through the join and the dropDuplicates exchange.
     """
-    n_hashes_col = F.size("sig")
-    rows_per_band = F.floor(n_hashes_col / F.lit(num_bands)).cast("int")
-    bands = signatures.filter(F.size("sig") > 0).select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_bands - 1))).alias("band_id"),
-        rows_per_band.alias("__r"),
-        F.col("sig"),
-    ).select(
-        id_col,
-        "band_id",
-        F.hash(F.slice("sig", F.col("band_id") * F.col("__r") + 1, F.col("__r"))).alias(
-            "band_hash"
-        ),
-    )
+    bands = _bands(signatures, id_col, num_bands)
     a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
     pairs = (

@@ -1337,6 +1337,69 @@ FROM s
 """
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination, hash-green end-to-end: every 50th doc
+    plays the benchmark; the training side is the rest of the corpus
+    PLUS planted perturbed copies of each bench doc (+30000, case /
+    whitespace noise that normalizes away — the "reformatted eval
+    leak").  Asymmetric MinHash-LSH proposes (train, bench) candidates
+    with the bench side broadcast, exact cross-corpus n-gram Jaccard
+    verifies, and the oracle is the full ground truth (normalized-text
+    equality between the two corpora): any recall loss in the banding
+    or signature path, or any false admit in the verifier, breaks the
+    hash."""
+    from ..operators.dedup import cross_corpus_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 30_000).alias("doc_id"),
+            F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+        )
+    )
+    cands = cross_corpus_candidates(
+        minhash_signatures(train, num_hashes=32, shingle_n=3),
+        minhash_signatures(bench, num_hashes=32, shingle_n=3),
+        num_bands=8,
+        min_est_jaccard=0.99,
+    )
+    exact = ngram_jaccard_pairs(
+        train.unionByName(bench),
+        cands.select(
+            F.col("id_train").alias("id_a"), F.col("id_bench").alias("id_b")
+        ),
+        n=3,
+        min_jaccard=0.999,
+    )
+    return exact.select(
+        F.col("id_a").alias("id_train"), F.col("id_b").alias("id_bench")
+    )
+
+
+_NORM_OF_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+ORACLE_DECONTAMINATE_FUZZY = f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM bench
+),
+tn AS (
+  SELECT doc_id, {_NORM_OF_TEXT} AS norm FROM train
+  WHERE len(string_split_regex({_NORM_OF_TEXT}, '\\s+')) >= 3
+),
+bn AS (
+  SELECT doc_id, {_NORM_OF_TEXT} AS norm FROM bench
+  WHERE len(string_split_regex({_NORM_OF_TEXT}, '\\s+')) >= 3
+)
+SELECT t.doc_id AS id_train, b.doc_id AS id_bench
+FROM tn t JOIN bn b ON t.norm = b.norm
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1379,6 +1442,7 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "text_unigram_logprob": q_text_unigram_logprob,
     "embedding_quantize": q_embedding_quantize,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
 }
 
 ORACLE = {
@@ -1419,6 +1483,7 @@ ORACLE = {
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

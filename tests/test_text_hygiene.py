@@ -96,3 +96,33 @@ def test_corpus_shuffle_is_a_deterministic_permutation(spark):
     wide = corpus_shuffle(docs, seed="s1", shard_chars=2).collect()
     assert len({r.doc_id for r in wide}) == 1000
     assert len({r.shard for r in wide}) > 16
+
+
+def test_cross_corpus_candidates_catches_fuzzy_leak_and_broadcasts_bench(spark):
+    from spark_cdc_replication_spark.operators.dedup import (
+        cross_corpus_candidates,
+        minhash_signatures,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # reformatted leak: case + whitespace noise, normalizes away
+            (1, "The  Quick  Brown  Fox  Jumps  Over  The  Lazy  Dog  Tonight"),
+            (2, "completely unrelated sentence about distributed query engines"),
+            (3, "another unrelated document mentioning parquet and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = cross_corpus_candidates(
+        minhash_signatures(train), minhash_signatures(bench), min_est_jaccard=0.99
+    )
+    got = {(r.id_train, r.id_bench) for r in cands.collect()}
+    assert got == {(1, 100)}
+    # the bench side must broadcast — the training corpus is never
+    # shuffled through a sort-merge exchange for the band join
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
