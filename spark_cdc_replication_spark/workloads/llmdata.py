@@ -394,6 +394,24 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> None:
     _corpus_sigs(spark, sf_dir).count()
 
 
+def release_sigs(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist the MinHash signature store (bench hygiene: called
+    after the last headline consumer so storage memory doesn't bleed
+    into later queries' timings)."""
+    ident, _ = _table_key(spark, sf_dir, "documents")
+    hit = _MINHASH_SIGS.pop(ident, None)
+    if hit is not None:
+        hit[1].unpersist()
+
+
+def release_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist the IVF inverted file (bench hygiene, as above)."""
+    ident, _ = _table_key(spark, sf_dir, "embeddings")
+    hit = _IVF_INDEX.pop(ident, None)
+    if hit is not None:
+        hit[2].unpersist()
+
+
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-10 (rows-only: approximate by
     design; recall vs brute force asserted in tests/)."""
