@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "similarity_ivf_topk",
+    "similarity_ivf_int8",
     "text_stats",
     "text_language_id",
     "text_unigram_logprob",

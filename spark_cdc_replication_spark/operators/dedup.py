@@ -217,6 +217,75 @@ def cross_corpus_candidates(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """End-to-end fuzzy decontamination: return ``train`` minus every
+    document whose exact word-n-gram Jaccard against ANY benchmark
+    document is ``>= min_jaccard``.
+
+    The operation a real training pipeline runs (``contamination_check``
+    is the audit, :func:`cross_corpus_candidates` the candidate stage;
+    this composes candidates -> exact verify -> anti-join removal so
+    callers don't hand-wire the three steps).
+
+    Scale shape (100 TB training corpus, fixed-size eval suites):
+
+    * candidate stage — asymmetric banded LSH with the bench bands and
+      signatures broadcast; the training corpus is never shuffled;
+    * verify stage — train-side shingles are fetched by id for the
+      (bounded) candidate set only; the bench shingle table is
+      broadcast, so the verify join moves candidate rows, not the
+      corpus;
+    * removal — left-anti join on the (small, distinct) contaminated-id
+      set, which AQE turns into a broadcast anti-join: filter-shaped
+      end to end.
+
+    Train and bench id spaces need NOT be disjoint (each side is
+    shingled separately, unlike :func:`ngram_jaccard_pairs` which takes
+    one corpus frame).
+    """
+    cands = cross_corpus_candidates(
+        minhash_signatures(train, text_col, id_col, num_hashes, shingle_n),
+        minhash_signatures(bench, text_col, id_col, num_hashes, shingle_n),
+        id_col=id_col,
+        num_bands=num_bands,
+        min_est_jaccard=min_est_jaccard,
+    )
+    tsh = train.select(
+        F.col(id_col).alias("id_train"),
+        _shingles(normalized(text_col), shingle_n).alias("sh_a"),
+    )
+    bsh = bench.select(
+        F.col(id_col).alias("id_bench"),
+        _shingles(normalized(text_col), shingle_n).alias("sh_b"),
+    )
+    joined = (
+        cands.select("id_train", "id_bench")
+        .join(tsh, on="id_train")
+        .join(F.broadcast(bsh), on="id_bench")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    contaminated = (
+        joined.select(
+            "id_train", (inter / F.nullif(union, F.lit(0))).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(F.col("id_train").alias(id_col))
+        .distinct()
+    )
+    return train.join(contaminated, on=id_col, how="left_anti")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -380,6 +380,27 @@ def _ivf_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return hit[1], hit[2]
 
 
+#: Int8-compressed IVF index (FAISS SQ8 analogue) — same persisted-
+#: artifact lifecycle as ``_IVF_INDEX``; shares its trained centroids.
+_IVF_INT8: dict[tuple, tuple] = {}
+
+
+def _ivf_int8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    from ..operators.similarity import ivf_assign_int8
+
+    ident, version = _table_key(spark, sf_dir, "embeddings")
+    hit = _IVF_INT8.get(ident)
+    if hit is not None and hit[0] != version:
+        hit[2].unpersist()  # evict-on-replace: corpus was rewritten
+        hit = None
+    if hit is None:
+        cents, _ = _ivf_index(spark, sf_dir, emb)
+        assigned8 = ivf_assign_int8(emb, cents).persist()
+        hit = (version, cents, assigned8)
+        _IVF_INT8[ident] = hit
+    return hit[1], hit[2]
+
+
 def warm_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Build + materialize the persisted-artifact state outside any
     timed region: the IVF inverted file (maintained incrementally by
@@ -391,6 +412,8 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     _, assigned = _ivf_index(spark, sf_dir, emb)
     assigned.count()
+    _, assigned8 = _ivf_int8_index(spark, sf_dir, emb)
+    assigned8.count()
     _corpus_sigs(spark, sf_dir).count()
 
 
@@ -405,11 +428,12 @@ def release_sigs(spark: SparkSession, sf_dir: str) -> None:
 
 
 def release_indexes(spark: SparkSession, sf_dir: str) -> None:
-    """Unpersist the IVF inverted file (bench hygiene, as above)."""
+    """Unpersist the IVF inverted files (bench hygiene, as above)."""
     ident, _ = _table_key(spark, sf_dir, "embeddings")
-    hit = _IVF_INDEX.pop(ident, None)
-    if hit is not None:
-        hit[2].unpersist()
+    for store in (_IVF_INDEX, _IVF_INT8):
+        hit = store.pop(ident, None)
+        if hit is not None:
+            hit[2].unpersist()
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,6 +443,18 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = _ivf_index(spark, sf_dir, emb)
     out = ivf_topk(
         emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=4, assigned=assigned
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_similarity_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the int8-compressed inverted file (rows-only: approximate
+    by design twice over — IVF cell selectivity + int8 rounding; tests
+    pin recall@10 >= 0.75 vs the float brute force)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned8 = _ivf_int8_index(spark, sf_dir, emb)
+    out = ivf_topk(
+        emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=4, assigned=assigned8
     )
     return out.select("query_id", "neighbor_id", "rank")
 
@@ -1395,7 +1431,62 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full decontamination PIPELINE (vs ``decontaminate_fuzzy``,
+    which checks the detected pairs): same planted-leak fixture —
+    every 50th doc plays the benchmark, the training side is the rest
+    of the corpus plus perturbed copies of each bench doc — but the
+    output is the CLEANED TRAINING CORPUS (survivor ids + an md5
+    fingerprint pinning each survivor's exact bytes).  The oracle is
+    train minus the normalized-text ground-truth leaks, so a missed
+    leak (recall loss) or a wrongly removed clean doc (false admit to
+    the contaminated set) both break the hash."""
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 30_000).alias("doc_id"),
+            F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+        )
+    )
+    cleaned = decontaminate(
+        train,
+        bench,
+        num_hashes=32,
+        shingle_n=3,
+        num_bands=8,
+        min_est_jaccard=0.99,
+        min_jaccard=0.999,
+    )
+    return cleaned.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_fp")
+    )
+
+
 _NORM_OF_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+ORACLE_DECONTAMINATE_CORPUS = f"""
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM bench
+),
+tn AS (
+  SELECT doc_id, {_NORM_OF_TEXT} AS norm FROM train
+  WHERE len(string_split_regex({_NORM_OF_TEXT}, '\\s+')) >= 3
+),
+bn AS (
+  SELECT {_NORM_OF_TEXT} AS norm FROM bench
+  WHERE len(string_split_regex({_NORM_OF_TEXT}, '\\s+')) >= 3
+)
+SELECT doc_id, md5(text) AS text_fp
+FROM train
+WHERE doc_id NOT IN (SELECT DISTINCT t.doc_id FROM tn t JOIN bn b ON t.norm = b.norm)
+"""
 
 ORACLE_DECONTAMINATE_FUZZY = f"""
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
@@ -1432,6 +1523,7 @@ QUERIES = {
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_lsh_all": q_similarity_lsh_all,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_int8": q_similarity_ivf_int8,
     "similarity_ivf_all": q_similarity_ivf_all,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
@@ -1461,6 +1553,7 @@ QUERIES = {
     "text_unigram_logprob": q_text_unigram_logprob,
     "embedding_quantize": q_embedding_quantize,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "decontaminate_corpus": q_decontaminate_corpus,
 }
 
 ORACLE = {
@@ -1502,6 +1595,7 @@ ORACLE = {
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
+    "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

@@ -124,6 +124,32 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert f == e
 
 
+def test_ivf_int8_recall_vs_brute_force(spark, sf_dir):
+    from spark_cdc_replication_spark.operators.similarity import ivf_assign_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    cents = ivf_centroids(emb, num_centroids=16)
+    assigned8 = ivf_assign_int8(emb, cents)
+    # the stored codes really are int8 (the 4x-compression claim)
+    assert dict(assigned8.dtypes)["__cv"] == "array<tinyint>"
+    approx = ivf_topk(emb, queries, cents, k=10, nprobe=4, assigned=assigned8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.75, f"int8 IVF recall@10 below floor: {recall}"
+    assert all(1 <= r.rank <= 10 for r in a_rows)
+    # int8 rounding must barely move ranks: probing every cell with the
+    # quantized codes still recovers almost all of brute force
+    full8 = ivf_topk(emb, queries, cents, k=10, nprobe=16, assigned=assigned8)
+    f8 = {(r.query_id, r.neighbor_id) for r in full8.collect()}
+    assert len(e & f8) / len(e) >= 0.9, "int8 rounding degraded full-probe recall"
+
+
 def test_dup_clusters_chain_and_star(spark):
     from spark_cdc_replication_spark.operators.dedup import dup_clusters
 

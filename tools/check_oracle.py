@@ -67,7 +67,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
+        if only and name not in only and not any(o in name for o in only):
             continue
         t0 = time.time()
         try:
