@@ -468,6 +468,10 @@ def q_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(27,8)")).alias("__rev")
     )
+    # Deliberate global window (WindowExec warns): lag/trailing-MA need
+    # a total order over days, and the input is the per-day AGGREGATE —
+    # one row per calendar day (≤ ~36.5k/century) whatever the corpus
+    # size, so the single partition is bounded.  See SCALE.md §Analytics.
     w = Window.orderBy("day")
     w7 = w.rowsBetween(-6, 0)
     return daily.select(
@@ -777,11 +781,13 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(27,8)"))
         .alias("__total")
     )
-    # Global max via a window over the POST-AGGREGATE relation (one
-    # row per supplier) — a single-partition pass over the reduced
-    # relation, instead of the scalar-aggregate join-back that scans
-    # lineitem twice (Spark does not reuse the duplicated subtree;
-    # measured: 2 full fact scans).  The fact table is read once.
+    # Deliberate global window (WindowExec warns): the max runs over
+    # the POST-AGGREGATE relation — 3 narrow columns, one row per
+    # supplier (~0.01% of lineitem) — instead of the scalar-aggregate
+    # join-back that scans lineitem twice (Spark does not reuse the
+    # duplicated subtree; measured: 2 full fact scans).  The fact table
+    # is read once; the bounded single-partition pass is the strictly
+    # cheaper side of that trade at 100 TB.  See SCALE.md §Analytics.
     top = rev.withColumn("__max", F.max("__total").over(Window.partitionBy()))
     return (
         top.filter(F.col("__total") == F.col("__max"))

@@ -50,6 +50,11 @@ def main() -> int:
         print("oracle entries without queries:", sorted(dangling))
         rc = 1
 
+    # The driver only verifies the FIRST 50 registry entries, so the
+    # family floor is enforced twice: over the whole registry AND
+    # inside the gate window — a rotation can never push an entire
+    # family out of driver verification (VERDICT r3 "What's missing" #1).
+    window = set(list(entry.queries())[:50])
     for family, prefixes in FAMILIES.items():
         with_oracle = sorted(
             n for n in oracles if any(n.startswith(p) for p in prefixes)
@@ -61,6 +66,12 @@ def main() -> int:
             print(
                 f"family {family!r} has NO oracle-paired query "
                 f"(registered without oracle: {registered or 'none'})"
+            )
+            rc = 1
+        elif not any(n in window for n in with_oracle):
+            print(
+                f"family {family!r} has no oracle query inside the "
+                f"50-entry driver gate window (oracle-paired: {with_oracle})"
             )
             rc = 1
 
