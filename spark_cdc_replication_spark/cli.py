@@ -73,6 +73,7 @@ def build_pipeline(spark: SparkSession, cfg: dict) -> CdcPipeline:
         ckpt_dir=cfg.get("ckpt_dir"),
         topic=(cfg.get("kafka") or {}).get("topic"),
         merge_policy=cfg.get("merge_policy", "lww"),
+        fmt=cfg.get("fmt", "parquet"),
     )
     schema = SchemaRegistry(cfg.get("schema_dir", "json_schemas")).load(spec.name)
     return CdcPipeline(spark, spec, schema)
@@ -165,6 +166,7 @@ def cmd_compact(args: argparse.Namespace, spark: SparkSession) -> int:
         day,
         target_file_bytes=args.target_mb * 1024 * 1024,
         seal=args.seal,
+        fmt=cfg.get("fmt", "parquet"),
     )
     print(f"Compaction finished: {n} file(s).")
     return 0

@@ -41,6 +41,11 @@ class TableSpec:
     #: ``coalesce`` (column-wise latest-non-null, the reference's dead
     #: ``_coalesce_updates``, ``daily_data_handler.py:111-114``).
     merge_policy: str = "lww"
+    #: Raw-layer on-disk format.  The reference writes ORC everywhere
+    #: (``raw_data_handler.py:86``); parquet is the Spark-native
+    #: default here, with ORC supported end to end (stream land ->
+    #: day read -> compact).
+    fmt: str = "parquet"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -52,3 +57,5 @@ class TableSpec:
             raise ValueError(
                 f"merge_policy must be lww|coalesce, got {self.merge_policy!r}"
             )
+        if self.fmt not in ("parquet", "orc"):
+            raise ValueError(f"fmt must be parquet|orc, got {self.fmt!r}")

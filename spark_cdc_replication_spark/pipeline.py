@@ -45,7 +45,9 @@ class CdcPipeline:
     # -- stage 1 ----------------------------------------------------------
     def land(self, envelope: DataFrame) -> StreamingQuery:
         assert self.spec.data_dir and self.spec.ckpt_dir
-        return land_stream(envelope, self.spec.data_dir, self.spec.ckpt_dir)
+        return land_stream(
+            envelope, self.spec.data_dir, self.spec.ckpt_dir, fmt=self.spec.fmt
+        )
 
     # -- raw read + parse --------------------------------------------------
     def changes_for(self, day: dt.date | None) -> DataFrame:
@@ -53,9 +55,9 @@ class CdcPipeline:
         the history bootstrap path, history_data_handler.py:77-81)."""
         assert self.spec.data_dir
         raw = (
-            read_raw_day(self.spark, self.spec.data_dir, day)
+            read_raw_day(self.spark, self.spec.data_dir, day, fmt=self.spec.fmt)
             if day is not None
-            else read_raw_all(self.spark, self.spec.data_dir)
+            else read_raw_all(self.spark, self.spec.data_dir, fmt=self.spec.fmt)
         )
         return parse_envelope(raw.drop(*PARTITION_COLS), self.payload_schema)
 

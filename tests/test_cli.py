@@ -117,6 +117,92 @@ def test_cli_tick_reproduces_dag_cadence(spark, sf_dir, tmp_path, monkeypatch):
     assert spark.table("events_tick_daily").count() == 0  # truncated
 
 
+def test_cli_tick_crash_between_daily_and_history_converges(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Exactly-once for the ORCHESTRATED sequence, not just each stage:
+    an hour-0 tick dies after the daily promote but before the history
+    merge (the process-kill window the per-stage retry tests don't
+    cover); re-running the same tick must converge to the state an
+    uninterrupted tick produces — no duplicated raw rows (checkpointed
+    stream), no double-applied changes (staging-swap daily merge), and
+    a history table identical to the single-run outcome."""
+    SchemaRegistry(tmp_path / "schemas").save("events_crash", CDC_PAYLOAD_SCHEMA)
+    cfg = {
+        "name": "events_crash",
+        "primary_keys": ["id"],
+        "order_by": ["timestamp", "event_id"],
+        "data_dir": str(tmp_path / "raw"),
+        "ckpt_dir": str(tmp_path / "ckpt"),
+        "schema_dir": str(tmp_path / "schemas"),
+    }
+    p = tmp_path / "events_crash.json"
+    p.write_text(json.dumps(cfg))
+    for t in (
+        "events_crash_daily",
+        "events_crash_history",
+        "events_crash_history__staging",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    incoming = str(tmp_path / "incoming")
+    day = "ts >= '2024-01-05 00:00:00' AND ts < '2024-01-06 00:00:00'"
+    cdc_envelope(spark, sf_dir, where=day).write.mode("append").parquet(incoming)
+
+    def tick() -> int:
+        return cli.main(
+            [
+                "tick", "--config", str(p), "--source", incoming,
+                "--mode", "manual", "--date", "2024-01-05", "--hour", "0",
+            ],
+            spark=spark,
+        )
+
+    # First attempt: the process dies between the daily promote and the
+    # history merge — raw-load and daily-load have committed, the
+    # history stage never ran.
+    real_history_load = cli.cmd_history_load
+
+    def killed(args, spark):
+        raise RuntimeError("simulated process kill before history merge")
+
+    monkeypatch.setattr(cli, "cmd_history_load", killed)
+    with pytest.raises(RuntimeError, match="simulated process kill"):
+        tick()
+    raw_after_crash = spark.read.parquet(str(tmp_path / "raw")).count()
+    daily_after_crash = spark.table("events_crash_daily").count()
+    assert raw_after_crash > 0 and daily_after_crash > 0
+    assert not spark.catalog.tableExists("events_crash_history")
+
+    # The cron retries the SAME tick.  Raw must not re-land drained
+    # files, daily must re-merge idempotently, history must promote.
+    monkeypatch.setattr(cli, "cmd_history_load", real_history_load)
+    assert tick() == 0
+    assert spark.read.parquet(str(tmp_path / "raw")).count() == raw_after_crash
+    assert spark.table("events_crash_daily").count() == 0  # truncated
+    history = {
+        tuple(r) for r in spark.table("events_crash_history").collect()
+    }
+
+    # Convergence oracle: an uninterrupted pipeline over the same
+    # envelope produces byte-identical history content.
+    from spark_cdc_replication_spark.operators.cdc_parse import parse_envelope
+    from spark_cdc_replication_spark.operators.merge import apply_changes
+
+    expected_df = apply_changes(
+        parse_envelope(
+            spark.read.parquet(incoming), CDC_PAYLOAD_SCHEMA
+        ),
+        ["id"],
+        ["timestamp", "event_id"],
+    )
+    expected = {
+        tuple(r)
+        for r in expected_df.select(*spark.table("events_crash_history").columns).collect()
+    }
+    assert history == expected
+
+
 def test_cli_raw_load_requires_source_or_kafka(spark, cfg_path):
     cfg, _ = cfg_path
     assert cli.main(["raw-load", "--config", str(cfg)], spark=spark) == 2

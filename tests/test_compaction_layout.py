@@ -72,6 +72,42 @@ def test_compact_day_collapses_files_preserves_data(spark, sf_dir, tmp_path, fmt
     assert set(_day_files(root, other, ext=fmt)) == other_files_before
 
 
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_land_sorted_disjoint_file_ranges(spark, sf_dir, tmp_path, fmt):
+    """land_sorted's data-skipping layout holds in BOTH formats: within
+    each day partition, every FILE owns a disjoint key range (the
+    repartitionByRange contract — what lets parquet row-group stats or
+    ORC stripe stats skip whole files on a key filter), and the data
+    round-trips completely."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("timestamp"),
+        F.col("user_id"),
+        F.col("props").alias("value"),
+    )
+    root = str(tmp_path / "sorted")
+    land_sorted(ev, root, sort_cols=["user_id"], num_partitions=4, fmt=fmt)
+
+    by_day: dict[str, list[tuple[int, int]]] = {}
+    for f in glob.glob(os.path.join(root, "**", f"*.{fmt}"), recursive=True):
+        lo, hi = (
+            spark.read.format(fmt)
+            .load(f)
+            .agg(F.min("user_id"), F.max("user_id"))
+            .first()
+        )
+        by_day.setdefault(os.path.dirname(f), []).append((lo, hi))
+    assert by_day, "no files written"
+    multi = [spans for spans in by_day.values() if len(spans) > 1]
+    assert multi, "expected at least one day split across range files"
+    for spans in multi:
+        spans.sort()
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev <= lo_next, f"overlapping file ranges: {spans}"
+    assert (
+        spark.read.format(fmt).load(root).count() == ev.count()
+    )
+
+
 def test_land_sorted_gives_tight_rowgroup_stats(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").alias("timestamp"),

@@ -18,13 +18,16 @@ from spark_cdc_replication_spark.sources.raw import read_raw_day
 
 
 @pytest.fixture()
-def pipe(spark, sf_dir, tmp_path):
+def pipe(spark, sf_dir, tmp_path, request):
+    # indirect parametrization picks the raw-layer format; default parquet
+    fmt = getattr(request, "param", "parquet")
     spec = TableSpec(
         name="events_cdc",
         primary_keys=("id",),
         order_by=("timestamp", "event_id"),
         data_dir=str(tmp_path / "raw"),
         ckpt_dir=str(tmp_path / "ckpt"),
+        fmt=fmt,
     )
     return CdcPipeline(spark, spec, CDC_PAYLOAD_SCHEMA)
 
@@ -57,15 +60,20 @@ def golden_fold(sf_dir: str, upto: str | None = None):
     return {tuple(r) for r in rows}
 
 
+@pytest.mark.parametrize("pipe", ["parquet", "orc"], indirect=True)
 def test_land_partitions_and_exactly_once(spark, sf_dir, pipe, tmp_path):
+    """Streaming land in BOTH raw-layer formats (the reference's sink is
+    ORC, raw_data_handler.py:86): partition materialization, pruning,
+    and checkpointed exactly-once must be format-independent."""
+    fmt = pipe.spec.fmt
     src = land_all(spark, sf_dir, pipe, tmp_path)
-    raw = spark.read.parquet(pipe.spec.data_dir)
+    raw = spark.read.format(fmt).load(pipe.spec.data_dir)
     n = raw.count()
     assert n == spark.read.parquet(src).count()
     # partition columns materialized hive-style
     assert {"op_year", "op_month", "op_day"} <= set(raw.columns)
     # a day read is partition-pruned, non-empty, and misses nothing
-    day = read_raw_day(spark, pipe.spec.data_dir, dt.date(2024, 1, 5))
+    day = read_raw_day(spark, pipe.spec.data_dir, dt.date(2024, 1, 5), fmt=fmt)
     assert day.count() > 0
     plan = day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
@@ -73,7 +81,7 @@ def test_land_partitions_and_exactly_once(spark, sf_dir, pipe, tmp_path):
     stream = spark.readStream.schema("timestamp timestamp, value string").parquet(src)
     q2 = pipe.land(stream)
     q2.awaitTermination(120)
-    assert spark.read.parquet(pipe.spec.data_dir).count() == n
+    assert spark.read.format(fmt).load(pipe.spec.data_dir).count() == n
 
 
 def test_full_pipeline_matches_golden_fold(spark, sf_dir, pipe, tmp_path):
