@@ -286,6 +286,50 @@ def decontaminate(
     return train.join(contaminated, on=id_col, how="left_anti")
 
 
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Survivor-returning near-dup removal — the within-corpus sibling
+    of :func:`decontaminate`: LSH candidates -> exact n-gram verify ->
+    drop every document that verified-duplicates a SMALLER id, keeping
+    one canonical copy per duplicate group (the lowest id; for
+    transitive duplicate relations this is exactly the per-group
+    minimum, and the deterministic rule makes reruns reproducible).
+
+    Callers previously had to hand-wire candidates + verify + removal;
+    this returns the cleaned corpus directly, preserving every column
+    of ``df``.
+
+    Scale shape: the band self-join carries 3 scalars/row (see
+    :func:`minhash_lsh_candidates`); the verify join fetches shingles
+    by id for the bounded candidate set only; the final left-anti join
+    removes a small distinct id set that AQE broadcasts — the corpus
+    itself is never shuffled.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(
+        sigs, id_col=id_col, num_bands=num_bands, min_est_jaccard=min_est_jaccard
+    )
+    verified = ngram_jaccard_pairs(
+        df,
+        cands.select("id_a", "id_b"),
+        text_col=text_col,
+        id_col=id_col,
+        n=shingle_n,
+        min_jaccard=min_jaccard,
+    )
+    # pairs arrive id_a < id_b, so id_b is always the non-canonical side
+    removed = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(removed, on=id_col, how="left_anti")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",

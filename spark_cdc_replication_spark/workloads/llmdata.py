@@ -1431,6 +1431,38 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup removal PIPELINE, hash-green end to end:
+    every 20th doc gets a perturbed copy planted at +10000 (case /
+    whitespace noise that normalizes away), and the output is the
+    CLEANED corpus — survivors + md5 fingerprints.  With the verify
+    threshold at 0.999 the near-dup relation coincides with
+    normalized-text equality, so the oracle is exact: a doc is removed
+    iff a smaller-id doc (both with >=3 tokens — shingle-able) shares
+    its normalized text.  Any banding recall loss, verifier false
+    admit, or wrong canonical choice breaks the hash."""
+    from ..operators.dedup import dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"),
+            F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+        )
+    )
+    cleaned = dedup_corpus(
+        corpus,
+        num_hashes=32,
+        shingle_n=3,
+        num_bands=8,
+        min_est_jaccard=0.99,
+        min_jaccard=0.999,
+    )
+    return cleaned.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_fp")
+    )
+
+
 def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full decontamination PIPELINE (vs ``decontaminate_fuzzy``,
     which checks the detected pairs): same planted-leak fixture —
@@ -1466,6 +1498,26 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NORM_OF_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+ORACLE_DEDUP_CORPUS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+tn AS (
+  SELECT doc_id, {_NORM_OF_TEXT} AS norm FROM corpus
+  WHERE len(string_split_regex({_NORM_OF_TEXT}, '\\s+')) >= 3
+),
+removed AS (
+  SELECT DISTINCT b.doc_id
+  FROM tn a JOIN tn b ON a.norm = b.norm AND a.doc_id < b.doc_id
+)
+SELECT doc_id, md5(text) AS text_fp
+FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+"""
 
 ORACLE_DECONTAMINATE_CORPUS = f"""
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
@@ -1554,6 +1606,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
+    "dedup_corpus": q_dedup_corpus,
 }
 
 ORACLE = {
@@ -1596,6 +1649,7 @@ ORACLE = {
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
+    "dedup_corpus": ORACLE_DEDUP_CORPUS,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

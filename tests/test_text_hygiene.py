@@ -126,3 +126,51 @@ def test_cross_corpus_candidates_catches_fuzzy_leak_and_broadcasts_bench(spark):
     # shuffled through a sort-merge exchange for the band join
     plan = cands._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_removes_leaks_keeps_clean_and_handles_shared_ids(spark):
+    """The composed pipeline returns the cleaned TRAIN corpus: the
+    reformatted leak goes, clean docs stay with all their columns, and
+    — unlike ngram_jaccard_pairs — train/bench id spaces may overlap
+    (each side is shingled separately)."""
+    from spark_cdc_replication_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        # id 1 deliberately collides with a train id
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "completely unrelated sentence about distributed query engines"),
+            (2, "The  Quick  Brown  Fox  Jumps  Over  The  Lazy  Dog  Tonight"),
+            (3, "another unrelated document mentioning parquet and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(
+        train, bench, min_est_jaccard=0.99, min_jaccard=0.999
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+    assert out.columns == train.columns
+
+
+def test_dedup_corpus_keeps_lowest_id_per_dup_group(spark):
+    from spark_cdc_replication_spark.operators.dedup import dedup_corpus
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            # normalized duplicates of doc 1 — only the lowest id survives
+            (2, "The  Quick  Brown  Fox  Jumps  Over  The  Lazy  Dog  Tonight"),
+            (5, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TONIGHT"),
+            (3, "completely unrelated sentence about distributed query engines"),
+            # too short to shingle (< 3 tokens): never a candidate, always kept
+            (4, "tiny doc"),
+            (6, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_corpus(corpus, min_est_jaccard=0.99, min_jaccard=0.999)
+    assert {r.doc_id for r in out.collect()} == {1, 3, 4, 6}
+    assert out.columns == corpus.columns
