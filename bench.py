@@ -86,7 +86,7 @@ def main() -> None:
     release_after = {
         "cdc_increment_append": release_changes,
         "dedup_minhash_lsh": release_sigs,
-        "similarity_ivf_topk": release_indexes,
+        "similarity_ivf_int8": release_indexes,
     }
 
     # Each query is timed as min-of-RUNS so a one-off GC pause / session

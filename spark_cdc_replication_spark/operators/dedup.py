@@ -227,6 +227,7 @@ def decontaminate(
     num_bands: int = 8,
     min_est_jaccard: float = 0.5,
     min_jaccard: float = 0.8,
+    broadcast_removal: bool = True,
 ) -> DataFrame:
     """End-to-end fuzzy decontamination: return ``train`` minus every
     document whose exact word-n-gram Jaccard against ANY benchmark
@@ -246,8 +247,11 @@ def decontaminate(
       broadcast, so the verify join moves candidate rows, not the
       corpus;
     * removal — left-anti join on the (small, distinct) contaminated-id
-      set, which AQE turns into a broadcast anti-join: filter-shaped
-      end to end.
+      set, EXPLICITLY broadcast (measured: AQE planned it sort-merge,
+      which would shuffle the whole training corpus — bodies included —
+      by id).  The set is bounded by the verified leak count; in the
+      pathological case where it can't fit the driver, pass
+      ``broadcast_removal=False``.  Filter-shaped end to end otherwise.
 
     Train and bench id spaces need NOT be disjoint (each side is
     shingled separately, unlike :func:`ngram_jaccard_pairs` which takes
@@ -283,6 +287,8 @@ def decontaminate(
         .select(F.col("id_train").alias(id_col))
         .distinct()
     )
+    if broadcast_removal:
+        contaminated = F.broadcast(contaminated)
     return train.join(contaminated, on=id_col, how="left_anti")
 
 
@@ -295,6 +301,7 @@ def dedup_corpus(
     num_bands: int = 8,
     min_est_jaccard: float = 0.5,
     min_jaccard: float = 0.8,
+    broadcast_removal: bool = True,
 ) -> DataFrame:
     """Survivor-returning near-dup removal — the within-corpus sibling
     of :func:`decontaminate`: LSH candidates -> exact n-gram verify ->
@@ -310,8 +317,12 @@ def dedup_corpus(
     Scale shape: the band self-join carries 3 scalars/row (see
     :func:`minhash_lsh_candidates`); the verify join fetches shingles
     by id for the bounded candidate set only; the final left-anti join
-    removes a small distinct id set that AQE broadcasts — the corpus
-    itself is never shuffled.
+    EXPLICITLY broadcasts the distinct removal-id set — measured, AQE
+    left it a sort-merge join, which would shuffle every document BODY
+    by id just to drop the duplicates.  If the duplicate fraction is so
+    large the id set outgrows the driver (billions of removals), pass
+    ``broadcast_removal=False`` to fall back to the shuffled anti-join
+    — in that regime the shuffle is the honest cost of the rewrite.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     cands = minhash_lsh_candidates(
@@ -327,6 +338,8 @@ def dedup_corpus(
     )
     # pairs arrive id_a < id_b, so id_b is always the non-canonical side
     removed = verified.select(F.col("id_b").alias(id_col)).distinct()
+    if broadcast_removal:
+        removed = F.broadcast(removed)
     return df.join(removed, on=id_col, how="left_anti")
 
 

@@ -165,3 +165,34 @@ def test_single_fact_scan_for_threshold_rewrites(spark, sf_dir):
         ("tfidf", llmdata.QUERIES["tfidf_top_terms"], "documents.parquet", 2),
     ):
         assert count_table_scans(fn(spark, sf_dir), table) == expect, name
+
+
+def test_corpus_removal_pipelines_broadcast_the_removal_set(spark, sf_dir):
+    """dedup_corpus / decontaminate are filter-shaped at 100 TB: the
+    final removal is a broadcast LEFT-ANTI join — the corpus never
+    rides a sort-merge exchange (which would shuffle document BODIES by
+    id) just to drop its duplicates/leaks.  Asserted on the pre-AQE
+    plan because the broadcast is EXPLICIT in the operators: measured,
+    AQE left the anti-join sort-merge when given the choice."""
+    from spark_cdc_replication_spark.operators.dedup import (
+        decontaminate,
+        dedup_corpus,
+    )
+
+    def anti_join_lines(df):
+        return [
+            line
+            for line in plan_of(df).splitlines()
+            if "LeftAnti" in line
+        ]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned = dedup_corpus(docs, min_est_jaccard=0.99, min_jaccard=0.999)
+    lines = anti_join_lines(cleaned)
+    assert lines and all("BroadcastHashJoin" in ln for ln in lines), lines
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = decontaminate(train, bench, min_est_jaccard=0.99, min_jaccard=0.999)
+    lines = anti_join_lines(out)
+    assert lines and all("BroadcastHashJoin" in ln for ln in lines), lines
