@@ -248,14 +248,21 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """The IVF inverted file: ``(neighbor_id, __cv, cell)`` — every
-    corpus vector tagged with its nearest-centroid cell.  Build it once
-    per corpus, ``persist()`` it, and hand it to :func:`ivf_topk` for
-    each query batch; at scale this is the table you'd write to
-    storage partitioned BY cell so a probe reads only its cells."""
-    return corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("cell", _cell_assign_udf(centroids)("__cv"))
+    """The IVF inverted file: ``(neighbor_id, __cv, __cn, cell)`` —
+    every corpus vector tagged with its nearest-centroid cell, its L2
+    norm precomputed into the index (``__cn``): the probe then does ONE
+    dot product per candidate instead of three (norms recomputed per
+    pair were ~2/3 of the scoring work).  Build it once per corpus,
+    ``persist()`` it, and hand it to :func:`ivf_topk` for each query
+    batch; at scale this is the table you'd write to storage
+    partitioned BY cell so a probe reads only its cells."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        .withColumn("cell", _cell_assign_udf(centroids)("__cv"))
+        .withColumn("__cn", l2_norm("__cv"))
+    )
 
 
 def ivf_assign_int8(
@@ -294,7 +301,10 @@ def ivf_assign_int8(
         .otherwise(F.floor(v.cast("double") * 127.0 / s + 0.5))
         .cast("tinyint"),
     )
-    return staged.select("neighbor_id", q.alias("__cv"), "cell")
+    # code norm precomputed like the float index's __cn (same
+    # one-dot-per-candidate probe contract)
+    staged = staged.select("neighbor_id", q.alias("__cv"), "cell")
+    return staged.withColumn("__cn", l2_norm("__cv"))
 
 
 def ivf_topk(
@@ -333,16 +343,30 @@ def ivf_topk(
         else ivf_assign(corpus, centroids, vec_col=vec_col, id_col=id_col)
     )
 
+    # The persisted index carries precomputed corpus norms (__cn);
+    # tolerate an index built before that column existed.
+    if "__cn" not in c.columns:
+        c = c.withColumn("__cn", l2_norm("__cv"))
+
     # Queries -> nprobe cells each: one narrow Arrow projection + explode.
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("cell", F.explode(_probe_cells_udf(centroids, nprobe)("__qv")))
+    # Query norm computed ONCE per query row (before the cell explode
+    # and candidate fan-out), so scoring is one dot product per
+    # candidate — norms-per-pair were ~2/3 of the probe's scoring work.
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", l2_norm("__qv"))
+        .withColumn("cell", F.explode(_probe_cells_udf(centroids, nprobe)("__qv")))
+    )
 
     cands = c.join(F.broadcast(q), on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = cands.select(
-        "query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

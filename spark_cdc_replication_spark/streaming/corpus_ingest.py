@@ -40,7 +40,12 @@ from ..functions.text import fingerprint
 
 
 def _dedup_batch_against_corpus(
-    batch: DataFrame, corpus_dir: str, id_col: str, text_col: str
+    batch: DataFrame,
+    corpus_dir: str,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame | None = None,
+    decontaminate_opts: dict | None = None,
 ) -> None:
     spark = batch.sparkSession
     fp = batch.withColumn("fp", fingerprint(text_col))
@@ -54,6 +59,23 @@ def _dedup_batch_against_corpus(
         index = None  # first batch: corpus does not exist yet
     if index is not None:
         fresh = fresh.join(index, "fp", "left_anti")
+    if bench is not None:
+        # ingest-time decontamination: each micro-batch is scrubbed
+        # against the (fixed, caller-persisted) benchmark corpus BEFORE
+        # it ever reaches the training corpus — a leak is never
+        # persisted, rather than audited out later.  Per-batch cost is
+        # batch-sized, not corpus-sized: the batch plays the "train"
+        # side of decontaminate(), so only its own shingles are hashed;
+        # the bench side is broadcast as always.
+        from ..operators.dedup import decontaminate
+
+        fresh = decontaminate(
+            fresh,
+            bench,
+            text_col=text_col,
+            id_col=id_col,
+            **(decontaminate_opts or {}),
+        )
     fresh.write.mode("append").parquet(corpus_dir)
 
 
@@ -64,16 +86,25 @@ def corpus_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     available_now: bool = True,
+    bench: DataFrame | None = None,
+    decontaminate_opts: dict | None = None,
 ) -> StreamingQuery:
     """Continuously ingest documents, appending only content-new ones.
 
     ``documents`` is any streaming frame with (id, text, ...) columns;
     survivors land under ``corpus_dir`` with an extra ``fp`` column —
-    the corpus doubles as its own dedup index."""
+    the corpus doubles as its own dedup index.
+
+    Pass ``bench`` (a static benchmark-corpus frame — persist() it, the
+    plan re-executes per micro-batch) to ALSO fuzzy-decontaminate every
+    batch on the way in (``operators.dedup.decontaminate`` semantics;
+    ``decontaminate_opts`` forwards thresholds): the streaming analogue
+    of the batch hygiene pipeline, so eval leaks never enter the corpus
+    in the first place."""
     writer = (
         documents.writeStream.foreachBatch(
             lambda batch, _epoch: _dedup_batch_against_corpus(
-                batch, corpus_dir, id_col, text_col
+                batch, corpus_dir, id_col, text_col, bench, decontaminate_opts
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -90,3 +90,65 @@ def test_partial_corpus_commit_heals_on_replay(spark, sf_dir, tmp_path):
     assert got.count() == n_fp  # zero duplicated content
     assert got.count() == docs.select(fingerprint("text")).distinct().count()
     assert got.count() > before  # the odd half did land
+
+
+def test_streaming_ingest_decontaminates_each_batch(spark, sf_dir, tmp_path):
+    """With a bench corpus attached, the stream converges to the same
+    survivor set as the BATCH pipeline (dedup then decontaminate) over
+    everything seen: leaks — including a perturbed copy arriving in a
+    LATER batch — never enter the corpus; clean docs all do."""
+    from spark_cdc_replication_spark.functions.text import fingerprint
+    from spark_cdc_replication_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text").persist()
+    )
+    clean = docs.filter(F.col("doc_id") % 50 != 0)
+    # reformatted leaks: one per bench doc, landing in the SECOND drop
+    leaks = bench.select(
+        (F.col("doc_id") + 30_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("leak").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+    src = str(tmp_path / "src")
+    opts = {"min_est_jaccard": 0.99, "min_jaccard": 0.999}
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).parquet(src)
+        q = corpus_dedup_stream(
+            stream,
+            corpus_dir=str(tmp_path / "corpus"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            bench=bench,
+            decontaminate_opts=opts,
+        )
+        q.awaitTermination(120)
+
+    clean.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+    run()
+    clean.filter(F.col("doc_id") % 2 == 1).unionByName(leaks).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+
+    got = spark.read.parquet(str(tmp_path / "corpus"))
+    assert got.filter(F.col("source") == "leak").count() == 0
+    # batch-pipeline equivalence on content fingerprints (fingerprint-
+    # distinct mirrors the stream's min-id-per-fp exact-dedup rule)
+    batch_survivors = decontaminate(clean.unionByName(leaks), bench, **opts)
+
+    def fps(df):
+        return {
+            r.fp for r in df.select(fingerprint("text").alias("fp")).distinct().collect()
+        }
+
+    assert fps(got) == fps(batch_survivors)
+    bench.unpersist()
