@@ -123,26 +123,39 @@ def lsh_topk(
     corpus is scanned once regardless of how many hash tables are used.
     """
     bucket_udf = _lsh_buckets_udf(planes_tables)
+    # Norms ride the bucket rows (computed once per vector, before the
+    # per-table posexplode), so scoring is one dot product per
+    # candidate — same contract as the IVF probe.
     cb = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
     ).select(
-        "neighbor_id", "__cv", F.posexplode(bucket_udf("__cv")).alias("table_id", "bucket")
+        "neighbor_id",
+        "__cv",
+        "__cn",
+        F.posexplode(bucket_udf("__cv")).alias("table_id", "bucket"),
     )
     qb = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
     ).select(
-        "query_id", "__qv", F.posexplode(bucket_udf("__qv")).alias("table_id", "bucket")
+        "query_id",
+        "__qv",
+        "__qn",
+        F.posexplode(bucket_udf("__qv")).alias("table_id", "bucket"),
     )
     cands = (
         cb.join(F.broadcast(qb), on=["table_id", "bucket"])
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity("__qv", "__cv").alias("cosine"),
+        cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
