@@ -25,7 +25,12 @@ from pyspark.sql.types import StructType
 
 from .config import TableSpec
 from .operators.cdc_parse import parse_envelope
-from .operators.merge import apply_changes, increment_append, merge_snapshot
+from .operators.merge import (
+    apply_changes,
+    increment_append,
+    latest_per_key,
+    merge_snapshot,
+)
 from .sources import catalog
 from .sources.raw import PARTITION_COLS, read_raw_all, read_raw_day, with_partition_cols
 from .streaming.ingest import land_stream
@@ -71,6 +76,21 @@ class CdcPipeline:
         if not catalog.table_exists(self.spark, table):
             snapshot = apply_changes(changes, pk, order, self.spec.merge_policy)
             snapshot.write.saveAsTable(table)
+            return
+        # Transactional fast path (SURVEY.md §4.3): on a Delta/Iceberg
+        # table, one atomic MERGE INTO touches only the files holding
+        # matched keys.  lww only — the coalesce policy needs
+        # per-column latest-non-null, which MERGE's row-wise UPDATE
+        # can't express.
+        if self.spec.merge_policy == "lww" and catalog.acid_provider(
+            self.spark, table
+        ):
+            catalog.merge_into(
+                self.spark,
+                latest_per_key(changes, pk, order),
+                table,
+                tuple(pk),
+            )
             return
         snapshot = self.spark.table(table)
         merged = merge_snapshot(

@@ -14,8 +14,11 @@ limit(1)+TRUNCATE bootstrap / tmp-table lineage-break dance:
   an atomic-rename promote.  The reference's sequence has a data-loss
   window (crash after the target overwrite starts); staging-then-swap
   keeps the old table readable until the new one is fully written.
-  (On Delta/Iceberg deployments, replace with ``MERGE INTO`` — not
-  available in this container.)
+  On Delta/Iceberg deployments :func:`merge_into` is the fast path —
+  ``pipeline.merge_day`` auto-detects the provider and issues one
+  atomic ``MERGE INTO`` instead (the packages aren't in this
+  container, so execution is exercised only on non-ACID fallback +
+  statement-shape tests here).
 """
 
 from __future__ import annotations
@@ -62,3 +65,81 @@ def append_table(df: DataFrame, table: str, partition_by: tuple[str, ...] = ()) 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.saveAsTable(table)
+
+
+#: Table providers whose catalogs execute ``MERGE INTO`` atomically.
+ACID_PROVIDERS = ("delta", "iceberg")
+
+
+def acid_provider(spark: SparkSession, table: str) -> str | None:
+    """The table's provider if it supports ``MERGE INTO`` (Delta /
+    Iceberg), else None — the switch between the transactional merge
+    fast path and the pure-Spark staging-swap (SURVEY.md §4.3)."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    except Exception:  # table missing / not describable -> no fast path
+        return None
+    for r in rows:
+        if (r.col_name or "").strip().lower() == "provider":
+            prov = (r.data_type or "").strip().lower()
+            return prov if prov in ACID_PROVIDERS else None
+    return None
+
+
+def merge_statement(
+    table: str,
+    source_view: str,
+    primary_keys: tuple[str, ...],
+    columns: tuple[str, ...],
+    op_col: str = "__op",
+    delete_op: str = "d",
+) -> str:
+    """The CDC upsert as ONE ``MERGE INTO`` statement.
+
+    Null primary keys match nothing under ``=`` — they insert rather
+    than update, the same accumulate semantics as the anti-join merge
+    (``test_merge_null_pk_rows_accumulate_not_overwrite``).
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in primary_keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
+    ins_cols = ", ".join(columns)
+    ins_vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED AND s.{op_col} = '{delete_op}' THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED AND s.{op_col} <> '{delete_op}' "
+        f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def merge_into(
+    spark: SparkSession,
+    latest_changes: DataFrame,
+    table: str,
+    primary_keys: tuple[str, ...],
+    op_col: str = "__op",
+    delete_op: str = "d",
+) -> None:
+    """Transactional merge fast path (Delta / Iceberg): apply a
+    batch-deduped change set to ``table`` in ONE atomic statement —
+    no staging table, no catalog swap window, and the engine rewrites
+    only the files holding matched keys instead of the whole snapshot
+    (the staging-swap's full rewrite is the cost the reference's
+    tmp-table dance also pays, ``daily_data_handler.py:141-155``).
+
+    ``latest_changes`` must be one row per key with ``op_col`` intact —
+    ``operators.merge.latest_per_key`` output BEFORE meta-drop (MERGE
+    sources must have unique join keys).
+    """
+    cols = tuple(
+        c for c in latest_changes.columns if c not in (op_col, "__deleted")
+    )
+    view = f"__merge_src_{table.replace('.', '_')}"
+    latest_changes.createOrReplaceTempView(view)
+    try:
+        spark.sql(
+            merge_statement(table, view, primary_keys, cols, op_col, delete_op)
+        )
+    finally:
+        spark.catalog.dropTempView(view)
