@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalized, words
@@ -62,21 +62,6 @@ def exact_dedup(
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
-
-def _shingles(text_col: str | Column, n: int) -> Column:
-    """Word n-gram shingles as an array<string> (distinct).
-
-    ``transform(sequence(...), i -> concat_ws(' ', slice(words, i, n)))``
-    — all native, no UDF.
-    """
-    w = words(text_col)
-    k = F.greatest(F.size(w) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), k)
-    return F.array_distinct(
-        F.when(k > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
-        .otherwise(F.array().cast("array<string>"))
-    )
-
 
 def _shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int, out_col: str = "__sh"
