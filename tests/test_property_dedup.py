@@ -1,0 +1,67 @@
+"""Property-based check of the composed dedup pipeline.
+
+Invariant: at the equality-level threshold, ``dedup_corpus`` over ANY
+small corpus equals the brute-force specification — compute every
+pair's exact shingle-set Jaccard in plain Python, remove each doc that
+matches a smaller id.  Soundness of the model: with <= ~50 shingles per
+doc, jaccard >= 0.999 forces EQUAL shingle sets, equal sets hash to
+identical minhash signatures, and identical signatures always collide
+in the band join — so the LSH candidate stage provably cannot miss a
+qualifying pair, making the banded pipeline and the all-pairs model
+exactly comparable (no recall slack needed).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_cdc_replication_spark.operators.dedup import dedup_corpus
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+#: A document is 3-12 words from a tiny vocabulary (so duplicate and
+#: near-miss texts actually occur); ids are the list positions.
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=3, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+def shingle_set(text: str, n: int = 3) -> frozenset:
+    words = text.lower().split()
+    return frozenset(
+        " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+    )
+
+
+def model_survivors(texts: list[str], min_jaccard: float = 0.999) -> set[int]:
+    """All-pairs spec: drop i if some j < i has jaccard >= threshold."""
+    sets = [shingle_set(t) for t in texts]
+    removed = set()
+    for i in range(len(texts)):
+        for j in range(i):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= min_jaccard:
+                removed.add(i)
+                break
+    return set(range(len(texts))) - removed
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_strategy)
+def test_dedup_corpus_matches_all_pairs_model(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup_corpus(df, min_est_jaccard=0.99, min_jaccard=0.999)
+    got = {r.doc_id for r in out.collect()}
+    assert got == model_survivors(texts)
