@@ -65,3 +65,40 @@ def test_dedup_corpus_matches_all_pairs_model(spark, texts):
     out = dedup_corpus(df, min_est_jaccard=0.99, min_jaccard=0.999)
     got = {r.doc_id for r in out.collect()}
     assert got == model_survivors(texts)
+
+
+def model_clean(
+    train: list[str], bench: list[str], min_jaccard: float = 0.999
+) -> set[int]:
+    """All-pairs spec for decontamination: drop train doc i if ANY
+    bench doc matches it at the threshold."""
+    bsets = [shingle_set(t) for t in bench]
+    kept = set()
+    for i, t in enumerate(train):
+        a = shingle_set(t)
+        hit = any(
+            b and a and len(a & b) / len(a | b) >= min_jaccard for b in bsets
+        )
+        if not hit:
+            kept.add(i)
+    return kept
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_strategy, doc_strategy)
+def test_decontaminate_matches_all_pairs_model(spark, train_texts, bench_texts):
+    from spark_cdc_replication_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    out = decontaminate(train, bench, min_est_jaccard=0.99, min_jaccard=0.999)
+    got = {r.doc_id for r in out.collect()}
+    assert got == model_clean(train_texts, bench_texts)
