@@ -326,3 +326,43 @@ def unigram_logprob(
             F.sum(F.col("__tf") * F.col("__lp")).cast("long").alias("logprob_micro"),
         )
     )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line that occurs in at
+    least ``min_docs`` DISTINCT documents corpus-wide (nav bars, cookie
+    banners, license footers), reassembling each document's remaining
+    lines in their original order.  Documents whose every line is
+    boilerplate drop out entirely.
+
+    Scale shape: one ``posexplode`` over lines; the repeated-line set
+    comes from a count aggregate (map-side partials on the line key)
+    and is broadcast for the removal anti-join — boilerplate cardinality
+    is vocabulary-bounded (the reason the operation works at all), so
+    the corpus lines are never shuffled for removal.  The reassembly
+    groupBy is the one unavoidable shuffle, carrying (id, pos, line)
+    rows.  Matching is exact-line; normalize upstream if needed.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(text_col, sep)).alias("__pos", "__line")
+    )
+    repeated = (
+        lines.groupBy("__line")
+        .agg(F.countDistinct(id_col).alias("__n"))
+        .filter(F.col("__n") >= min_docs)
+        .select("__line")
+    )
+    kept = lines.join(F.broadcast(repeated), on="__line", how="left_anti")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+        lambda s: s.getField("__line"),
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, sep).alias(text_col)
+    )

@@ -1467,6 +1467,62 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-line (boilerplate) removal, hash-green end to
+    end: multi-line docs are synthesized from the fixture (two 8-word
+    body lines per doc) with boilerplate planted in every 3rd doc (a
+    header) and every 5th doc (a footer).  At ``min_docs=3`` both
+    planted lines cross the threshold corpus-wide and must vanish from
+    every document, while body lines survive in order — the oracle
+    recomputes the whole thing in SQL, so a wrongly dropped body line,
+    a surviving boilerplate line, or a reassembly order bug all break
+    the hash."""
+    from ..operators.textanalysis import remove_repeated_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("subscribe to our newsletter today")),
+            F.array_join(F.slice(w, 1, 8), " "),
+            F.array_join(F.slice(w, 9, 8), " "),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("all rights reserved")),
+        ).alias("text"),
+    )
+    return remove_repeated_lines(corpus, min_docs=3)
+
+
+ORACLE_TEXT_LINE_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+           CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today' END,
+           array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '),
+           array_to_string(list_slice(string_split(text, ' '), 9, 16), ' '),
+           CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved' END
+         ) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u.pos, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> struct_pack(pos := i, line := x))) AS u
+    FROM corpus
+  )
+),
+repeated AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM lines
+WHERE line NOT IN (SELECT line FROM repeated)
+GROUP BY doc_id
+"""
+
+
 def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full decontamination PIPELINE (vs ``decontaminate_fuzzy``,
     which checks the detected pairs): same planted-leak fixture —
@@ -1614,6 +1670,7 @@ QUERIES = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_corpus": q_dedup_corpus,
+    "text_line_dedup": q_text_line_dedup,
 }
 
 ORACLE = {
@@ -1657,6 +1714,7 @@ ORACLE = {
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,
+    "text_line_dedup": ORACLE_TEXT_LINE_DEDUP,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

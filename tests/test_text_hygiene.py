@@ -174,3 +174,28 @@ def test_dedup_corpus_keeps_lowest_id_per_dup_group(spark):
     out = dedup_corpus(corpus, min_est_jaccard=0.99, min_jaccard=0.999)
     assert {r.doc_id for r in out.collect()} == {1, 3, 4, 6}
     assert out.columns == corpus.columns
+
+
+def test_remove_repeated_lines_drops_boilerplate_keeps_order(spark):
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        remove_repeated_lines,
+    )
+
+    boiler = "subscribe now"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nalpha beta\ngamma delta"),
+            (2, f"{boiler}\nepsilon zeta"),
+            (3, f"eta theta\n{boiler}\niota kappa"),
+            (4, boiler),  # all-boilerplate doc: drops out entirely
+            (5, "unique line one\nunique line two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in remove_repeated_lines(corpus, min_docs=3).collect()}
+    assert out == {
+        1: "alpha beta\ngamma delta",
+        2: "epsilon zeta",
+        3: "eta theta\niota kappa",  # middle line removed, order kept
+        5: "unique line one\nunique line two",
+    }
