@@ -366,3 +366,54 @@ def remove_repeated_lines(
     return kept.groupBy(id_col).agg(
         F.array_join(ordered, sep).alias(text_col)
     )
+
+
+def filter_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+    min_words: int = 10,
+    min_distinct_word_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher/C4-style composed quality filter returning the SURVIVOR
+    corpus (every input column preserved) — the filtering member of the
+    hygiene triad (``dedup.dedup_corpus`` removes duplicates,
+    ``dedup.decontaminate`` removes eval leaks, this removes low-quality
+    documents): quality score, language, length, and intra-document
+    repetition thresholds applied in one call.
+
+    Shape: the row-wise features (quality, language) chain into ONE
+    projection over one scan (``append=True`` discipline); repetition
+    needs its bigram aggregate, so the corpus is read in two genuinely
+    different roles (row-projection + explode/groupBy — the SCALE.md
+    multi-scan policy) and re-joined on the id — a co-keyed hash join
+    carrying only the per-doc stats.  All filters are pushed into one
+    predicate; survivors keep their storage layout.
+    """
+    feats = language_id(
+        quality_score(df, text_col=text_col, id_col=id_col, append=True),
+        text_col=text_col,
+        id_col=id_col,
+        append=True,
+    )
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col)
+    joined = feats.join(
+        rep.select(
+            F.col(id_col),
+            "n_words",
+            "distinct_word_frac",
+            "top_bigram_frac",
+        ),
+        on=id_col,
+    )
+    keep = (
+        (F.col("quality") >= min_quality)
+        & F.col("pred_lang").isin(list(langs))
+        & (F.col("n_words") >= min_words)
+        & (F.col("distinct_word_frac") >= min_distinct_word_frac)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
+    )
+    return joined.filter(keep).select(*df.columns)

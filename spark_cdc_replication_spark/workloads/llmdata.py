@@ -1523,6 +1523,82 @@ GROUP BY doc_id
 """
 
 
+def q_text_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality filter, survivor-returning and hash-green:
+    quality >= 0.5, predicted language en, >= 20 words, distinct-word
+    fraction >= 0.3, top-bigram fraction <= 0.2 — every threshold
+    recomputed independently by the oracle, so a drift in ANY of the
+    five feature definitions or in the predicate composition breaks
+    the hash."""
+    from ..operators.textanalysis import filter_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = filter_corpus(
+        docs,
+        min_quality=0.5,
+        langs=("en",),
+        min_words=20,
+        min_distinct_word_frac=0.3,
+        max_top_bigram_frac=0.2,
+    )
+    return out.select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("text_fp"))
+
+
+ORACLE_TEXT_FILTER_CORPUS = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
+    coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+             / nullif(len({_WORDS_SQL}), 0), 0) AS sr,
+    string_split_regex({_NORM_SQL}, '\\s+') AS w
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+    round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+  FROM feats
+),
+langed AS (
+  SELECT doc_id,
+    coalesce(len(list_filter(w, t -> t IN ('the','and','of','to','is','in','that','it','for','with')))::DOUBLE / nullif(len(w), 0), 0) AS score_en,
+    coalesce(len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von')))::DOUBLE / nullif(len(w), 0), 0) AS score_de,
+    coalesce(len(list_filter(w, t -> t IN ('el','la','los','las','es','un','una','para','que','de')))::DOUBLE / nullif(len(w), 0), 0) AS score_es,
+    coalesce(len(list_filter(w, t -> t IN ('le','la','les','et','est','un','une','pour','dans','que')))::DOUBLE / nullif(len(w), 0), 0) AS score_fr,
+    coalesce(len(list_filter(w, t -> t IN ('的','是','了','在','我','有','和','不','人','这')))::DOUBLE / nullif(len(w), 0), 0) AS score_zh
+  FROM feats
+),
+rep AS (
+  SELECT f.doc_id, len(f.w) AS n_words,
+         round(len(list_distinct(f.w))::DOUBLE / nullif(len(f.w), 0), 6) AS dwf,
+         t.tbf
+  FROM feats f LEFT JOIN (
+    SELECT doc_id, round(max(cnt)::DOUBLE / sum(cnt)::DOUBLE, 6) AS tbf
+    FROM (
+      SELECT doc_id, b, count(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest([array_to_string(w[i:i+1], ' ')
+                       FOR i IN range(1, greatest(len(w), 1))]) AS b
+        FROM feats
+      ) GROUP BY 1, 2
+    ) GROUP BY 1
+  ) t ON f.doc_id = t.doc_id
+)
+SELECT d.doc_id, d.source, md5(d.text) AS text_fp
+FROM documents d
+JOIN scored s ON d.doc_id = s.doc_id
+JOIN langed l ON d.doc_id = l.doc_id
+JOIN rep r ON d.doc_id = r.doc_id
+WHERE s.quality >= 0.5
+  AND l.score_en > 0
+  AND l.score_en >= greatest(l.score_de, l.score_es, l.score_fr, l.score_zh)
+  AND l.score_de < l.score_en
+  AND r.n_words >= 20
+  AND r.dwf >= 0.3
+  AND coalesce(r.tbf, 0) <= 0.2
+"""
+
+
 def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full decontamination PIPELINE (vs ``decontaminate_fuzzy``,
     which checks the detected pairs): same planted-leak fixture —
@@ -1671,6 +1747,7 @@ QUERIES = {
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_corpus": q_dedup_corpus,
     "text_line_dedup": q_text_line_dedup,
+    "text_filter_corpus": q_text_filter_corpus,
 }
 
 ORACLE = {
@@ -1715,6 +1792,7 @@ ORACLE = {
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,
     "text_line_dedup": ORACLE_TEXT_LINE_DEDUP,
+    "text_filter_corpus": ORACLE_TEXT_FILTER_CORPUS,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

@@ -199,3 +199,26 @@ def test_remove_repeated_lines_drops_boilerplate_keeps_order(spark):
         3: "eta theta\niota kappa",  # middle line removed, order kept
         5: "unique line one\nunique line two",
     }
+
+
+def test_filter_corpus_applies_each_threshold(spark):
+    from spark_cdc_replication_spark.operators.textanalysis import filter_corpus
+
+    good = "the cat and the dog ran to the park and it was fun for all of " \
+           "them in the sun that day with friends"  # en, varied, long enough
+    corpus = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "der hund und die katze das ist nicht ein mit für von und der " * 2),
+            (3, "the the the the the the the the the the the the the the the the the the the the"),
+            (4, "the cat sat"),  # too short
+            (5, good + " again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = filter_corpus(
+        corpus, min_quality=0.1, langs=("en",), min_words=20,
+        min_distinct_word_frac=0.3, max_top_bigram_frac=0.3,
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 5}
+    assert out.columns == corpus.columns
