@@ -213,8 +213,14 @@ def contamination_check(
     from .dedup import _shingle_string_sets
 
     sh = _shingle_string_sets(df, text_col, id_col, n).filter(F.size("__sh") > 0)
+    # The benchmark side needs ONLY text_col (eval frames often carry no
+    # id); a throwaway synthetic id satisfies the shingle helper's
+    # signature and is dropped by the explode+distinct immediately after.
+    bench_ided = benchmark.select(F.col(text_col)).withColumn(
+        "__bench_id", F.monotonically_increasing_id()
+    )
     bench_sh = (
-        _shingle_string_sets(benchmark, text_col, id_col, n)
+        _shingle_string_sets(bench_ided, text_col, "__bench_id", n)
         .select(F.explode("__sh").alias("__s"))
         .distinct()
         .withColumn("__hit", F.lit(1))
@@ -292,25 +298,29 @@ def unigram_logprob(
     engine-reproducible (the micro-unit trick from the embedding
     centroid oracle).  Mean log-prob = logprob_micro / 1e6 / n_tokens.
 
-    Shape: ONE token explode.  Corpus term counts come from a SUM
-    window over the per-doc tf relation (the tfidf one-scan trick —
-    no second explode, no self-join of the token subtree); the corpus
+    Shape: ONE token explode.  Corpus term counts come from a
+    ``groupBy(__tok)`` aggregate over the per-doc tf relation (no
+    second explode, no self-join of the token subtree) hash-joined back
+    on ``__tok``.  NOT a ``SUM over (partition by __tok)`` window:
+    WindowExec does no map-side partial aggregation, so a stop-word's
+    partition would hold one row per containing document in ONE task —
+    a straggler/spill at billions of docs.  The aggregate gets map-side
+    partials (one row per (token, partition) enters the shuffle) and
+    the join back is AQE-governed: skewed probe partitions split, and
+    the Zipf-bounded count table broadcasts when small.  The corpus
     token total is a scan-only ``sum(size(words))`` single-row
-    aggregate (no explode) joined by broadcast.  At 100 TB the window
-    shuffle carries (doc, term, tf) triples only and the model
-    cardinality is Zipf-bounded.
+    aggregate (no explode) joined by broadcast.
     """
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col), F.explode(words(normalized(text_col))).alias("__tok")
     )
     tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    cnt = tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt"))
     total = df.agg(
         F.sum(F.size(words(normalized(text_col)))).alias("__total")
     )
     return (
-        tf.withColumn("__cnt", F.sum("__tf").over(Window.partitionBy("__tok")))
+        tf.join(cnt, on="__tok")
         .join(F.broadcast(total))
         .select(
             F.col(id_col),
@@ -334,23 +344,35 @@ def remove_repeated_lines(
     id_col: str = "doc_id",
     sep: str = "\n",
     min_docs: int = 3,
+    broadcast_removal: bool = True,
 ) -> DataFrame:
     """C4-style boilerplate removal: drop every line that occurs in at
     least ``min_docs`` DISTINCT documents corpus-wide (nav bars, cookie
     banners, license footers), reassembling each document's remaining
     lines in their original order.  Documents whose every line is
-    boilerplate drop out entirely.
+    boilerplate drop out entirely.  ``sep`` is a LITERAL separator
+    (regex-escaped before it reaches ``split``, so ``sep='.'`` or
+    ``'|'`` split on the character, not the regex).
 
     Scale shape: one ``posexplode`` over lines; the repeated-line set
     comes from a count aggregate (map-side partials on the line key)
-    and is broadcast for the removal anti-join — boilerplate cardinality
-    is vocabulary-bounded (the reason the operation works at all), so
-    the corpus lines are never shuffled for removal.  The reassembly
-    groupBy is the one unavoidable shuffle, carrying (id, pos, line)
-    rows.  Matching is exact-line; normalize upstream if needed.
+    and — by default — is broadcast for the removal anti-join, so the
+    corpus lines are never shuffled for removal.  Honest bound: the
+    qualifying set is the distinct lines repeated across >= ``min_docs``
+    docs, which at web scale grows with the corpus (boilerplate PLUS
+    every 3x-repeated quotation), not just with a fixed template
+    vocabulary — when it outgrows the driver, pass
+    ``broadcast_removal=False`` for the shuffled anti-join (the same
+    escape hatch as ``dedup.dedup_corpus``/``decontaminate``).  The
+    reassembly groupBy is the one unavoidable shuffle, carrying
+    (id, pos, line) rows.  Matching is exact-line; normalize upstream
+    if needed.
     """
+    import re
+
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(text_col, sep)).alias("__pos", "__line")
+        F.col(id_col),
+        F.posexplode(F.split(text_col, re.escape(sep))).alias("__pos", "__line"),
     )
     repeated = (
         lines.groupBy("__line")
@@ -358,7 +380,9 @@ def remove_repeated_lines(
         .filter(F.col("__n") >= min_docs)
         .select("__line")
     )
-    kept = lines.join(F.broadcast(repeated), on="__line", how="left_anti")
+    if broadcast_removal:
+        repeated = F.broadcast(repeated)
+    kept = lines.join(repeated, on="__line", how="left_anti")
     ordered = F.transform(
         F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
         lambda s: s.getField("__line"),

@@ -86,6 +86,18 @@ def acid_provider(spark: SparkSession, table: str) -> str | None:
     return None
 
 
+def _q(ident: str) -> str:
+    """Backquote one identifier part (Spark SQL quoting: backticks,
+    embedded backticks doubled) — column names like ``order`` or
+    ``a b`` would otherwise produce malformed MERGE statements."""
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _q_table(name: str) -> str:
+    """Backquote a possibly-qualified table name part by part."""
+    return ".".join(_q(p) for p in name.split("."))
+
+
 def merge_statement(
     table: str,
     source_view: str,
@@ -99,16 +111,21 @@ def merge_statement(
     Null primary keys match nothing under ``=`` — they insert rather
     than update, the same accumulate semantics as the anti-join merge
     (``test_merge_null_pk_rows_accumulate_not_overwrite``).
+
+    All identifiers are backquoted and the ``delete_op`` literal is
+    single-quote-escaped, so reserved-word / special-char column names
+    can't malform the statement.
     """
-    on = " AND ".join(f"t.{k} = s.{k}" for k in primary_keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in columns)
-    ins_cols = ", ".join(columns)
-    ins_vals = ", ".join(f"s.{c}" for c in columns)
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in primary_keys)
+    sets = ", ".join(f"t.{_q(c)} = s.{_q(c)}" for c in columns)
+    ins_cols = ", ".join(_q(c) for c in columns)
+    ins_vals = ", ".join(f"s.{_q(c)}" for c in columns)
+    op_lit = delete_op.replace("'", "''")
     return (
-        f"MERGE INTO {table} t USING {source_view} s ON {on} "
-        f"WHEN MATCHED AND s.{op_col} = '{delete_op}' THEN DELETE "
+        f"MERGE INTO {_q_table(table)} t USING {_q_table(source_view)} s ON {on} "
+        f"WHEN MATCHED AND s.{_q(op_col)} = '{op_lit}' THEN DELETE "
         f"WHEN MATCHED THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED AND s.{op_col} <> '{delete_op}' "
+        f"WHEN NOT MATCHED AND s.{_q(op_col)} <> '{op_lit}' "
         f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
     )
 

@@ -243,12 +243,33 @@ def test_merge_statement_shape():
     sql = merge_statement(
         "hist", "src", ("id", "region"), ("id", "region", "v"), "__op", "d"
     )
-    assert sql.startswith("MERGE INTO hist t USING src s ON ")
-    assert "t.id = s.id AND t.region = s.region" in sql
-    assert "WHEN MATCHED AND s.__op = 'd' THEN DELETE" in sql
-    assert "WHEN MATCHED THEN UPDATE SET t.id = s.id, t.region = s.region, t.v = s.v" in sql
-    assert "WHEN NOT MATCHED AND s.__op <> 'd' THEN INSERT (id, region, v) VALUES (s.id, s.region, s.v)" in sql
-    assert "__op =" in sql and "t.__op" not in sql  # routed, not written
+    assert sql.startswith("MERGE INTO `hist` t USING `src` s ON ")
+    assert "t.`id` = s.`id` AND t.`region` = s.`region`" in sql
+    assert "WHEN MATCHED AND s.`__op` = 'd' THEN DELETE" in sql
+    assert (
+        "WHEN MATCHED THEN UPDATE SET t.`id` = s.`id`, t.`region` = s.`region`, "
+        "t.`v` = s.`v`" in sql
+    )
+    assert (
+        "WHEN NOT MATCHED AND s.`__op` <> 'd' THEN INSERT (`id`, `region`, `v`) "
+        "VALUES (s.`id`, s.`region`, s.`v`)" in sql
+    )
+    assert "`__op` =" in sql and "t.`__op` =" not in sql  # routed, not written
+
+
+def test_merge_statement_quotes_hostile_identifiers():
+    """Reserved words, spaces, dots in qualified names, backticks in a
+    column, and a quote inside delete_op must all survive quoting."""
+    from spark_cdc_replication_spark.sources.catalog import merge_statement
+
+    sql = merge_statement(
+        "db.hist", "src", ("order",), ("order", "a b", "we`ird"), "__op", "d'"
+    )
+    assert "MERGE INTO `db`.`hist` t USING `src` s" in sql
+    assert "t.`order` = s.`order`" in sql
+    assert "t.`a b` = s.`a b`" in sql
+    assert "t.`we``ird` = s.`we``ird`" in sql
+    assert "= 'd''' THEN DELETE" in sql
 
 
 def test_merge_into_executes_on_delta_when_available(spark, sf_dir, pipe, tmp_path):

@@ -201,6 +201,93 @@ def test_remove_repeated_lines_drops_boilerplate_keeps_order(spark):
     }
 
 
+def test_remove_repeated_lines_nonbroadcast_path_identical(spark):
+    """The escape hatch (repeated-line set too big for the driver at
+    web scale) must produce byte-identical survivors via the shuffled
+    anti-join."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        remove_repeated_lines,
+    )
+
+    boiler = "all rights reserved"
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler}\nbody line {i} a\nbody line {i} b") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = remove_repeated_lines(corpus, min_docs=3, broadcast_removal=True)
+    b = remove_repeated_lines(corpus, min_docs=3, broadcast_removal=False)
+    assert sorted((r.doc_id, r.text) for r in a.collect()) == sorted(
+        (r.doc_id, r.text) for r in b.collect()
+    )
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_a or "BroadcastNestedLoop" in plan_a
+
+
+def test_remove_repeated_lines_sep_is_literal_not_regex(spark):
+    """sep='.' must split on the dot character, not the match-anything
+    regex (which would explode every doc into per-char fragments)."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        remove_repeated_lines,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "boiler line.alpha beta"),
+            (2, "boiler line.gamma delta"),
+            (3, "boiler line.epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_lines(corpus, sep=".", min_docs=3).collect()
+    }
+    assert out == {1: "alpha beta", 2: "gamma delta", 3: "epsilon zeta"}
+
+
+def test_contamination_check_accepts_text_only_benchmark(spark):
+    """Eval frames often carry no id column — the benchmark side only
+    needs text_col (ADVICE r4)."""
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a totally unrelated sentence here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination_check(train, bench, n=3).collect()}
+    assert got[1].contaminated_frac == 1.0
+    assert got[2].n_contaminated == 0
+
+
+def test_unigram_logprob_plan_has_no_window_over_tokens(spark):
+    """Corpus term counts must come from a partial-aggregating groupBy,
+    never a per-token window (WindowExec single-tasks hot stop-words at
+    scale — VERDICT r4 design note #1)."""
+    from spark_cdc_replication_spark.operators.textanalysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat")],
+        "doc_id long, text string",
+    )
+    out = unigram_logprob(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    got = {r.doc_id: r for r in out.collect()}
+    # 9 tokens total; doc 2: the(3/9) dog(1/9) sat(2/9)
+    import math
+
+    expect = sum(
+        math.floor(math.log(c / 9) * 1e6) for c in (3, 1, 2)
+    )
+    assert got[2].n_tokens == 3
+    assert got[2].logprob_micro == expect
+
+
 def test_filter_corpus_applies_each_threshold(spark):
     from spark_cdc_replication_spark.operators.textanalysis import filter_corpus
 
