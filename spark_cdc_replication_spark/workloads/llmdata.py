@@ -1544,15 +1544,21 @@ def q_text_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("text_fp"))
 
 
-ORACLE_TEXT_FILTER_CORPUS = f"""
-WITH feats AS (
+def _filter_kept_cte(src: str, min_words: int = 20) -> str:
+    """CTE block ``feats/scored/langed/rep/kept`` computing the
+    ``filter_corpus`` survivor ids over relation ``src`` (thresholds:
+    quality >= 0.5, predicted lang en, >= ``min_words`` words,
+    distinct-word frac >= 0.3, top-bigram frac <= 0.2) — shared by the
+    standalone filter oracle and the composed ``prepare_corpus``
+    oracle, so the two can never drift apart."""
+    return f"""feats AS (
   SELECT doc_id,
     CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
     coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
     coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
              / nullif(len({_WORDS_SQL}), 0), 0) AS sr,
     string_split_regex({_NORM_SQL}, '\\s+') AS w
-  FROM documents
+  FROM {src}
 ),
 scored AS (
   SELECT doc_id,
@@ -1583,19 +1589,110 @@ rep AS (
       ) GROUP BY 1, 2
     ) GROUP BY 1
   ) t ON f.doc_id = t.doc_id
-)
+),
+kept AS (
+  SELECT s.doc_id
+  FROM scored s
+  JOIN langed l ON s.doc_id = l.doc_id
+  JOIN rep r ON s.doc_id = r.doc_id
+  WHERE s.quality >= 0.5
+    AND l.score_en > 0
+    AND l.score_en >= greatest(l.score_de, l.score_es, l.score_fr, l.score_zh)
+    AND l.score_de < l.score_en
+    AND r.n_words >= {min_words}
+    AND r.dwf >= 0.3
+    AND coalesce(r.tbf, 0) <= 0.2
+)"""
+
+
+ORACLE_TEXT_FILTER_CORPUS = f"""
+WITH {_filter_kept_cte('documents', 20)}
 SELECT d.doc_id, d.source, md5(d.text) AS text_fp
-FROM documents d
-JOIN scored s ON d.doc_id = s.doc_id
-JOIN langed l ON d.doc_id = l.doc_id
-JOIN rep r ON d.doc_id = r.doc_id
-WHERE s.quality >= 0.5
-  AND l.score_en > 0
-  AND l.score_en >= greatest(l.score_de, l.score_es, l.score_fr, l.score_zh)
-  AND l.score_de < l.score_en
-  AND r.n_words >= 20
-  AND r.dwf >= 0.3
-  AND coalesce(r.tbf, 0) <= 0.2
+FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hygiene triad as ONE pipeline, hash-green end to end:
+    every 50th doc plays the benchmark; the training side is the rest
+    of the corpus PLUS perturbed duplicate copies of every 20th train
+    doc at +10000 PLUS perturbed copies of each bench doc at +30000
+    (case / whitespace noise that normalizes away).  ``prepare_corpus``
+    quality-filters, near-dup-dedups (lowest id survives), and
+    decontaminates in one call; the oracle recomputes all three stages
+    from first principles — filter survivorship over the SAME
+    synthesized corpus (perturbed copies may legitimately score
+    differently: stopword matching is case-sensitive), then
+    normalized-text-equality dedup/decontamination among survivors —
+    so recall loss, false removal, wrong canonical choice, or a drift
+    in the stage composition all break the hash."""
+    from ..operators.hygiene import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    base = docs.filter(F.col("doc_id") % 50 != 0)
+
+    def perturb(d: DataFrame, off: int) -> DataFrame:
+        return d.select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+        )
+
+    train = base.unionByName(
+        perturb(base.filter(F.col("doc_id") % 20 == 0), 10_000)
+    ).unionByName(perturb(bench, 30_000))
+    out = prepare_corpus(
+        train,
+        bench,
+        min_quality=0.5,
+        langs=("en",),
+        min_words=20,
+        min_distinct_word_frac=0.3,
+        max_top_bigram_frac=0.2,
+        num_hashes=16,
+        shingle_n=3,
+        num_bands=8,
+        min_est_jaccard=0.99,
+        min_jaccard=0.999,
+    )
+    return out.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_fp")
+    )
+
+
+_PREPARE_TRAIN_CTE = """train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 50 <> 0 AND doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 50 = 0
+)"""
+
+ORACLE_PREPARE_CORPUS = f"""
+WITH {_PREPARE_TRAIN_CTE},
+{_filter_kept_cte('train', 20)},
+norm AS (
+  SELECT t.doc_id, {_NORM_SQL} AS ntext,
+         len(string_split_regex({_NORM_SQL}, '\\s+')) AS ntok
+  FROM train t JOIN kept k ON t.doc_id = k.doc_id
+),
+bnorm AS (
+  SELECT {_NORM_SQL} AS ntext,
+         len(string_split_regex({_NORM_SQL}, '\\s+')) AS ntok
+  FROM documents WHERE doc_id % 50 = 0
+),
+removed AS (
+  SELECT a.doc_id FROM norm a JOIN norm b ON a.ntext = b.ntext AND b.doc_id < a.doc_id
+  WHERE a.ntok >= 3 AND b.ntok >= 3
+  UNION
+  SELECT a.doc_id FROM norm a JOIN bnorm b ON a.ntext = b.ntext
+  WHERE a.ntok >= 3 AND b.ntok >= 3
+)
+SELECT t.doc_id, md5(t.text) AS text_fp
+FROM train t JOIN kept k ON t.doc_id = k.doc_id
+WHERE t.doc_id NOT IN (SELECT doc_id FROM removed)
 """
 
 
@@ -1748,6 +1845,7 @@ QUERIES = {
     "dedup_corpus": q_dedup_corpus,
     "text_line_dedup": q_text_line_dedup,
     "text_filter_corpus": q_text_filter_corpus,
+    "prepare_corpus": q_prepare_corpus,
 }
 
 ORACLE = {
@@ -1793,6 +1891,7 @@ ORACLE = {
     "dedup_corpus": ORACLE_DEDUP_CORPUS,
     "text_line_dedup": ORACLE_TEXT_LINE_DEDUP,
     "text_filter_corpus": ORACLE_TEXT_FILTER_CORPUS,
+    "prepare_corpus": ORACLE_PREPARE_CORPUS,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

@@ -201,6 +201,64 @@ def test_remove_repeated_lines_drops_boilerplate_keeps_order(spark):
     }
 
 
+def test_prepare_corpus_equals_chained_triad(spark):
+    """The fused pipeline must return exactly what chaining
+    filter_corpus |> dedup_corpus |> decontaminate returns — the
+    semantic claim in hygiene.py's docstring, checked end to end."""
+    from spark_cdc_replication_spark.operators.dedup import (
+        decontaminate,
+        dedup_corpus,
+    )
+    from spark_cdc_replication_spark.operators.hygiene import prepare_corpus
+    from spark_cdc_replication_spark.operators.textanalysis import filter_corpus
+
+    good = (
+        "the cat and the dog ran to the park and it was fun for all of "
+        "them in the sun that day with friends"
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight and it was great")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good.upper().replace(" ", "  ")),  # near-dup of 1
+            (3, "the " * 25),                       # fails repetition filter
+            (4, good + " but then it started to rain on all of them suddenly"),
+            # reformatted eval leak: case+whitespace noise normalizes away
+            (5, ("the quick brown fox jumps over the lazy dog tonight and it "
+                 "was great").upper().replace(" ", "  ")),
+            (6, "der hund und die katze und der vogel " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(
+        num_hashes=16, shingle_n=3, num_bands=8,
+        min_est_jaccard=0.5, min_jaccard=0.8,
+    )
+    fkw = dict(
+        min_quality=0.1, langs=("en",), min_words=10,
+        min_distinct_word_frac=0.2, max_top_bigram_frac=0.3,
+    )
+    fused = prepare_corpus(corpus, bench, **fkw, **kw)
+    chained = decontaminate(
+        dedup_corpus(filter_corpus(corpus, **fkw), **kw), bench, **kw
+    )
+    assert sorted((r.doc_id, r.text) for r in fused.collect()) == sorted(
+        (r.doc_id, r.text) for r in chained.collect()
+    )
+    assert fused.columns == corpus.columns
+    # and the fixture exercises every stage: something was filtered,
+    # deduped, decontaminated, and kept
+    ids = {r.doc_id for r in fused.collect()}
+    assert 1 in ids and 4 in ids
+    assert 2 not in ids      # near-dup of 1
+    assert 3 not in ids      # repetition filter
+    assert 5 not in ids      # eval leak
+    assert 6 not in ids      # language filter
+
+
 def test_remove_repeated_lines_nonbroadcast_path_identical(spark):
     """The escape hatch (repeated-line set too big for the driver at
     web scale) must produce byte-identical survivors via the shuffled
