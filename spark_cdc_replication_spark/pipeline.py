@@ -32,7 +32,13 @@ from .operators.merge import (
     merge_snapshot,
 )
 from .sources import catalog
-from .sources.raw import PARTITION_COLS, read_raw_all, read_raw_day, with_partition_cols
+from .sources.raw import (
+    PARTITION_COLS,
+    read_raw_all,
+    read_raw_day,
+    read_raw_through,
+    with_partition_cols,
+)
 from .streaming.ingest import land_stream
 
 
@@ -65,6 +71,33 @@ class CdcPipeline:
             else read_raw_all(self.spark, self.spec.data_dir, fmt=self.spec.fmt)
         )
         return parse_envelope(raw.drop(*PARTITION_COLS), self.payload_schema)
+
+    def rebuild_snapshot(self, as_of: dt.date) -> DataFrame:
+        """Point-in-time rollback: the snapshot as it stood after
+        ingest day ``as_of``, rebuilt by replaying the append-only raw
+        layer (the capability the reference's partitioned raw layer +
+        bootstrap glob implies, ``history_data_handler.py:64-81``, but
+        never exposes).
+
+        One partition-pruned scan of days ``<= as_of`` through ONE
+        merge fold — not a day-by-day chain of merges: the fold is
+        associative (replay ≡ fold, property-tested per batch in
+        ``test_property_merge.py``; the cross-day composition is pinned
+        by ``cdc_snapshot_asof``'s oracle), so replay cost is one
+        window over the replayed changes regardless of how many days it
+        spans.  Days after ``as_of`` are never listed into the scan.
+        """
+        assert self.spec.data_dir
+        raw = read_raw_through(
+            self.spark, self.spec.data_dir, as_of, fmt=self.spec.fmt
+        )
+        changes = parse_envelope(raw.drop(*PARTITION_COLS), self.payload_schema)
+        return apply_changes(
+            changes,
+            list(self.spec.primary_keys),
+            list(self.spec.order_by),
+            self.spec.merge_policy,
+        )
 
     # -- stage 2/3 ----------------------------------------------------------
     def merge_day(self, day: dt.date | None, table: str) -> None:

@@ -74,6 +74,31 @@ def read_raw_all(spark: SparkSession, data_dir: str, fmt: str = "parquet") -> Da
     return spark.read.format(fmt).load(data_dir)
 
 
+def read_raw_through(
+    spark: SparkSession, data_dir: str, as_of: dt.date, fmt: str = "parquet"
+) -> DataFrame:
+    """Read every ingest-day partition up to and including ``as_of`` —
+    the point-in-time replay scan (the reference's bootstrap glob,
+    ``history_data_handler.py:77-81``, restricted to a date prefix).
+
+    The cutoff is a boolean composition over the three partition
+    columns (not ``make_date`` over them), so
+    ``PruneFileSourcePartitions`` prunes to exactly the qualifying
+    directories — days after ``as_of`` are never listed into the scan
+    (plan- and inputFiles-asserted in ``tests/test_pipeline_e2e.py``).
+    """
+    df = spark.read.format(fmt).load(data_dir)
+    y, m, d = as_of.year, as_of.month, as_of.day
+    cutoff = (F.col("op_year") < y) | (
+        (F.col("op_year") == y)
+        & (
+            (F.col("op_month") < m)
+            | ((F.col("op_month") == m) & (F.col("op_day") <= d))
+        )
+    )
+    return df.filter(cutoff)
+
+
 def compact_day(
     spark: SparkSession,
     data_dir: str,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.similarity import ivf_assign
+from ..operators.similarity import ivf_assign, ivf_assign_int8
 
 
 def ivf_index_stream(
@@ -37,10 +37,22 @@ def ivf_index_stream(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     available_now: bool = True,
+    precision: str = "float",
 ) -> StreamingQuery:
     """Append a streaming embedding frame to the cell-partitioned
-    inverted file at ``index_dir``."""
-    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col)
+    inverted file at ``index_dir``.
+
+    ``precision="int8"`` maintains the compressed inverted file
+    (:func:`..operators.similarity.ivf_assign_int8` — 4x smaller
+    resident index) instead of the float one; both are stateless
+    per-row transforms, so the exactly-once argument is unchanged.
+    Streamed-vs-batch equivalence is parametrized over both precisions
+    in ``tests/test_index_stream.py``.
+    """
+    if precision not in ("float", "int8"):
+        raise ValueError(f"precision must be 'float' or 'int8', got {precision!r}")
+    build = ivf_assign if precision == "float" else ivf_assign_int8
+    assigned = build(embeddings, centroids, vec_col=vec_col, id_col=id_col)
     writer = (
         assigned.writeStream.format("parquet")
         .outputMode("append")

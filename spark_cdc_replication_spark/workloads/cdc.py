@@ -154,6 +154,41 @@ ORACLE_MERGE_INCREMENTAL = ORACLE_SNAPSHOT_MERGE
 
 
 # --------------------------------------------------------------------------
+# Point-in-time rollback: replaying the log day-window by day-window
+# through chained merge folds must equal the one-shot fold at the
+# cutoff — the cross-day composition invariant behind
+# CdcPipeline.rebuild_snapshot (the per-batch replay ≡ fold law is
+# property-tested; this pins the multi-batch chain against an oracle
+# that knows nothing about batches).
+# --------------------------------------------------------------------------
+
+_ASOF_CUTS = ("2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-21 00:00:00")
+
+
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snapshot = apply_changes(
+        _changes(spark, sf_dir, where=f"timestamp < '{_ASOF_CUTS[0]}'"), PK, ORDER
+    )
+    for lo, hi in zip(_ASOF_CUTS, _ASOF_CUTS[1:]):
+        batch = _changes(
+            spark, sf_dir, where=f"timestamp >= '{lo}' AND timestamp < '{hi}'"
+        )
+        snapshot = merge_snapshot(snapshot, batch, PK, ORDER)
+    return _present(snapshot)
+
+
+ORACLE_SNAPSHOT_ASOF = f"""
+WITH {_OPS_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ops WHERE ts < TIMESTAMP '{_ASOF_CUTS[-1]}'
+)
+SELECT user_id, event_id, ts, value, k
+FROM ranked WHERE rn = 1 AND op <> 'd'
+"""
+
+
+# --------------------------------------------------------------------------
 # W1 in isolation: latest event per user over the raw events table
 # --------------------------------------------------------------------------
 
@@ -417,6 +452,7 @@ FROM events
 QUERIES = {
     "cdc_snapshot_merge": q_snapshot_merge,
     "cdc_merge_incremental": q_merge_incremental,
+    "cdc_snapshot_asof": q_snapshot_asof,
     "cdc_last_writer_wins": q_last_writer_wins,
     "cdc_coalesce_updates": q_coalesce_updates,
     "cdc_route_ops": q_route_ops,
@@ -432,6 +468,7 @@ ORACLE = {
     "cdc_name_sanitize": ORACLE_NAME_SANITIZE,
     "cdc_snapshot_merge": ORACLE_SNAPSHOT_MERGE,
     "cdc_merge_incremental": ORACLE_MERGE_INCREMENTAL,
+    "cdc_snapshot_asof": ORACLE_SNAPSHOT_ASOF,
     "cdc_last_writer_wins": ORACLE_LAST_WRITER_WINS,
     "cdc_coalesce_updates": ORACLE_COALESCE_UPDATES,
     "cdc_route_ops": ORACLE_ROUTE_OPS,

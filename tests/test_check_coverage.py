@@ -1,0 +1,50 @@
+"""The rotation-staleness checker: a 50-slot gate window over a ~100
+query registry must mechanically force every oracle query back into
+the window before it goes more than MAX_STALE_ROUNDS rounds without a
+driver-green row."""
+
+from __future__ import annotations
+
+from tools.check_coverage import MAX_STALE_ROUNDS, load_history, stale_queries
+
+
+def test_stale_registry_is_flagged():
+    oracles = {"a", "b", "c", "never"}
+    history = {1: {"a", "b", "c"}, 2: {"a"}, 3: {"a"}, 4: {"a"}}
+    # b last green r1 -> 4 rounds stale after r5; c in window -> fine
+    bad = stale_queries(oracles, window={"a", "c"}, history=history)
+    assert len(bad) == 2
+    assert any(s.startswith("b ") for s in bad)
+    assert any(s.startswith("never ") for s in bad)
+
+
+def test_exactly_at_bound_passes():
+    oracles = {"a", "b"}
+    history = {2: {"b"}, 3: {"a"}, 4: {"a"}}
+    # b last green r2, in no window until now; next round is 5 ->
+    # 3 rounds stale -> must be flagged ...
+    assert stale_queries(oracles, window=set(), history=history)
+    # ... but putting it in the window clears it
+    assert stale_queries(oracles, window={"b"}, history=history) == []
+    # and a query green MAX_STALE_ROUNDS ago exactly is NOT stale yet
+    history = {3: {"b"}, 4: {"a"}}
+    assert stale_queries({"a", "b"}, window=set(), history=history) == []
+
+
+def test_no_history_requires_everything_in_window():
+    assert stale_queries({"x"}, window=set(), history={}) == ["x"]
+    assert stale_queries({"x"}, window={"x"}, history={}) == []
+
+
+def test_current_repo_window_holds_the_bound():
+    """The real registry + real CORRECTNESS history must pass — this is
+    the same check tools/check_coverage.py runs per-round."""
+    import __spark_entry__ as entry
+
+    oracles = set(entry.oracle_sql())
+    window = set(list(entry.queries())[:50])
+    assert stale_queries(oracles, window, load_history()) == []
+    # sanity on the parser: r4 recorded 50 green rows
+    hist = load_history()
+    assert len(hist[4]) == 50
+    assert MAX_STALE_ROUNDS == 2

@@ -1,21 +1,25 @@
 """Streaming IVF index maintenance: the streamed, cell-partitioned
 inverted file must be equivalent to the batch-built one — both as data
-and as the probe input to ivf_topk."""
+and as the probe input to ivf_topk — in BOTH precisions (float and the
+int8-compressed IVF-SQ8 analogue)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_cdc_replication_spark.fixtures import load_table
 from spark_cdc_replication_spark.operators.similarity import (
     ivf_assign,
+    ivf_assign_int8,
     ivf_centroids,
     ivf_topk,
 )
 from spark_cdc_replication_spark.streaming.index_stream import ivf_index_stream
 
 
-def test_streamed_index_equals_batch_index(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("precision", ["float", "int8"])
+def test_streamed_index_equals_batch_index(spark, sf_dir, tmp_path, precision):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids(emb, num_centroids=8)
     src = str(tmp_path / "emb-src")
@@ -31,6 +35,7 @@ def test_streamed_index_equals_batch_index(spark, sf_dir, tmp_path):
             cents,
             index_dir=idx,
             checkpoint_dir=str(tmp_path / "ckpt"),
+            precision=precision,
         )
         q.awaitTermination(120)
 
@@ -39,11 +44,13 @@ def test_streamed_index_equals_batch_index(spark, sf_dir, tmp_path):
     run()
 
     streamed = spark.read.parquet(idx)
-    batch = ivf_assign(emb, cents)
-    # identical (id, cell) assignment
-    assert {(r.neighbor_id, r.cell) for r in streamed.collect()} == {
-        (r.neighbor_id, r.cell) for r in batch.collect()
-    }
+    build = ivf_assign if precision == "float" else ivf_assign_int8
+    batch = build(emb, cents)
+    # identical (id, cell) assignment AND identical stored payloads
+    # (for int8 that pins the quantized codes byte-for-byte)
+    assert {
+        (r["neighbor_id"], r["cell"], tuple(r["__cv"])) for r in streamed.collect()
+    } == {(r["neighbor_id"], r["cell"], tuple(r["__cv"])) for r in batch.collect()}
 
     # identical probe results when handed to ivf_topk
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -57,3 +64,14 @@ def test_streamed_index_equals_batch_index(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in via_stream.collect()} == {
         tuple(r) for r in via_batch.collect()
     }
+
+
+def test_index_stream_rejects_unknown_precision(spark, tmp_path):
+    with pytest.raises(ValueError, match="precision"):
+        ivf_index_stream(
+            spark.readStream.format("rate").load(),
+            [[0.0]],
+            index_dir=str(tmp_path / "i"),
+            checkpoint_dir=str(tmp_path / "c"),
+            precision="fp4",
+        )

@@ -6,13 +6,22 @@
 2. every operator FAMILY — SURVEY.md §2 surfaces and the [EXT]
    LLM-data surfaces — must keep at least one ``oracle_sql()``-paired
    query, so a refactor can never silently drop a family out of the
-   driver's correctness gate.
+   driver's correctness gate;
+3. ROTATION STALENESS: against the CORRECTNESS_r*.json history, no
+   oracle-bearing query may go more than ``MAX_STALE_ROUNDS`` rounds
+   without a driver-green row — the 50-slot gate window over a ~100
+   query registry is a deliberate rotation, and this makes "rotate
+   back in time" mechanical instead of a per-round judgment call.
+   Never-green queries must be in the CURRENT window (a new oracle
+   earns its first driver row next round, not eventually).
 
     python tools/check_coverage.py
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import re
 import sys
 
@@ -21,10 +30,10 @@ sys.path.insert(0, ".")
 #: family -> query-name prefixes; each family must have >=1 registered
 #: query with an oracle.  Names mirror SURVEY.md §2 (cdc/analytics/
 #: events) and the [EXT] north-star families (dedup/similarity/text/
-#: multimodal/sampling).
+#: multimodal/sampling/hygiene).
 FAMILIES: dict[str, tuple[str, ...]] = {
     "cdc merge algebra": ("cdc_",),
-    "tpch analytics": ("q1_", "q6_", "q18_"),
+    "tpch analytics": tuple(f"q{i}" for i in range(1, 10)),
     "olap extensions": ("rollup_", "cube_", "pivot_"),
     "events/windows": ("events_",),
     "asof/range join": ("asof_", "range_join"),
@@ -34,8 +43,65 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "multimodal": ("multimodal_",),
     "sampling/packing": ("sample_", "split_assign", "pack_sequences", "corpus_shuffle"),
     "privacy": ("pii_",),
-    "contamination/repetition": ("text_contamination", "text_repetition"),
+    "contamination/repetition": (
+        "text_contamination",
+        "text_repetition",
+        "decontaminate_",
+    ),
+    "hygiene pipeline": ("prepare_corpus", "clean_corpus"),
 }
+
+#: A query last driver-green in round L fails once the upcoming round
+#: (max recorded round + 1) exceeds L + MAX_STALE_ROUNDS + 1 unless it
+#: is in the current window — i.e. at most MAX_STALE_ROUNDS rounds may
+#: pass without a green row.
+MAX_STALE_ROUNDS = 2
+
+
+def load_history(pattern: str = "CORRECTNESS_r*.json") -> dict[int, set[str]]:
+    """round number -> names with a fully-green row (rows+schema+hash)."""
+    hist: dict[int, set[str]] = {}
+    for path in glob.glob(pattern):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as fh:
+            data = json.load(fh)
+        hist[int(m.group(1))] = {
+            name
+            for name, row in data.items()
+            if row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        }
+    return hist
+
+
+def stale_queries(
+    oracles: set[str],
+    window: set[str],
+    history: dict[int, set[str]],
+    max_stale_rounds: int = MAX_STALE_ROUNDS,
+) -> list[str]:
+    """Oracle-bearing queries that would exceed the staleness bound if
+    the CURRENT window ran as the next round.  Pure function of its
+    inputs so tests can feed synthetic registries/histories."""
+    if not history:
+        return sorted(n for n in oracles if n not in window)
+    next_round = max(history) + 1
+    bad = []
+    for name in sorted(oracles):
+        if name in window:
+            continue  # gets a green row next round
+        last = max((r for r, greens in history.items() if name in greens), default=None)
+        if last is None:
+            bad.append(f"{name} (never driver-green, not in window)")
+        elif next_round - last > max_stale_rounds:
+            bad.append(
+                f"{name} (last green r{last}, would be "
+                f"{next_round - last} rounds stale after r{next_round})"
+            )
+    return bad
 
 
 def main() -> int:
@@ -75,6 +141,13 @@ def main() -> int:
             )
             rc = 1
 
+    stale = stale_queries(oracles, window, load_history())
+    if stale:
+        print(f"rotation staleness (> {MAX_STALE_ROUNDS} rounds without a driver-green row):")
+        for s in stale:
+            print("  ", s)
+        rc = 1
+
     text = open("COVERAGE.md").read()
     tokens = set(re.findall(r"[a-z0-9_]+", text))
 
@@ -92,7 +165,8 @@ def main() -> int:
     if rc == 0:
         print(
             f"COVERAGE.md mentions all {len(names)} registered queries; "
-            f"all {len(FAMILIES)} operator families hold >=1 oracle entry"
+            f"all {len(FAMILIES)} operator families hold >=1 oracle entry; "
+            f"rotation staleness bound ({MAX_STALE_ROUNDS} rounds) holds"
         )
     return rc
 
