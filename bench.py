@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "cdc_snapshot_merge",
     "cdc_merge_incremental",
+    "cdc_snapshot_asof",
     "cdc_increment_append",
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -36,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_corpus",
     "decontaminate_corpus",
+    "prepare_corpus",
     "similarity_topk",
     "similarity_ivf_topk",
     "similarity_ivf_int8",
@@ -138,10 +140,20 @@ def main() -> None:
         cur_shared = round(sum(timings[k] for k in shared), 3)
         prev_shared = round(sum(prev[k] for k in shared), 3)
         label = "REGRESSION" if cur_shared > prev_shared else "IMPROVED"
+        # Min-of-RUNS timing landed in round 4; comparisons against
+        # rounds recorded under single-run timing conflate methodology
+        # with plan changes (ADVICE r4) — say so explicitly.
+        prev_runs = (doc.get("parsed") or doc).get("runs")
+        shift = (
+            ""
+            if prev_runs == RUNS
+            else f" [METHODOLOGY-SHIFTED: baseline runs={prev_runs}, current runs={RUNS}]"
+        )
         print(
             f"{label} vs {baseline_path}: like-for-like "
             f"({len(shared)} shared queries) {cur_shared}s vs {prev_shared}s"
-            f" (full total this run: {total}s over {len(timings)} queries)",
+            f" (full total this run: {total}s over {len(timings)} queries)"
+            f"{shift}",
             file=sys.stderr,
         )
         for name, t in timings.items():
@@ -160,6 +172,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # each query's recorded time is the min over this many
+                # runs (since r4); single-run rounds have no "runs" key
+                "runs": RUNS,
             }
         )
     )

@@ -1,0 +1,88 @@
+"""Hot-key skew fixture for the text-hygiene operators (VERDICT r4
+"next" #7): a corpus where one token / one line appears in 50% of all
+documents must not funnel into a single task.
+
+The skew-safety witnesses are structural, per the plan (the same model
+as test_skew_bucketing):
+
+* unigram_logprob — the per-token corpus count must be a TWO-PHASE
+  hash aggregate (``partial_sum`` before the exchange: the hot token
+  enters the shuffle as at most one row per input partition), with no
+  WindowExec anywhere (WindowExec has no partial aggregation — the r4
+  formulation would hold one row per hot-token-containing document in
+  ONE task);
+* remove_repeated_lines — the repeated-line census must likewise show
+  partial aggregation on the line key, and the removal side stays a
+  broadcast (no shuffle of the exploded corpus lines by line value).
+
+Plus value-level correctness on the skewed fixture for both.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.operators.textanalysis import (
+    remove_repeated_lines,
+    unigram_logprob,
+)
+
+N_DOCS = 2_000
+
+
+def _hot_token_corpus(spark):
+    # 50% of docs contain the hot token; every doc has two unique tokens
+    return spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("hotword ")).otherwise(F.lit("")),
+            F.lit("u"), F.col("id").cast("string"),
+            F.lit(" v"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+
+
+def test_unigram_logprob_hot_token_plan_and_values(spark):
+    out = unigram_logprob(_hot_token_corpus(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the per-token census: partial_sum BEFORE the __tok exchange
+    assert "partial_sum" in plan
+    assert "Exchange hashpartitioning(__tok" in plan
+
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == N_DOCS
+    total = N_DOCS // 2 + 2 * N_DOCS  # hot occurrences + unique tokens
+    lp_hot = math.floor(math.log((N_DOCS // 2) / total) * 1e6)
+    lp_unique = math.floor(math.log(1 / total) * 1e6)
+    assert got[0].n_tokens == 3
+    assert got[0].logprob_micro == lp_hot + 2 * lp_unique
+    assert got[1].n_tokens == 2
+    assert got[1].logprob_micro == 2 * lp_unique
+
+
+def test_remove_repeated_lines_hot_line_plan_and_values(spark):
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("all rights reserved\n")).otherwise(
+                F.lit("")
+            ),
+            F.lit("body "), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    out = remove_repeated_lines(docs, min_docs=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the line census aggregates with map-side partials on the line key
+    assert "partial_count" in plan
+    # the removal side is broadcast: the exploded corpus lines are never
+    # shuffled by line value for the anti-join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert len(got) == N_DOCS  # every doc keeps its unique body line
+    assert got[0] == "body 0"
+    assert got[1] == "body 1"
+    assert not any("all rights reserved" in t for t in got.values())
