@@ -156,6 +156,70 @@ def sample_k_per_group(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Keep, per stratum, the hash-ordered prefix of documents whose
+    running token total stays ``<= budget`` — the unit real training
+    mixtures are specified in ("30B tokens of code"), as opposed to the
+    row-rate knobs of :func:`stratified_sample` / :func:`mixture_sample`.
+
+    Deterministic like every sampler here: the per-stratum document
+    order is ``(md5(key), key)``, so the sample is stable across runs /
+    partitionings / engines, and the budget-``B`` sample is a PREFIX of
+    every budget-``B' > B`` sample (grow a mixture without resampling).
+    Documents are atomic — the first document that would cross the
+    budget is dropped entirely (no partial docs), as are all after it.
+
+    Output: the surviving rows with an appended ``n_tokens`` column.
+
+    Scale shape — a naive formulation is one cumulative-sum window per
+    stratum, which single-tasks a 100 TB stratum.  Two phases instead:
+    (1) per-(stratum, hash-bucket) token sums — map-side partial
+    aggregation, one row per bucket out; (2) bucket offsets via a
+    window over the ``16^bucket_chars``-row-per-stratum bucket table
+    (trivial), then the document-level running sum only WITHIN each
+    (stratum, bucket) partition, offset by its bucket's prefix total.
+    The bucket id is a prefix of the document hash, so bucket-major
+    order equals global hash order and the result is exactly the
+    single-window answer (oracle-checked against it) — with per-stratum
+    parallelism restored to ``16^bucket_chars`` (the salted-top-k
+    pattern applied to a prefix sum).
+    """
+    from ..functions.text import token_count
+
+    h = F.md5(F.col(key_col).cast("string"))
+    base = df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        h.alias("__h"),
+        F.substring(h, 1, bucket_chars).alias("__b"),
+    )
+    bsum = base.groupBy(strata_col, "__b").agg(F.sum("n_tokens").alias("__bt"))
+    wb = Window.partitionBy(strata_col).orderBy("__b")
+    boff = bsum.select(
+        strata_col,
+        "__b",
+        (F.coalesce(F.sum("__bt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0))).alias("__off"),
+    )
+    wd = Window.partitionBy(strata_col, "__b").orderBy("__h", key_col)
+    cum = F.col("__off") + F.sum("n_tokens").over(
+        wd.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(boff, on=[strata_col, "__b"])
+        .withColumn("__cum", cum)
+        .filter(F.col("__cum") <= budget)
+        .select(*df.columns, "n_tokens")  # join reordered the key cols
+    )
+
+
 def corpus_shuffle(
     df: DataFrame,
     seed: str,

@@ -29,21 +29,23 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (dedup_corpus / text_line_dedup / text_filter_corpus — VERDICT r4
 #:   "next" #1) and the two r5-new ones (prepare_corpus,
 #:   cdc_snapshot_asof);
-#: * 24 of the 25 r3-green llmdata queries (clean_corpus sits out one
-#:   round — its algebra is a strict subset of prepare_corpus, which
-#:   is in-window);
+#: * 23 of the 25 r3-green llmdata queries (clean_corpus and
+#:   chunk_documents sit out one round — clean_corpus's algebra is a
+#:   strict subset of in-window prepare_corpus — and rotate back in r6
+#:   inside the staleness bound);
 #: * 4 family-floor keeps from the r4 window (cube_revenue,
 #:   events_sessionize, range_join_signup_views, pii_scrub) so no
 #:   family loses driver coverage.
 #: Everything left out is r3/r4-green and rotates back in r6 within
 #: the staleness bound.
 GATE_WINDOW: tuple[str, ...] = (
-    # never-driver-green first (5)
+    # never-driver-green first (6)
     "dedup_corpus",
     "text_line_dedup",
     "text_filter_corpus",
     "prepare_corpus",
     "cdc_snapshot_asof",
+    "sample_token_budget",
     # analytics last green in r2 (17)
     "q4_order_priority",
     "q7_volume_shipping",
@@ -62,7 +64,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "customer_retention_setops",
     "yoy_customer_diff",
     "profile_orders",
-    # llmdata last green in r3 (24)
+    # llmdata last green in r3 (23)
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "dedup_shared_shingles",
@@ -77,7 +79,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "top_words_salted",
     "tfidf_top_terms",
     "embedding_label_centroids",
-    "chunk_documents",
     "sample_stratified",
     "sample_k_per_source",
     "sample_quality_weighted",

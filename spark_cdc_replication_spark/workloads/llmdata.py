@@ -1340,6 +1340,41 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 """
 
 
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (the unit real mixtures are
+    specified in): keep each source's hash-ordered document prefix
+    whose running token total stays <= 800 (a binding budget: each
+    source holds ~1.3k tokens at sf0.01).  The oracle recomputes it
+    as ONE cumulative-sum window per source — so the operator's
+    skew-safe two-phase formulation (bucket sums + per-bucket offset
+    windows) must be EXACTLY the single-window answer; any bucket
+    boundary error, off-by-one on the crossing document, or hash-order
+    drift breaks the hash."""
+    from ..operators.sampling import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_budget_sample(docs, budget=800)
+    return out.select("doc_id", "source", "n_tokens")
+
+
+ORACLE_SAMPLE_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens
+FROM c WHERE cum <= 800
+"""
+
+
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained unigram LM quality proxy per document."""
     from ..operators.textanalysis import unigram_logprob
@@ -1838,6 +1873,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
+    "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "embedding_quantize": q_embedding_quantize,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -1884,6 +1920,7 @@ ORACLE = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
+    "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,

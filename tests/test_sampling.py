@@ -127,3 +127,68 @@ def test_mixture_sample_hits_target_proportions(spark, sf_dir):
     assert a == b
     # pure downsample: output rows are input rows
     assert a <= {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    from spark_cdc_replication_spark.operators.sampling import token_budget_sample
+
+    # ten docs of 10 tokens each in one source: budget 35 keeps the
+    # first 3 docs in hash order; the crossing doc is dropped whole
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(f"w{i}x{j}" for j in range(10))) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(docs, budget=35)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.n_tokens == 10 for r in rows)
+    assert out.columns == docs.columns + ["n_tokens"]
+
+    # hash order: the kept set is exactly the 3 lowest md5(doc_id)
+    import hashlib
+
+    order = sorted(range(10), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    assert {r.doc_id for r in rows} == set(order[:3])
+
+    # prefix-nested across budgets; whole corpus kept when it fits
+    bigger = {r.doc_id for r in token_budget_sample(docs, budget=70).collect()}
+    assert {r.doc_id for r in rows} <= bigger and len(bigger) == 7
+    assert token_budget_sample(docs, budget=1_000).count() == 10
+
+    # stable under repartitioning (hash-deterministic, not RNG)
+    again = {r.doc_id for r in token_budget_sample(docs.repartition(7), 35).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def test_token_budget_sample_two_phase_equals_single_window(spark):
+    """The bucketed formulation must be EXACTLY the naive one-window-
+    per-stratum prefix sum, bucket boundaries included."""
+    from pyspark.sql import Window
+
+    from spark_cdc_replication_spark.functions.text import token_count
+    from spark_cdc_replication_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"src{i % 3}", " ".join(f"t{i}w{j}" for j in range(1 + i % 7)))
+            for i in range(500)
+        ],
+        "doc_id long, source string, text string",
+    )
+    budget = 120
+    got = {
+        (r.doc_id, r.n_tokens)
+        for r in token_budget_sample(docs, budget, bucket_chars=1).collect()
+    }
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = (
+        docs.select("doc_id", token_count("text").alias("n_tokens"), F.col("source"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .filter(F.col("__cum") <= budget)
+    )
+    assert got == {(r.doc_id, r.n_tokens) for r in naive.collect()}
