@@ -45,6 +45,7 @@ HEADLINE = [
     "text_language_id",
     "text_unigram_logprob",
     "sample_mixture",
+    "sample_token_budget",
     "embedding_quantize",
     "multimodal_features",
 ]
