@@ -196,3 +196,22 @@ def test_corpus_removal_pipelines_broadcast_the_removal_set(spark, sf_dir):
     out = decontaminate(train, bench, min_est_jaccard=0.99, min_jaccard=0.999)
     lines = anti_join_lines(out)
     assert lines and all("BroadcastHashJoin" in ln for ln in lines), lines
+
+    # the fused triad inherits the same contract (its single removal
+    # anti-join applies BOTH removal-id sets)
+    from spark_cdc_replication_spark.operators.hygiene import prepare_corpus
+
+    fused = prepare_corpus(
+        train, bench, min_est_jaccard=0.99, min_jaccard=0.999, min_words=5
+    )
+    lines = anti_join_lines(fused)
+    assert lines and all("BroadcastHashJoin" in ln for ln in lines), lines
+
+    # and C4 line removal broadcasts its repeated-line set by default
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        remove_repeated_lines,
+    )
+
+    lined = remove_repeated_lines(docs, min_docs=3)
+    lines = anti_join_lines(lined)
+    assert lines and all("Broadcast" in ln for ln in lines), lines
