@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalized, words
@@ -309,11 +309,9 @@ def decontaminate(
         .join(tsh, on="id_train")
         .join(F.broadcast(bsh), on="id_bench")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
     contaminated = (
         joined.select(
-            "id_train", (inter / F.nullif(union, F.lit(0))).alias("jaccard")
+            "id_train", shingle_jaccard("sh_a", "sh_b").alias("jaccard")
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select(F.col("id_train").alias(id_col))
@@ -509,6 +507,17 @@ def simhash_candidates(
 # Exact n-gram Jaccard (verifier for LSH candidates)
 # --------------------------------------------------------------------------
 
+def shingle_jaccard(a: str | Column, b: str | Column) -> Column:
+    """Exact Jaccard over two shingle-set array columns:
+    ``|intersect| / |union|``, NULL when both sets are empty (the
+    ``nullif`` guard — so unshingle-able docs never count as similar).
+    The ONE verify rule every pipeline shares (ngram_jaccard_pairs,
+    decontaminate, prepare_corpus); keep it single-sourced."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.nullif(union, F.lit(0))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -531,9 +540,7 @@ def ngram_jaccard_pairs(
         pairs.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "sh_a"}), on="id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "sh_b"}), on="id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = (inter / F.nullif(union, F.lit(0))).alias("jaccard")
+    jac = shingle_jaccard("sh_a", "sh_b").alias("jaccard")
     return joined.select("id_a", "id_b", jac).filter(F.col("jaccard") >= min_jaccard)
 
 

@@ -34,6 +34,7 @@ from .dedup import (
     cross_corpus_candidates,
     minhash_lsh_candidates,
     minhash_signatures,
+    shingle_jaccard,
 )
 from .textanalysis import filter_corpus
 
@@ -109,11 +110,6 @@ def prepare_corpus(
     sigs = minhash_signatures(kept, text_col, id_col, num_hashes, shingle_n)
     sh = _shingle_sets(kept, text_col, id_col, shingle_n)
 
-    def _jaccard(a: str, b: str):
-        inter = F.size(F.array_intersect(a, b))
-        union = F.size(F.array_union(a, b))
-        return inter / F.nullif(union, F.lit(0))
-
     # -- within-corpus near-dup removal ids (dedup_corpus algebra) -----
     cands = minhash_lsh_candidates(
         sigs, id_col=id_col, num_bands=num_bands, min_est_jaccard=min_est_jaccard
@@ -125,7 +121,7 @@ def prepare_corpus(
     )
     # pairs arrive id_a < id_b: id_b is always the non-canonical side
     removal = (
-        dd.select(F.col("id_b").alias(id_col), _jaccard("sh_a", "sh_b").alias("__j"))
+        dd.select(F.col("id_b").alias(id_col), shingle_jaccard("sh_a", "sh_b").alias("__j"))
         .filter(F.col("__j") >= min_jaccard)
         .select(id_col)
     )
@@ -154,7 +150,7 @@ def prepare_corpus(
         contaminated = (
             dc.select(
                 F.col("id_train").alias(id_col),
-                _jaccard("sh_a", "sh_b").alias("__j"),
+                shingle_jaccard("sh_a", "sh_b").alias("__j"),
             )
             .filter(F.col("__j") >= min_jaccard)
             .select(id_col)

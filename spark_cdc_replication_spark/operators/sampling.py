@@ -193,27 +193,38 @@ def token_budget_sample(
     """
     from ..functions.text import token_count
 
+    if "n_tokens" in df.columns:
+        raise ValueError(
+            "token_budget_sample appends an n_tokens column; rename or "
+            "drop the existing one first"
+        )
     h = F.md5(F.col(key_col).cast("string"))
+    # NULL strata: a plain equi-join on the stratum would silently drop
+    # NULL-keyed rows (null != null), while the single-window semantics
+    # this must match treat NULL as an ordinary group — join on a
+    # null-safe stand-in key instead.
+    skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00<null>"))
     base = df.select(
         "*",
         token_count(text_col).alias("n_tokens"),
         h.alias("__h"),
         F.substring(h, 1, bucket_chars).alias("__b"),
+        skey.alias("__s"),
     )
-    bsum = base.groupBy(strata_col, "__b").agg(F.sum("n_tokens").alias("__bt"))
-    wb = Window.partitionBy(strata_col).orderBy("__b")
+    bsum = base.groupBy("__s", "__b").agg(F.sum("n_tokens").alias("__bt"))
+    wb = Window.partitionBy("__s").orderBy("__b")
     boff = bsum.select(
-        strata_col,
+        "__s",
         "__b",
         (F.coalesce(F.sum("__bt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
                     F.lit(0))).alias("__off"),
     )
-    wd = Window.partitionBy(strata_col, "__b").orderBy("__h", key_col)
+    wd = Window.partitionBy("__s", "__b").orderBy("__h", key_col)
     cum = F.col("__off") + F.sum("n_tokens").over(
         wd.rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        base.join(boff, on=[strata_col, "__b"])
+        base.join(boff, on=["__s", "__b"])
         .withColumn("__cum", cum)
         .filter(F.col("__cum") <= budget)
         .select(*df.columns, "n_tokens")  # join reordered the key cols

@@ -25,10 +25,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: * the 17 analytics whose last driver-green row is r2 — at the
 #:   staleness bound, must rotate in now;
-#: * the 5 never-driver-green oracles: the three r4-new operators
+#: * the 6 never-driver-green oracles: the three r4-new operators
 #:   (dedup_corpus / text_line_dedup / text_filter_corpus — VERDICT r4
-#:   "next" #1) and the two r5-new ones (prepare_corpus,
-#:   cdc_snapshot_asof);
+#:   "next" #1) and the three r5-new ones (prepare_corpus,
+#:   cdc_snapshot_asof, sample_token_budget);
 #: * 23 of the 25 r3-green llmdata queries (clean_corpus and
 #:   chunk_documents sit out one round — clean_corpus's algebra is a
 #:   strict subset of in-window prepare_corpus — and rotate back in r6

@@ -134,7 +134,7 @@ def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     source.  Reproduced verbatim in SQL by the ``planted`` CTE below."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 10_000).alias("doc_id"),
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
     )
     return docs.unionByName(near)
@@ -151,7 +151,7 @@ _ORACLE_PLANTED_DUP_PAIRS = f"""
 WITH planted AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM documents WHERE doc_id % 20 = 0
 ),
 normed AS (
@@ -196,18 +196,18 @@ def q_dedup_simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering end-to-end: two independent perturbation
     families per source doc make each dup group a 3-member component
-    (source, +10000, +20000) whose edges come from the minhash-LSH +
+    (source, +1e7, +2e7) whose edges come from the minhash-LSH +
     exact-verify path; :func:`dup_clusters` must then label every
     member with the component minimum.  The oracle recomputes the
     ground-truth components from normalized-text equality — transitive
     agreement is exactly what connected components must reproduce."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 10_000).alias("doc_id"),
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
     )
     near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 20_000).alias("doc_id"),
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
         F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
     )
     corpus = docs.unionByName(near1).unionByName(near2)
@@ -223,10 +223,10 @@ ORACLE_DEDUP_CLUSTERS = f"""
 WITH planted AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM documents WHERE doc_id % 20 = 0
   UNION ALL
-  SELECT doc_id + 20000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  SELECT doc_id + 20000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
   FROM documents WHERE doc_id % 20 = 0
 ),
 normed AS (
@@ -1429,7 +1429,7 @@ FROM s
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination, hash-green end-to-end: every 50th doc
     plays the benchmark; the training side is the rest of the corpus
-    PLUS planted perturbed copies of each bench doc (+30000, case /
+    PLUS planted perturbed copies of each bench doc (+3e7, case /
     whitespace noise that normalizes away — the "reformatted eval
     leak").  Asymmetric MinHash-LSH proposes (train, bench) candidates
     with the bench side broadcast, exact cross-corpus n-gram Jaccard
@@ -1443,7 +1443,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0).unionByName(
         bench.select(
-            (F.col("doc_id") + 30_000).alias("doc_id"),
+            (F.col("doc_id") + 30_000_000).alias("doc_id"),
             F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
         )
     )
@@ -1468,7 +1468,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup removal PIPELINE, hash-green end to end:
-    every 20th doc gets a perturbed copy planted at +10000 (case /
+    every 20th doc gets a perturbed copy planted at +1e7 (case /
     whitespace noise that normalizes away), and the output is the
     CLEANED corpus — survivors + md5 fingerprints.  With the verify
     threshold at 0.999 the near-dup relation coincides with
@@ -1481,7 +1481,7 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 20 == 0).select(
-            (F.col("doc_id") + 10_000).alias("doc_id"),
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
             F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
         )
     )
@@ -1651,7 +1651,7 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full hygiene triad as ONE pipeline, hash-green end to end:
     every 50th doc plays the benchmark; the training side is the rest
     of the corpus PLUS perturbed duplicate copies of every 20th train
-    doc at +10000 PLUS perturbed copies of each bench doc at +30000
+    doc at +1e7 PLUS perturbed copies of each bench doc at +3e7
     (case / whitespace noise that normalizes away).  ``prepare_corpus``
     quality-filters, near-dup-dedups (lowest id survives), and
     decontaminates in one call; the oracle recomputes all three stages
@@ -1674,8 +1674,8 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     train = base.unionByName(
-        perturb(base.filter(F.col("doc_id") % 20 == 0), 10_000)
-    ).unionByName(perturb(bench, 30_000))
+        perturb(base.filter(F.col("doc_id") % 20 == 0), 10_000_000)
+    ).unionByName(perturb(bench, 30_000_000))
     out = prepare_corpus(
         train,
         bench,
@@ -1698,10 +1698,10 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREPARE_TRAIN_CTE = """train AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM documents WHERE doc_id % 50 <> 0 AND doc_id % 20 = 0
   UNION ALL
-  SELECT doc_id + 30000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 30000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM documents WHERE doc_id % 50 = 0
 )"""
 
@@ -1747,7 +1747,7 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0).unionByName(
         bench.select(
-            (F.col("doc_id") + 30_000).alias("doc_id"),
+            (F.col("doc_id") + 30_000_000).alias("doc_id"),
             F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
         )
     )
@@ -1774,7 +1774,7 @@ ORACLE_DEDUP_CORPUS = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM documents WHERE doc_id % 20 = 0
 ),
 tn AS (
@@ -1795,7 +1795,7 @@ WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
 train AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
   UNION ALL
-  SELECT doc_id + 30000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 30000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM bench
 ),
 tn AS (
@@ -1816,7 +1816,7 @@ WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
 train AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
   UNION ALL
-  SELECT doc_id + 30000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 30000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM bench
 ),
 tn AS (

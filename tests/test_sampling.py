@@ -192,3 +192,26 @@ def test_token_budget_sample_two_phase_equals_single_window(spark):
         .filter(F.col("__cum") <= budget)
     )
     assert got == {(r.doc_id, r.n_tokens) for r in naive.collect()}
+
+
+def test_token_budget_sample_null_stratum_kept(spark):
+    """NULL strata are an ordinary group (single-window semantics) —
+    the bucketed join must not drop them (null != null in equi-joins)."""
+    from spark_cdc_replication_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(1, None, "a b c"), (2, "s", "d e f"), (3, None, "g h i")],
+        "doc_id long, source string, text string",
+    )
+    out = token_budget_sample(docs, budget=100)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3}
+    # and the budget applies per NULL-group too
+    tight = token_budget_sample(docs, budget=3)
+    got = {r.doc_id for r in tight.collect()}
+    assert 2 in got and len(got) == 2  # one of the two NULL docs fits
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_tokens"):
+        token_budget_sample(docs.withColumnRenamed("text", "n_tokens"),
+                            budget=1, text_col="n_tokens")

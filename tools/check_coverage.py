@@ -51,9 +51,10 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "hygiene pipeline": ("prepare_corpus", "clean_corpus"),
 }
 
-#: A query last driver-green in round L fails once the upcoming round
-#: (max recorded round + 1) exceeds L + MAX_STALE_ROUNDS + 1 unless it
-#: is in the current window — i.e. at most MAX_STALE_ROUNDS rounds may
+#: A query last driver-green in round L is flagged once the upcoming
+#: round (max recorded round + 1) exceeds L + MAX_STALE_ROUNDS unless
+#: it is in the current window — i.e. first flagged at round
+#: L + MAX_STALE_ROUNDS + 1, so at most MAX_STALE_ROUNDS rounds may
 #: pass without a green row.
 MAX_STALE_ROUNDS = 2
 
