@@ -46,8 +46,20 @@ def _dedup_batch_against_corpus(
     text_col: str,
     bench: DataFrame | None = None,
     decontaminate_opts: dict | None = None,
+    filter_opts: dict | None = None,
 ) -> None:
     spark = batch.sparkSession
+    if filter_opts is not None:
+        # ingest-time quality filter — per-document stateless, so it
+        # composes into the batch body ahead of everything else (reject
+        # cheap before fingerprinting/shingling pays anything).  Stage
+        # order matches batch prepare_corpus: filter -> dedup ->
+        # decontaminate.
+        from ..operators.textanalysis import filter_corpus
+
+        batch = filter_corpus(
+            batch, text_col=text_col, id_col=id_col, **filter_opts
+        )
     fp = batch.withColumn("fp", fingerprint(text_col))
     # within-batch winner: min id per fingerprint (exact_dedup's rule)
     w_min = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
@@ -88,6 +100,7 @@ def corpus_dedup_stream(
     available_now: bool = True,
     bench: DataFrame | None = None,
     decontaminate_opts: dict | None = None,
+    filter_opts: dict | None = None,
 ) -> StreamingQuery:
     """Continuously ingest documents, appending only content-new ones.
 
@@ -98,13 +111,19 @@ def corpus_dedup_stream(
     Pass ``bench`` (a static benchmark-corpus frame — persist() it, the
     plan re-executes per micro-batch) to ALSO fuzzy-decontaminate every
     batch on the way in (``operators.dedup.decontaminate`` semantics;
-    ``decontaminate_opts`` forwards thresholds): the streaming analogue
-    of the batch hygiene pipeline, so eval leaks never enter the corpus
-    in the first place."""
+    ``decontaminate_opts`` forwards thresholds), and ``filter_opts``
+    (kwargs for ``textanalysis.filter_corpus``, ``{}`` for defaults) to
+    quality-filter each batch first — with both set this is the full
+    streaming analogue of the batch ``prepare_corpus`` hygiene triad
+    (filter -> dedup -> decontaminate; equivalence-tested), so junk and
+    eval leaks never enter the corpus in the first place.  The quality
+    features are per-document, so the filter is trivially
+    streaming-safe; only the dedup stage needs the cross-epoch index."""
     writer = (
         documents.writeStream.foreachBatch(
             lambda batch, _epoch: _dedup_batch_against_corpus(
-                batch, corpus_dir, id_col, text_col, bench, decontaminate_opts
+                batch, corpus_dir, id_col, text_col, bench,
+                decontaminate_opts, filter_opts,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

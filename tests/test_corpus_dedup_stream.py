@@ -152,3 +152,84 @@ def test_streaming_ingest_decontaminates_each_batch(spark, sf_dir, tmp_path):
 
     assert fps(got) == fps(batch_survivors)
     bench.unpersist()
+
+
+def test_streaming_ingest_full_hygiene_triad_equals_batch(spark, sf_dir, tmp_path):
+    """filter_opts + bench = the streaming prepare_corpus: across two
+    drops (junk, dups and leaks mixed in), the landed corpus holds
+    exactly the fingerprints of batch filter -> exact-dedup ->
+    decontaminate over everything seen."""
+    from spark_cdc_replication_spark.functions.text import fingerprint
+    from spark_cdc_replication_spark.operators.dedup import decontaminate
+    from spark_cdc_replication_spark.operators.textanalysis import filter_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text").persist()
+    )
+    clean = docs.filter(F.col("doc_id") % 50 != 0)
+    leaks = bench.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("leak").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    junk = spark.range(5).select(
+        (F.col("id") + 40_000_000).alias("doc_id"),
+        F.lit("the the the the the the the the the the").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("junk").alias("source"),
+        F.lit(40).cast("bigint").alias("n_chars"),
+    )
+    redelivered = clean.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 50_000_000
+    )
+
+    src = str(tmp_path / "src")
+    dopts = {"min_est_jaccard": 0.99, "min_jaccard": 0.999}
+    fopts = {"min_quality": 0.1, "min_words": 10, "min_distinct_word_frac": 0.2}
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).parquet(src)
+        q = corpus_dedup_stream(
+            stream,
+            corpus_dir=str(tmp_path / "corpus"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            bench=bench,
+            decontaminate_opts=dopts,
+            filter_opts=fopts,
+        )
+        q.awaitTermination(120)
+
+    clean.filter(F.col("doc_id") % 2 == 0).unionByName(junk).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    clean.filter(F.col("doc_id") % 2 == 1).unionByName(leaks).unionByName(
+        redelivered
+    ).write.mode("append").parquet(src)
+    run()
+
+    got = spark.read.parquet(str(tmp_path / "corpus"))
+    assert got.filter(F.col("source") == "leak").count() == 0
+    assert got.filter(F.col("source") == "junk").count() == 0
+
+    everything = clean.unionByName(leaks).unionByName(junk).unionByName(redelivered)
+    batch_survivors = decontaminate(
+        filter_corpus(everything, **fopts), bench, **dopts
+    )
+
+    def fps(df):
+        return {
+            r.fp
+            for r in df.select(fingerprint("text").alias("fp")).distinct().collect()
+        }
+
+    assert fps(got) == fps(batch_survivors)
+    # and the stream's exact-dedup held: one row per fingerprint
+    assert got.count() == got.select("fp").distinct().count()
