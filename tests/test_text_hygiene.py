@@ -367,3 +367,35 @@ def test_filter_corpus_applies_each_threshold(spark):
     )
     assert {r.doc_id for r in out.collect()} == {1, 5}
     assert out.columns == corpus.columns
+
+
+def test_prepare_corpus_without_bench_is_filter_plus_dedup(spark):
+    """bench=None skips decontamination: the result equals
+    filter_corpus |> dedup_corpus alone."""
+    from spark_cdc_replication_spark.operators.dedup import dedup_corpus
+    from spark_cdc_replication_spark.operators.hygiene import prepare_corpus
+    from spark_cdc_replication_spark.operators.textanalysis import filter_corpus
+
+    good = (
+        "the cat and the dog ran to the park and it was fun for all of "
+        "them in the sun that day with friends"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good.upper().replace(" ", "  ")),  # near-dup of 1
+            (3, "der hund und die katze und der vogel " * 4),  # wrong lang
+            (4, good + " but then it started to rain on all of them suddenly"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(num_hashes=16, shingle_n=3, num_bands=8,
+              min_est_jaccard=0.5, min_jaccard=0.8)
+    fkw = dict(min_quality=0.1, langs=("en",), min_words=10,
+               min_distinct_word_frac=0.2, max_top_bigram_frac=0.3)
+    fused = prepare_corpus(corpus, None, **fkw, **kw)
+    chained = dedup_corpus(filter_corpus(corpus, **fkw), **kw)
+    assert sorted((r.doc_id, r.text) for r in fused.collect()) == sorted(
+        (r.doc_id, r.text) for r in chained.collect()
+    )
+    assert {r.doc_id for r in fused.collect()} == {1, 4}
