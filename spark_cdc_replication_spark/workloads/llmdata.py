@@ -474,6 +474,50 @@ def q_similarity_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_similarity_ivf_int8_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the int8 path (upgrades it from rows-only):
+    ``nprobe = num_centroids`` probes every cell, so the result must
+    equal brute force over the QUANTIZED codes — and that reference is
+    deterministic because the symmetric int8 quantization is itself
+    engine-exact (``embedding_quantize``'s md5-checked oracle formula,
+    re-used verbatim here).  Bounds the quantizer, cell assignment,
+    probe, cell join, and ranking together; int8 cell *selectivity* is
+    covered by the recall@10 >= 0.75 pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned8 = _ivf_int8_index(spark, sf_dir, emb)
+    out = ivf_topk(
+        emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=16, assigned=assigned8
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+ORACLE_SIMILARITY_IVF_INT8_ALL = """
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             v -> CAST(CASE WHEN s.scale = 0 THEN 0
+                            ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / s.scale
+                                            + 0.5) AS BIGINT)
+                       END AS DOUBLE)) AS code
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       v -> abs(CAST(v AS DOUBLE)))) AS scale
+        FROM embeddings) s
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.code) AS cosine
+  FROM embeddings q JOIN codes c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -1848,6 +1892,7 @@ QUERIES = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_int8": q_similarity_ivf_int8,
     "similarity_ivf_all": q_similarity_ivf_all,
+    "similarity_ivf_int8_all": q_similarity_ivf_int8_all,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
     "text_language_id": q_language_id,
@@ -1896,6 +1941,7 @@ ORACLE = {
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_all": ORACLE_SIMILARITY_TOPK,
+    "similarity_ivf_int8_all": ORACLE_SIMILARITY_IVF_INT8_ALL,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_language_id": _build_language_id_oracle(),
