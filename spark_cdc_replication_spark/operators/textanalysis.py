@@ -338,6 +338,71 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean-bigram-conditional-log-likelihood quality proxy: score each
+    document under the corpus's OWN bigram model — the context-aware
+    upgrade of :func:`unigram_logprob` (word salad with plausible
+    unigrams still scores low when its transitions are rare; this is
+    the cheap step toward the CCNet perplexity filter).
+
+    Per bigram occurrence (w1, w2):
+    ``ln( count(w1 w2) / count(w1 ·) )`` — the conditional MLE; no
+    smoothing needed because the model is trained on the scored corpus
+    itself (every observed bigram has count >= 1).  Output per doc with
+    >= 1 bigram: ``n_bigrams`` and ``logprob_micro`` = sum of
+    ``floor(lp * 1e6)`` — exact BIGINTs, order-independent sums,
+    engine-reproducible (the same micro-unit trick as unigram).
+
+    Shape: one bigram explode into a per-doc tf relation; the pair
+    counts AND the left-context counts are both ``groupBy`` aggregates
+    over that same relation (map-side partials — hot bigrams/contexts
+    enter each shuffle as one row per partition, never a per-token
+    window; the r4 unigram skew lesson applied from the start), then
+    two AQE-governed hash joins back.  The tf explode subtree is
+    evaluated once per aggregate branch — the same embarrassingly-
+    parallel re-scan-for-partials trade as unigram.
+    """
+    toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
+    k = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
+    pairs = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                F.element_at("__w", i).alias("w1"),
+                F.element_at("__w", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = toks.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2")
+    )
+    tf = exploded.groupBy(id_col, "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    pair_cnt = tf.groupBy("__w1", "__w2").agg(F.sum("__tf").alias("__cp"))
+    left_cnt = tf.groupBy("__w1").agg(F.sum("__tf").alias("__cl"))
+    return (
+        tf.join(pair_cnt, on=["__w1", "__w2"])
+        .join(left_cnt, on="__w1")
+        .select(
+            F.col(id_col),
+            F.col("__tf"),
+            F.floor(
+                F.log(F.col("__cp").cast("double") / F.col("__cl").cast("double"))
+                * 1e6
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("__tf") * F.col("__lp")).cast("long").alias("logprob_micro"),
+        )
+    )
+
+
 def remove_repeated_lines(
     df: DataFrame,
     text_col: str = "text",

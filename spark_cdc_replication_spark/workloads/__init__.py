@@ -25,22 +25,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:
 #: * the 17 analytics whose last driver-green row is r2 — at the
 #:   staleness bound, must rotate in now;
-#: * the 7 never-driver-green oracles: the three r4-new operators
+#: * the 8 never-driver-green oracles: the three r4-new operators
 #:   (dedup_corpus / text_line_dedup / text_filter_corpus — VERDICT r4
-#:   "next" #1) and the four r5-new ones (prepare_corpus,
-#:   cdc_snapshot_asof, sample_token_budget, similarity_ivf_int8_all);
-#: * 22 of the 25 r3-green llmdata queries (clean_corpus,
-#:   chunk_documents and top_words sit out one round — clean_corpus's
-#:   algebra is a strict subset of in-window prepare_corpus, and
-#:   top_words_salted pins the same top-k algebra — all rotate back in
-#:   r6 inside the staleness bound);
+#:   "next" #1) and the five r5-new ones (prepare_corpus,
+#:   cdc_snapshot_asof, sample_token_budget, similarity_ivf_int8_all,
+#:   text_bigram_logprob);
+#: * 21 of the 25 r3-green llmdata queries (clean_corpus,
+#:   chunk_documents, top_words and text_fingerprints sit out one
+#:   round — clean_corpus's algebra is a strict subset of in-window
+#:   prepare_corpus, top_words_salted pins the same top-k algebra, and
+#:   the fingerprint expression rides every in-window dedup oracle —
+#:   all rotate back in r6 inside the staleness bound);
 #: * 4 family-floor keeps from the r4 window (cube_revenue,
 #:   events_sessionize, range_join_signup_views, pii_scrub) so no
 #:   family loses driver coverage.
 #: Everything left out is r3/r4-green and rotates back in r6 within
 #: the staleness bound.
 GATE_WINDOW: tuple[str, ...] = (
-    # never-driver-green first (7)
+    # never-driver-green first (8)
     "dedup_corpus",
     "text_line_dedup",
     "text_filter_corpus",
@@ -48,6 +50,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "cdc_snapshot_asof",
     "sample_token_budget",
     "similarity_ivf_int8_all",
+    "text_bigram_logprob",
     # analytics last green in r2 (17)
     "q4_order_priority",
     "q7_volume_shipping",
@@ -66,7 +69,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "customer_retention_setops",
     "yoy_customer_diff",
     "profile_orders",
-    # llmdata last green in r3 (22)
+    # llmdata last green in r3 (21)
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "dedup_shared_shingles",
@@ -75,7 +78,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "similarity_ivf_all",
     "text_quality_score",
     "text_language_id",
-    "text_fingerprints",
     "text_lang_stats",
     "top_words_salted",
     "tfidf_top_terms",

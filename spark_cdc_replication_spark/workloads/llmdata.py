@@ -1445,6 +1445,35 @@ GROUP BY tf.doc_id
 """
 
 
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram conditional-LM quality proxy."""
+    from ..operators.textanalysis import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, unnest(range(1, greatest(len(w), 1))) AS t(i)
+),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+cp AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cp FROM tf GROUP BY 1, 2),
+cl AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS cl FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(tf.tf * CAST(floor(ln(CAST(cp.cp AS DOUBLE)
+                                      / CAST(cl.cl AS DOUBLE))
+                                   * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS logprob_micro
+FROM tf JOIN cp USING (w1, w2) JOIN cl USING (w1)
+GROUP BY tf.doc_id
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantize every embedding; value-exact md5 fingerprint."""
     from ..operators.embeddings import quantize_int8
@@ -1920,6 +1949,7 @@ QUERIES = {
     "sample_mixture": q_sample_mixture,
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
+    "text_bigram_logprob": q_text_bigram_logprob,
     "embedding_quantize": q_embedding_quantize,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
@@ -1968,6 +1998,7 @@ ORACLE = {
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
+    "text_bigram_logprob": ORACLE_TEXT_BIGRAM_LOGPROB,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,

@@ -86,3 +86,32 @@ def test_remove_repeated_lines_hot_line_plan_and_values(spark):
     assert got[0] == "body 0"
     assert got[1] == "body 1"
     assert not any("all rights reserved" in t for t in got.values())
+
+
+def test_bigram_logprob_values_and_plan(spark):
+    """Hand-computed bigram conditional MLE on a tiny corpus, plus the
+    same structural skew witnesses as unigram (partial aggregation, no
+    per-token window)."""
+    import math
+
+    from spark_cdc_replication_spark.operators.textanalysis import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = bigram_logprob(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+
+    got = {r.doc_id: r for r in out.collect()}
+    # corpus bigram counts: (a,b)=3, (b,a)=1, (b,c)=1; left: a·=3, b·=2
+    lp_ab = math.floor(math.log(3 / 3) * 1e6)   # 0
+    lp_ba = math.floor(math.log(1 / 2) * 1e6)
+    lp_bc = math.floor(math.log(1 / 2) * 1e6)
+    assert got[1].n_bigrams == 3
+    assert got[1].logprob_micro == 2 * lp_ab + lp_ba
+    assert got[2].n_bigrams == 2
+    assert got[2].logprob_micro == lp_ab + lp_bc
+    assert 3 not in got  # single-word doc: no bigrams, no row
