@@ -44,6 +44,7 @@ HEADLINE = [
     "text_stats",
     "text_language_id",
     "text_unigram_logprob",
+    "text_bigram_logprob",
     "sample_mixture",
     "sample_token_budget",
     "embedding_quantize",
