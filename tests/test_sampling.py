@@ -215,3 +215,56 @@ def test_token_budget_sample_null_stratum_kept(spark):
     with pytest.raises(ValueError, match="n_tokens"):
         token_budget_sample(docs.withColumnRenamed("text", "n_tokens"),
                             budget=1, text_col="n_tokens")
+
+
+def test_token_budget_sample_matches_python_model_property(spark):
+    """Property test for the two-phase prefix sum: random corpora
+    (random strata incl. NULL, random token counts, random budgets)
+    must match a pure-python single-pass model exactly — bucket
+    boundaries, crossing docs, zero-token docs and all."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spark_cdc_replication_spark.operators.sampling import token_budget_sample
+
+    corpus_strategy = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),      # stratum
+            st.integers(min_value=0, max_value=6),  # token count
+        ),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus_strategy, st.integers(min_value=0, max_value=30))
+    def run(rows, budget):
+        data = [
+            (i, src, " ".join(f"t{i}w{j}" for j in range(ntok)))
+            for i, (src, ntok) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, "doc_id long, source string, text string")
+        got = {r.doc_id for r in token_budget_sample(df, budget, bucket_chars=1).collect()}
+
+        # python model: per stratum, walk docs in (md5(id), id) order,
+        # keep while inclusive running total <= budget
+        expect = set()
+        by_stratum: dict = {}
+        for i, (src, ntok) in enumerate(rows):
+            by_stratum.setdefault(src, []).append((i, ntok))
+        for docs in by_stratum.values():
+            docs.sort(key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+            cum = 0
+            for i, ntok in docs:
+                cum += ntok
+                if cum <= budget:
+                    expect.add(i)
+        assert got == expect
+
+    run()
