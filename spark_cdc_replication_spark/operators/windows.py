@@ -66,3 +66,38 @@ def tumbling_counts(
         df.groupBy(F.window(ts_col, width).start.alias("bucket"), *group_cols)
         .agg(*aggs)
     )
+
+
+def hopping_counts(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    slide: str,
+    group_cols: Sequence[str] = (),
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Hopping (sliding) window aggregate: each event contributes to
+    every epoch-aligned window of ``width`` whose start is a multiple
+    of ``slide`` and covers it — ``F.window(ts, width, slide)`` is the
+    operator Structured Streaming uses for overlapping windows, so the
+    batch query transfers unchanged to a ``readStream`` frame.
+
+    Scale: Catalyst expands each row to ``width/slide`` (window, row)
+    pairs BEFORE the aggregate, and map-side partial aggregation
+    collapses them within the scan task — the shuffle carries only
+    (bucket, group) partials, i.e. the overlap factor inflates the
+    map-side work but never the exchange.  Keep ``width/slide`` small
+    (2-8×); for large overlap factors prefer aggregating tumbling
+    ``slide``-sized buckets first and composing windows downstream.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if agg_col:
+        aggs.append(
+            F.round(F.sum(F.col(agg_col).cast("decimal(27,8)")), 4)
+            .cast("double")
+            .alias("total")
+        )
+    return (
+        df.groupBy(F.window(ts_col, width, slide).start.alias("bucket"), *group_cols)
+        .agg(*aggs)
+    )

@@ -36,11 +36,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   prepare_corpus, top_words_salted pins the same top-k algebra, and
 #:   the fingerprint expression rides every in-window dedup oracle —
 #:   all rotate back in r6 inside the staleness bound);
-#: * 4 family-floor keeps from the r4 window (cube_revenue,
-#:   events_sessionize, range_join_signup_views, pii_scrub) so no
-#:   family loses driver coverage.
+#: * 2 family-floor keeps from the r4 window (range_join_signup_views,
+#:   pii_scrub) so no family loses driver coverage;
+#: * 3 late-r5 additions, never-green so they must debut in-window:
+#:   rollup_incremental (takes cube_revenue's slot — "rollup_" holds
+#:   the olap-extensions floor), events_hopping_6h_2h (takes
+#:   events_sessionize's slot — "events_" floor held), and
+#:   text_bm25_topk (takes tfidf_top_terms's slot — BM25's tf/df
+#:   algebra is a strict superset of tf-idf's).
 #: Everything left out is r3/r4-green and rotates back in r6 within
-#: the staleness bound.
+#: the staleness bound (cube_revenue, events_sessionize and
+#: tfidf_top_terms join the r6 must-rotate set).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -80,7 +86,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "text_language_id",
     "text_lang_stats",
     "top_words_salted",
-    "tfidf_top_terms",
+    "text_bm25_topk",
     "embedding_label_centroids",
     "sample_stratified",
     "sample_k_per_source",
@@ -91,9 +97,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "multimodal_resize",
     "multimodal_frames",
     "decontaminate_fuzzy",
-    # family-floor keeps from the r4 window (4)
-    "cube_revenue",
-    "events_sessionize",
+    # round-5 additions (never-green, must debut in-window)
+    "rollup_incremental",
+    "events_hopping_6h_2h",
     "range_join_signup_views",
     "pii_scrub",
 )

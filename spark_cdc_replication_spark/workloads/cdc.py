@@ -449,6 +449,55 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental view maintenance: an additive rollup of the snapshot
+# state (per-`k` live-user count + value sum) maintained across three
+# CDC batches by signed deltas — never recomputed from the snapshot.
+# The oracle knows nothing about batches: it GROUP BYs the one-shot
+# fold of the full log, so the chain of maintain_rollup folds must be
+# indistinguishable from a from-scratch aggregate (the counting-IVM
+# invariant, operators/incremental.py).
+# --------------------------------------------------------------------------
+
+_ROLLUP_CUTS = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+_ROLLUP_DIMS = ["k"]
+_ROLLUP_SUMS = ["value"]
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import additive_rollup, maintain_rollup
+
+    snapshot = apply_changes(
+        _changes(spark, sf_dir, where=f"timestamp < '{_ROLLUP_CUTS[0]}'"), PK, ORDER
+    )
+    rollup = additive_rollup(snapshot, _ROLLUP_DIMS, _ROLLUP_SUMS, count_col="n_users")
+    bounds = list(_ROLLUP_CUTS) + [None]
+    for lo, hi in zip(bounds, bounds[1:]):
+        where = f"timestamp >= '{lo}'"
+        if hi is not None:
+            where += f" AND timestamp < '{hi}'"
+        batch = _changes(spark, sf_dir, where=where)
+        rollup = maintain_rollup(
+            rollup, snapshot, batch, PK, ORDER, _ROLLUP_DIMS, _ROLLUP_SUMS,
+            count_col="n_users",
+        )
+        if hi is not None:  # the post-final snapshot feeds nothing
+            snapshot = merge_snapshot(snapshot, batch, PK, ORDER)
+    return rollup.select("k", "n_users", "sum_value")
+
+
+ORACLE_ROLLUP_INCREMENTAL = f"""
+WITH {_OPS_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ops
+)
+SELECT k, count(*) AS n_users, sum(value) AS sum_value
+FROM ranked WHERE rn = 1 AND op <> 'd'
+GROUP BY k
+"""
+
+
 QUERIES = {
     "cdc_snapshot_merge": q_snapshot_merge,
     "cdc_merge_incremental": q_merge_incremental,
@@ -462,6 +511,7 @@ QUERIES = {
     "cdc_increment_append": q_increment_append,
     "cdc_json_flatten": q_json_flatten,
     "cdc_name_sanitize": q_name_sanitize,
+    "rollup_incremental": q_rollup_incremental,
 }
 
 ORACLE = {
@@ -477,4 +527,5 @@ ORACLE = {
     "cdc_raw_partition_stats": ORACLE_RAW_PARTITION_STATS,
     "cdc_increment_append": ORACLE_INCREMENT_APPEND,
     "cdc_json_flatten": ORACLE_JSON_FLATTEN,
+    "rollup_incremental": ORACLE_ROLLUP_INCREMENTAL,
 }

@@ -22,7 +22,7 @@ from ..fixtures import load_table
 from ..operators.asofjoin import asof_join
 from ..operators.merge import latest_per_key
 from ..operators.rangejoin import range_join
-from ..operators.windows import sessionize, tumbling_counts
+from ..operators.windows import hopping_counts, sessionize, tumbling_counts
 
 #: µs-pinned events relation for every oracle below.
 _EV_US = "ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events)"
@@ -71,6 +71,33 @@ SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
        count(*) AS n,
        CAST(round(sum(CAST(value AS DECIMAL(27,8))), 4) AS DOUBLE) AS total
 FROM ev
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) window aggregate: 6h windows every 2h — each event
+# lands in exactly width/slide = 3 overlapping windows.  The oracle
+# reconstructs the same window set by unrolling the 3 slide offsets
+# per event (epoch-aligned, so time_bucket(slide) - k*slide enumerates
+# exactly the covering starts).
+# --------------------------------------------------------------------------
+
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return hopping_counts(ev, "ts", "6 hours", "2 hours", ["event_type"], agg_col="value")
+
+
+ORACLE_HOPPING = f"""
+WITH {_EV_US},
+hops AS (
+  SELECT time_bucket(INTERVAL '2 hours', ts) - k * INTERVAL '2 hours' AS bucket,
+         event_type, value
+  FROM ev CROSS JOIN range(0, 3) offs(k)
+)
+SELECT bucket, event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(27,8))), 4) AS DOUBLE) AS total
+FROM hops
 GROUP BY 1, 2
 """
 
@@ -513,6 +540,7 @@ ORACLE_USER_BEHAVIOR_TOPK = _behavior_sql()
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
+    "events_hopping_6h_2h": q_hopping,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_forward_tolerance": q_asof_forward_tolerance,
     "range_join_signup_views": q_range_join_signup_views,
@@ -527,6 +555,7 @@ QUERIES = {
 ORACLE = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_tumbling_6h": ORACLE_TUMBLING,
+    "events_hopping_6h_2h": ORACLE_HOPPING,
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
     "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,
     "range_join_signup_views": ORACLE_RANGE_JOIN_SIGNUP_VIEWS,

@@ -1159,6 +1159,73 @@ SELECT doc_id, term, tf, df, score, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# BM25 keyword retrieval (operators/search.py): top-10 documents per
+# query for a 3-query probe set — the retrieval-shaped corpus-audit
+# primitive.  Scale: ONE (doc, term) aggregate shuffle (map-side
+# partials, no per-term window), query side broadcast everywhere, per-
+# doc lengths streamed against the broadcast matched side.  Scores are
+# rounded to 6 decimals BEFORE ranking so rank (and the cross-engine
+# hash) never depends on float summation order; every arithmetic step
+# in the oracle mirrors the Spark expression tree with ::DOUBLE casts
+# (DuckDB numeric literals default to DECIMAL, which would diverge).
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, "spark"), (0, "window"), (0, "agg"),
+    (1, "customer"), (1, "query"), (1, "join"),
+    (2, "vector"), (2, "scan"), (2, "merge"),
+]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    return bm25_topk(docs, queries, k=10)
+
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+
+ORACLE_TEXT_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) >= 3 GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qterms(query_id, term) AS (VALUES {_BM25_VALUES}),
+matched AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+),
+dfr AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+scored AS (
+  SELECT q.query_id, m.doc_id,
+         round(sum(
+           ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+           * (m.tf * (1.2::DOUBLE + 1))
+           / (m.tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * l.dl) / s.avgdl))
+         ), 6) AS score
+  FROM matched m
+  JOIN dfr d USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-label embedding centroids — the vector-aggregation primitive
 # (class prototypes / cluster summaries).  Elements are quantized to
 # integer micro-units (floor(e * 1e6): float->double widening and
@@ -1931,6 +1998,7 @@ QUERIES = {
     "top_words": q_top_words,
     "top_words_salted": q_top_words_salted,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "text_bm25_topk": q_text_bm25_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
     "chunk_documents": q_chunk_documents,
     "sample_stratified": q_sample_stratified,
@@ -1980,6 +2048,7 @@ ORACLE = {
     "top_words": ORACLE_TOP_WORDS,
     "top_words_salted": ORACLE_TOP_WORDS,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "text_bm25_topk": ORACLE_TEXT_BM25_TOPK,
     "embedding_label_centroids": ORACLE_EMBEDDING_LABEL_CENTROIDS,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,

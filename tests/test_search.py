@@ -1,0 +1,91 @@
+"""BM25 retrieval (operators/search.py): ranking semantics on a
+hand-built corpus + the scale-shape plan contract."""
+
+from __future__ import annotations
+
+import math
+
+from spark_cdc_replication_spark.operators.search import bm25_topk
+
+
+def _docs(spark):
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple apple apple banana"),
+        (3, "cherry cherry durian"),
+        (4, "banana durian durian durian"),
+        (5, "elderberry fig grape"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, *terms, qid=0):
+    return spark.createDataFrame([(qid, t) for t in terms], "query_id int, term string")
+
+
+def test_matches_model_scores(spark):
+    """Spark BM25 == a transparent pure-python model of the same formula."""
+    corpus = {
+        1: ["apple", "banana", "cherry"],
+        2: ["apple", "apple", "apple", "banana"],
+        3: ["cherry", "cherry", "durian"],
+        4: ["banana", "durian", "durian", "durian"],
+        5: ["elderberry", "fig", "grape"],
+    }
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    k1, b = 1.2, 0.75
+
+    def score(terms, doc):
+        s = 0.0
+        for t in set(terms):
+            tf = corpus[doc].count(t)
+            if tf == 0:
+                continue
+            df = sum(1 for d in corpus.values() if t in d)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(corpus[doc]) / avgdl))
+        return round(s, 6)
+
+    got = {
+        (r.doc_id, r.rank): r.score
+        for r in bm25_topk(
+            _docs(spark), _queries(spark, "apple", "durian"), k=5, min_token_len=1
+        ).collect()
+    }
+    expected = sorted(
+        ((d, score(["apple", "durian"], d)) for d in corpus if score(["apple", "durian"], d) > 0),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == {(d, i + 1): s for i, (d, s) in enumerate(expected)}
+
+
+def test_rank_properties(spark):
+    """Higher tf ranks higher; rarer terms outweigh common ones."""
+    out = {
+        r.rank: r.doc_id
+        for r in bm25_topk(_docs(spark), _queries(spark, "apple"), k=5, min_token_len=1).collect()
+    }
+    # doc 2 has tf=3 for 'apple', doc 1 has tf=1.
+    assert out[1] == 2 and out[2] == 1 and len(out) == 2
+
+    # 'elderberry' (df=1) must outscore 'banana' (df=3) at equal tf=1:
+    # doc 5 (rare term only) beats doc 1 (common term only).
+    both = bm25_topk(
+        _docs(spark), _queries(spark, "elderberry", "banana"), k=5, min_token_len=1
+    ).collect()
+    by_doc = {r.doc_id: r.score for r in both}
+    assert by_doc[5] > by_doc[1]
+
+
+def test_no_term_window_and_query_broadcast(spark):
+    """Plan contract: no WindowExec before the final per-query ranking
+    over the corpus-sized relations (the df/dl aggregates are groupBys
+    with map-side partials), and the query-term side is broadcast."""
+    out = bm25_topk(_docs(spark), _queries(spark, "apple"), k=5, min_token_len=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Exactly one Window node: the final row_number over
+    # (query_id)-sized data ("WindowGroupLimit" entries are the pushed
+    # top-k pre-filter, not a window exec).
+    assert plan.count("Window [") == 1
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan

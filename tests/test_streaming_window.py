@@ -9,7 +9,10 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from spark_cdc_replication_spark.fixtures import load_table
 from spark_cdc_replication_spark.operators.cdc_parse import parse_envelope
-from spark_cdc_replication_spark.operators.windows import tumbling_counts
+from spark_cdc_replication_spark.operators.windows import (
+    hopping_counts,
+    tumbling_counts,
+)
 
 
 def test_tumbling_agg_streams_with_watermark(spark, sf_dir, tmp_path):
@@ -37,6 +40,39 @@ def test_tumbling_agg_streams_with_watermark(spark, sf_dir, tmp_path):
     }
     batch = tumbling_counts(
         load_table(spark, sf_dir, "events"), "ts", "6 hours", ["event_type"]
+    )
+    expect = {(r.bucket, r.event_type): r.n for r in batch.collect()}
+    assert got == expect
+
+
+def test_hopping_agg_streams_equal_batch(spark, sf_dir, tmp_path):
+    """The overlapping-window aggregate (F.window width+slide) is the
+    same operator batch and streaming; the oracle-checked batch query
+    (events_hopping_6h_2h) therefore certifies the streaming run."""
+    src = str(tmp_path / "hop-src")
+    load_table(spark, sf_dir, "events").select("ts", "event_type").write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    windowed = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "2 hours").start.alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("hopping_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.bucket, r.event_type): r.n
+        for r in spark.table("hopping_stream").collect()
+    }
+    batch = hopping_counts(
+        load_table(spark, sf_dir, "events"), "ts", "6 hours", "2 hours", ["event_type"]
     )
     expect = {(r.bucket, r.event_type): r.n for r in batch.collect()}
     assert got == expect
