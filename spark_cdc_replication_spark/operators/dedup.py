@@ -585,6 +585,63 @@ def embedding_cosine_dups(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    cluster_col: str | None = None,
+    num_centroids: int = 16,
+    lloyd_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    min_cosine: float = 0.95,
+    broadcast_removal: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", 2023): cluster the embedding space, then drop
+    every vector whose within-cluster cosine against a LOWER-id vector
+    is ``>= min_cosine``.  Returns SURVIVORS with every input column —
+    the same survivor contract (and id-canonical rule) as
+    :func:`dedup_corpus`.
+
+    Clustering supplies the blocking: pass ``cluster_col`` when a
+    partition of the space already exists (a label, a topic, an LSH
+    bucket); otherwise k-means cells are trained with
+    :func:`..similarity.ivf_centroids` (deterministic seed, Lloyd
+    refinement) — or supplied via ``centroids`` to reuse a persisted
+    index.  Near-dups straddling a cluster boundary are missed by
+    construction — that is SemDeDup's documented approximation, traded
+    for turning an O(n²) all-pairs join into per-cluster blocks.  A
+    pair of EXACTLY equal vectors always lands in the same cell
+    (identical assignment), so exact duplicates are never missed.
+
+    Scale: per-cluster self-join cost is Σ |cell|² — size
+    ``num_centroids`` so cells stay bounded (SemDeDup uses ~11k
+    clusters at web scale); the removal set is one id column,
+    broadcast for the final anti-join unless
+    ``broadcast_removal=False`` (same escape hatch + bound argument as
+    :func:`dedup_corpus`).
+    """
+    if cluster_col is not None:
+        blocked, block = df, cluster_col
+    else:
+        from .similarity import _cell_assign_udf, ivf_centroids
+
+        cent = centroids or ivf_centroids(
+            df, num_centroids, vec_col=vec_col, id_col=id_col, lloyd_iters=lloyd_iters
+        )
+        blocked, block = df.withColumn("__cell", _cell_assign_udf(cent)(vec_col)), "__cell"
+
+    pairs = embedding_cosine_dups(
+        blocked, [block], vec_col=vec_col, id_col=id_col, min_cosine=min_cosine
+    )
+    removal = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if broadcast_removal:
+        removal = F.broadcast(removal)
+    return df.join(removal, on=id_col, how="left_anti")
+
+
 # --------------------------------------------------------------------------
 # Duplicate clustering (connected components)
 # --------------------------------------------------------------------------

@@ -43,10 +43,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   the olap-extensions floor), events_hopping_6h_2h (takes
 #:   events_sessionize's slot — "events_" floor held), and
 #:   text_bm25_topk (takes tfidf_top_terms's slot — BM25's tf/df
-#:   algebra is a strict superset of tf-idf's).
+#:   algebra is a strict superset of tf-idf's), and dedup_semantic
+#:   (takes dedup_embedding_cosine's slot — its oracle embeds that
+#:   query's exact pair predicate plus the survivor anti-join).
 #: Everything left out is r3/r4-green and rotates back in r6 within
-#: the staleness bound (cube_revenue, events_sessionize and
-#: tfidf_top_terms join the r6 must-rotate set).
+#: the staleness bound (cube_revenue, events_sessionize,
+#: tfidf_top_terms and dedup_embedding_cosine join the r6
+#: must-rotate set).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -79,7 +82,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "dedup_shared_shingles",
-    "dedup_embedding_cosine",
+    "dedup_semantic",
     "similarity_lsh_all",
     "similarity_ivf_all",
     "text_quality_score",

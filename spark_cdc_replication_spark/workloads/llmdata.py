@@ -20,6 +20,7 @@ from ..operators.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash,
     simhash_candidates,
 )
@@ -297,6 +298,45 @@ FROM embeddings a JOIN embeddings b
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: survivor-returning semantic dedup.  The oracle variant
+# blocks on the ground-truth label partition (the pair predicate is
+# exactly ORACLE_DEDUP_EMBEDDING_COSINE's, so this pins a strict
+# superset of that algebra: pairs + the id-canonical survivor
+# anti-join).  The IVF-clustered production path (cells trained by
+# deterministic Lloyd) is rows-only by contract and property-tested
+# against an all-pairs numpy model in tests/test_semantic_dedup.py.
+# --------------------------------------------------------------------------
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, cluster_col="label", min_cosine=0.35).select(
+        "vec_id", "label"
+    )
+
+
+ORACLE_DEDUP_SEMANTIC = """
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT b.vec_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+)
+"""
+
+
+def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: trained-cell blocking (recall vs the label-blocked
+    exact variant is pinned by pytest, not a SQL oracle — the Lloyd
+    training loop is not SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, num_centroids=8, min_cosine=0.35).select(
+        "vec_id", "label"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1982,6 +2022,8 @@ QUERIES = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_shared_shingles": q_dedup_shared_shingles,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_semantic": q_dedup_semantic,
+    "dedup_semantic_ivf": q_dedup_semantic_ivf,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_lsh_all": q_similarity_lsh_all,
@@ -2036,6 +2078,7 @@ ORACLE = {
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_shared_shingles": ORACLE_DEDUP_SHARED_SHINGLES,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
+    "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "similarity_lsh_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_all": ORACLE_SIMILARITY_TOPK,
