@@ -80,9 +80,11 @@ def prepare_corpus(
 
     ``checkpoint_survivors`` (default on) materializes the filtered
     corpus once via a deferred ``localCheckpoint`` — without it, every
-    downstream branch re-evaluates the filter subtree (its repetition
-    aggregate + feature join included): measured 16.2 s -> 6.6 s at
-    sf0.1 from this one cut.  localCheckpoint blocks are executor-local
+    downstream branch re-evaluates the filter subtree (now a single
+    scan+project+filter since the zero-shuffle ``repetition_stats``
+    rewrite, but still a full corpus re-scan per branch): measured
+    16.2 s -> 6.6 s at sf0.1 from this one cut (before the rewrite;
+    ~4.5 s after).  localCheckpoint blocks are executor-local
     (lost-executor recompute is NOT possible past the cut), and are
     auto-released when the DataFrame is garbage-collected — the right
     default for a pipeline stage consumed a handful of times.  On a

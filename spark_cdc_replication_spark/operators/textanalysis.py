@@ -129,7 +129,10 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021,
     §A1.1 "repetitious text"): heavily self-repeating documents are
@@ -139,45 +142,77 @@ def repetition_stats(
     Output per doc: ``n_words``, ``distinct_word_frac`` (|distinct| /
     |words|), ``top_bigram_frac`` (occurrences of the most frequent
     word bigram / total bigrams; NULL when the doc has < 2 words).
+    ``append=True`` keeps every input column (the ``quality_score``
+    convention) so the stats chain into one projection.
 
-    Shape: ONE scan (the fact-scan-dedup rule, SCALE.md): the row-local
-    stats ride the bigram explode as carried grouping columns —
-    ``explode_outer`` keeps bigram-less docs — then two aggregates
-    (per-(doc,bigram) count, per-doc max).  Map-side partials keep each
-    shuffle at one row per (doc[,bigram], partition).
+    Shape: ZERO shuffle.  Every signal here is doc-LOCAL, so nothing
+    may leave the row: the most-frequent-bigram count is a run-length
+    max over the SORTED per-row bigram array (``array_sort`` +
+    ``aggregate`` — O(k log k) per row, all codegen'd), not an
+    explode + two-aggregate reduction.  The earlier explode/groupBy
+    formulation shuffled one row per (doc, bigram) — at 100 TB that is
+    a full token-scale exchange carrying strictly row-computable
+    values, and it made the composed quality filter pay an id join to
+    get the stats back.  This way ``filter_corpus`` is one scan, one
+    projection, zero exchange.
     """
     w = words(normalized(text_col))
-    k = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
-    bigrams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(
-                " ", F.element_at("__w", i), F.element_at("__w", i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = df.select(F.col(id_col), w.alias("__w")).select(
-        F.col(id_col),
-        F.size("__w").alias("n_words"),
-        F.round(
-            F.size(F.array_distinct("__w")) / F.nullif(F.size("__w"), F.lit(0)), 6
-        ).alias("distinct_word_frac"),
-        F.explode_outer(bigrams).alias("__bg"),
+    base = df.select(*df.columns, w.alias("__w")) if append else df.select(
+        F.col(id_col), w.alias("__w")
     )
+    # zip_with(slice, slice), NOT transform(sequence, i ->
+    # element_at(w, i)): the element_at lambda references the words
+    # array once PER ELEMENT, so when Catalyst inlines the alias
+    # (CollapseProject for single-use chains, and — the trap that bit
+    # this function — replaceAlias when a Filter is pushed through the
+    # projection) the whole normalize+split re-runs per element:
+    # O(len²) per doc, measured 77x on the composed quality filter.
+    # zip_with's array arguments are evaluated ONCE per row no matter
+    # how the expression is inlined; only the cheap lambda runs per
+    # element.
+    k = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("__w", F.lit(1), k),
+        F.slice("__w", F.lit(2), k),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # Run-length max over the sorted bigram array: (prev, run, best).
+    # Bigram strings are never null (concat_ws), so x == prev is null
+    # only at the first element, where the when() correctly restarts
+    # the run at 1.
+    def new_run(acc, x):
+        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+
     return (
-        exploded.groupBy(id_col, "n_words", "distinct_word_frac", "__bg")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .groupBy(id_col, "n_words", "distinct_word_frac")
-        .agg(
-            F.max(F.when(F.col("__bg").isNotNull(), F.col("__n"))).alias("__top"),
-            F.sum(F.when(F.col("__bg").isNotNull(), F.col("__n"))).alias("__total"),
+        base.withColumn("__bg_sorted", F.array_sort(bigrams))
+        .withColumn(
+            "__scan",
+            F.aggregate(
+                F.col("__bg_sorted"),
+                F.struct(
+                    F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                lambda acc, x: F.struct(
+                    x.alias("prev"),
+                    new_run(acc, x).alias("run"),
+                    F.greatest(acc["best"], new_run(acc, x)).alias("best"),
+                ),
+            ),
         )
         .select(
-            id_col,
-            "n_words",
-            "distinct_word_frac",
-            F.round(F.col("__top") / F.col("__total"), 6).alias("top_bigram_frac"),
+            *[c for c in base.columns if c != "__w"],
+            F.size("__w").alias("n_words"),
+            F.round(
+                F.size(F.array_distinct("__w")) / F.nullif(F.size("__w"), F.lit(0)),
+                6,
+            ).alias("distinct_word_frac"),
+            F.round(
+                F.col("__scan")["best"]
+                / F.nullif(F.size("__bg_sorted"), F.lit(0)),
+                6,
+            ).alias("top_bigram_frac"),
         )
     )
 
@@ -474,29 +509,25 @@ def filter_corpus(
     documents): quality score, language, length, and intra-document
     repetition thresholds applied in one call.
 
-    Shape: the row-wise features (quality, language) chain into ONE
-    projection over one scan (``append=True`` discipline); repetition
-    needs its bigram aggregate, so the corpus is read in two genuinely
-    different roles (row-projection + explode/groupBy — the SCALE.md
-    multi-scan policy) and re-joined on the id — a co-keyed hash join
-    carrying only the per-doc stats.  All filters are pushed into one
-    predicate; survivors keep their storage layout.
+    Shape: every feature — quality, language, AND the repetition
+    signals (doc-local by definition, computed row-wise since the
+    ``repetition_stats`` zero-shuffle rewrite) — chains into ONE
+    projection over one scan (``append=True`` discipline): no
+    explode, no aggregate, no id join.  The composed filter is one
+    codegen'd scan+project+filter — embarrassingly parallel at any
+    corpus size.  All thresholds land in one predicate; survivors
+    keep their storage layout.
     """
-    feats = language_id(
-        quality_score(df, text_col=text_col, id_col=id_col, append=True),
+    feats = repetition_stats(
+        language_id(
+            quality_score(df, text_col=text_col, id_col=id_col, append=True),
+            text_col=text_col,
+            id_col=id_col,
+            append=True,
+        ),
         text_col=text_col,
         id_col=id_col,
         append=True,
-    )
-    rep = repetition_stats(df, text_col=text_col, id_col=id_col)
-    joined = feats.join(
-        rep.select(
-            F.col(id_col),
-            "n_words",
-            "distinct_word_frac",
-            "top_bigram_frac",
-        ),
-        on=id_col,
     )
     keep = (
         (F.col("quality") >= min_quality)
@@ -505,4 +536,4 @@ def filter_corpus(
         & (F.col("distinct_word_frac") >= min_distinct_word_frac)
         & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
     )
-    return joined.filter(keep).select(*df.columns)
+    return feats.filter(keep).select(*df.columns)
