@@ -28,13 +28,17 @@ HEADLINE = [
     "q18_large_orders",
     "q21_waiting_supplier",
     "cube_revenue",
+    "rollup_incremental",
     "top_orders_per_customer",
     "asof_purchase_view",
     "events_sessionize",
     "events_session_window",
+    "events_hopping_6h_2h",
     "tfidf_top_terms",
+    "text_bm25_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_semantic",
     "dedup_corpus",
     "decontaminate_corpus",
     "prepare_corpus",

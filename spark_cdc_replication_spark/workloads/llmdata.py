@@ -1139,15 +1139,21 @@ FROM v, LATERAL (SELECT unnest(range(0, nf, 8)) AS i) g
 
 
 # --------------------------------------------------------------------------
-# TF-IDF top terms per document.  Document frequency is a COUNT
-# window over the tf relation, NOT a self-join of two aggregates: the
-# join formulation duplicates the scan+explode+aggregate subtree
-# (measured: 3 parquet scans, 4 Generates, zero exchange reuse), while
-# the window re-partitions the already-tiny (doc, term, tf) rows by
-# term — the token explode runs ONCE.  The corpus count is a
-# single-row column-less scan, broadcast.  Scores are raw IEEE doubles
-# (tf * N/df — identical bit patterns in both engines, no rounding
-# needed); ties rank alphabetically for determinism.
+# TF-IDF top terms per document.  Document frequency is a
+# ``groupBy(term)`` aggregate over the tf relation hash-joined back —
+# the same skew-safe shape as unigram_logprob and BM25 — NOT a
+# ``COUNT over (partition by term)`` window: WindowExec does no
+# map-side partial aggregation, so a stop-word's partition holds one
+# row per containing document in ONE task (the straggler/spill the
+# r4 unigram fix removed; measured locally the join is also slightly
+# faster).  The trade, stated honestly: without exchange reuse the tf
+# subtree evaluates twice (one extra corpus scan) — at scale, a
+# second scan beats a single-task hot-term straggler, and persisting
+# the tf relation removes the re-scan when tf feeds more consumers.
+# The corpus count is a single-row column-less scan, broadcast.
+# Scores are raw IEEE doubles (tf * N/df — identical bit patterns in
+# both engines, no rounding needed); ties rank alphabetically for
+# determinism.
 # --------------------------------------------------------------------------
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,9 +1164,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(normalized("text"), " ")).alias("term")
     ).filter(F.length("term") >= 3)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        tf.join(dfr, on="term")
         .join(F.broadcast(total))
         .withColumn(
             "score", F.col("tf") * (F.col("__n").cast("double") / F.col("df"))
