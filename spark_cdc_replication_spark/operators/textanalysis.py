@@ -400,6 +400,13 @@ def bigram_logprob(
     parallel re-scan-for-partials trade as unigram.
     """
     toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
+    # transform + element_at is SAFE here (and measured ~2x faster
+    # than a struct-producing zip_with(slice, slice)): the pair array
+    # feeds an explode + aggregates, which Filters can never be pushed
+    # through, so the alias-inlining O(len²) trap that bit
+    # repetition_stats (where a pushed Filter re-ran the tokenizer per
+    # element) cannot trigger — `__w` stays materialized in its own
+    # projection (multi-use, non-cheap => CollapseProject keeps it).
     k = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
     pairs = F.when(
         k > 0,

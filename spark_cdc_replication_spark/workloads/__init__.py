@@ -43,13 +43,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   the olap-extensions floor), events_hopping_6h_2h (takes
 #:   events_sessionize's slot — "events_" floor held), and
 #:   text_bm25_topk (takes tfidf_top_terms's slot — BM25's tf/df
-#:   algebra is a strict superset of tf-idf's), and dedup_semantic
+#:   algebra is a strict superset of tf-idf's), dedup_semantic
 #:   (takes dedup_embedding_cosine's slot — its oracle embeds that
-#:   query's exact pair predicate plus the survivor anti-join).
+#:   query's exact pair predicate plus the survivor anti-join), and
+#:   fuzzy_join_parts (takes dedup_shared_shingles's slot; the dedup
+#:   family keeps 4 other in-window oracles).
 #: Everything left out is r3/r4-green and rotates back in r6 within
 #: the staleness bound (cube_revenue, events_sessionize,
-#: tfidf_top_terms and dedup_embedding_cosine join the r6
-#: must-rotate set).
+#: tfidf_top_terms, dedup_embedding_cosine and dedup_shared_shingles
+#: join the r6 must-rotate set).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -81,7 +83,7 @@ GATE_WINDOW: tuple[str, ...] = (
     # llmdata last green in r3 (21)
     "dedup_minhash_verified",
     "dedup_simhash_verified",
-    "dedup_shared_shingles",
+    "fuzzy_join_parts",
     "dedup_semantic",
     "similarity_lsh_all",
     "similarity_ivf_all",

@@ -1312,6 +1312,49 @@ FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Entity resolution: blocked approximate string join
+# (operators/stringmatch.py).  Probe = every 50th part name with its
+# last character dropped (edit distance exactly 1 to its source row);
+# the fuzzy join must recover the source part — and any other part
+# name within 2 edits — through first-token blocking + native
+# levenshtein (early-exit threshold form).  The oracle replays the
+# identical blocking and distance predicate; both engines implement
+# textbook Levenshtein.
+# --------------------------------------------------------------------------
+
+def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.stringmatch import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    probe = part.filter(F.col("p_partkey") % 50 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("probe_name"),
+    )
+    return fuzzy_join(
+        probe,
+        part.select("p_partkey", "p_name"),
+        "probe_name",
+        "p_name",
+        max_distance=2,
+    ).select("probe_id", "p_partkey", "probe_name", "p_name", "distance")
+
+
+ORACLE_FUZZY_JOIN_PARTS = """
+WITH probe AS (
+  SELECT p_partkey AS probe_id,
+         substring(p_name, 1, length(p_name) - 1) AS probe_name
+  FROM part WHERE p_partkey % 50 = 0
+)
+SELECT probe_id, p.p_partkey, probe_name, p_name,
+       levenshtein(probe_name, p_name) AS distance
+FROM probe JOIN part p
+  ON string_split(trim(probe_name), ' ')[1] = string_split(trim(p_name), ' ')[1]
+ AND abs(length(probe_name) - length(p_name)) <= 2
+WHERE levenshtein(probe_name, p_name) <= 2
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_shipping_priority": q_shipping_priority,
@@ -1340,6 +1383,7 @@ QUERIES = {
     "customer_retention_setops": q_customer_retention_setops,
     "yoy_customer_diff": q_yoy_customer_diff,
     "profile_orders": q_profile_orders,
+    "fuzzy_join_parts": q_fuzzy_join_parts,
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_revenue_trend": q_daily_revenue_trend,
     "q2_best_supplier_per_part": q_best_supplier_per_part,
@@ -1377,5 +1421,6 @@ ORACLE = {
     "customer_retention_setops": ORACLE_CUSTOMER_RETENTION_SETOPS,
     "yoy_customer_diff": ORACLE_YOY_CUSTOMER_DIFF,
     "profile_orders": ORACLE_PROFILE_ORDERS,
+    "fuzzy_join_parts": ORACLE_FUZZY_JOIN_PARTS,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
 }
