@@ -129,6 +129,43 @@ def weighted_sample(
     )
 
 
+def quality_band_sample(
+    df: DataFrame,
+    score_col: str,
+    cuts: Sequence[float],
+    rates: Sequence[float],
+    key_col: str = "doc_id",
+    null_rate: float = 0.0,
+    band_col: str | None = "band",
+) -> DataFrame:
+    """Score-band curation sampling — the "keep more of the good
+    bands" knob of model-scored data curation (DCLM/FineWeb-style:
+    score every document with a cheap quality model, then downsample
+    the low bands instead of hard-filtering): band ``i`` is
+    ``score <= cuts[i]`` (first match; ``len(rates) == len(cuts)+1``,
+    the last rate is the above-all-cuts band), each band keeps its
+    rows at ``rates[i]`` via the deterministic md5-hash Bernoulli.
+
+    One codegen'd filter — no join, no shuffle; like every sampler
+    here the decision is a pure function of the key, so samples are
+    stable across runs/partitionings/engines and nested in each rate.
+    NULL scores keep at ``null_rate``.  ``band_col`` (optional)
+    appends the band index to the survivors.
+    """
+    if len(rates) != len(cuts) + 1:
+        raise ValueError(f"need len(rates) == len(cuts)+1, got {len(rates)}/{len(cuts)}")
+    score = F.col(score_col)
+    band = F.lit(len(cuts))
+    rate = F.lit(float(rates[-1]))
+    for i in range(len(cuts) - 1, -1, -1):
+        band = F.when(score <= float(cuts[i]), F.lit(i)).otherwise(band)
+        rate = F.when(score <= float(cuts[i]), F.lit(float(rates[i]))).otherwise(rate)
+    band = F.when(score.isNull(), F.lit(None).cast("int")).otherwise(band)
+    rate = F.when(score.isNull(), F.lit(float(null_rate))).otherwise(rate)
+    out = df.filter(hash_bucket(key_col) < (rate * _BUCKETS).cast("long"))
+    return out.withColumn(band_col, band) if band_col else out
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -47,11 +47,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (takes dedup_embedding_cosine's slot — its oracle embeds that
 #:   query's exact pair predicate plus the survivor anti-join), and
 #:   fuzzy_join_parts (takes dedup_shared_shingles's slot; the dedup
-#:   family keeps 4 other in-window oracles).
+#:   family keeps 4 other in-window oracles), and sample_quality_bands
+#:   (takes sample_quality_weighted's slot — the weighted Bernoulli is
+#:   a strict subset of the band-derived-rate algebra).
 #: Everything left out is r3/r4-green and rotates back in r6 within
 #: the staleness bound (cube_revenue, events_sessionize,
-#: tfidf_top_terms, dedup_embedding_cosine and dedup_shared_shingles
-#: join the r6 must-rotate set).
+#: tfidf_top_terms, dedup_embedding_cosine, dedup_shared_shingles and
+#: sample_quality_weighted join the r6 must-rotate set).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -95,7 +97,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "embedding_label_centroids",
     "sample_stratified",
     "sample_k_per_source",
-    "sample_quality_weighted",
+    "sample_quality_bands",
     "split_assign",
     "pack_sequences",
     "corpus_stats",

@@ -1566,8 +1566,10 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
-ORACLE_TEXT_BIGRAM_LOGPROB = f"""
-WITH toks AS (
+#: Shared CTE chain: documents -> per-doc bigram-LM (n_bigrams,
+#: logprob_micro) — consumed by the bigram-logprob oracle AND the
+#: quality-band sampling oracle.
+_BIGRAM_LP_CTE = f"""toks AS (
   SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS w FROM documents
 ),
 bg AS (
@@ -1576,16 +1578,80 @@ bg AS (
 ),
 tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
 cp AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cp FROM tf GROUP BY 1, 2),
-cl AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS cl FROM tf GROUP BY 1)
-SELECT tf.doc_id,
-       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
-       CAST(sum(tf.tf * CAST(floor(ln(CAST(cp.cp AS DOUBLE)
-                                      / CAST(cl.cl AS DOUBLE))
-                                   * 1000000.0) AS BIGINT)) AS BIGINT)
-         AS logprob_micro
-FROM tf JOIN cp USING (w1, w2) JOIN cl USING (w1)
-GROUP BY tf.doc_id
+cl AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS cl FROM tf GROUP BY 1),
+lp AS (
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+         CAST(sum(tf.tf * CAST(floor(ln(CAST(cp.cp AS DOUBLE)
+                                        / CAST(cl.cl AS DOUBLE))
+                                     * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS logprob_micro
+  FROM tf JOIN cp USING (w1, w2) JOIN cl USING (w1)
+  GROUP BY tf.doc_id
+)"""
+
+ORACLE_TEXT_BIGRAM_LOGPROB = f"""
+WITH {_BIGRAM_LP_CTE}
+SELECT doc_id, n_bigrams, logprob_micro FROM lp
 """
+
+
+# --------------------------------------------------------------------------
+# Model-scored curation sampling: score every doc under the corpus's
+# own bigram LM, cut the score distribution at its exact quartiles,
+# keep each band at an ascending rate (worst 5%, then 25%, 50%, all)
+# via the deterministic md5 Bernoulli.  Spark `percentile` == DuckDB
+# `quantile_cont` (the corpus_stats parity precedent); the cuts are a
+# bounded driver collect (3 scalars — the ivf_centroids convention).
+# Shape: the scoring is the bigram-LM aggregate; banding + sampling
+# is ONE codegen'd filter, no join, no shuffle.
+# --------------------------------------------------------------------------
+
+_BAND_RATES = (0.05, 0.25, 0.5, 1.0)
+
+
+def q_sample_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import quality_band_sample
+    from ..operators.textanalysis import bigram_logprob
+
+    lp = bigram_logprob(load_table(spark, sf_dir, "documents"))
+    scored = lp.select(
+        "doc_id",
+        (F.col("logprob_micro").cast("double") / F.col("n_bigrams")).alias("__score"),
+    )
+    cuts = scored.agg(
+        F.expr("percentile(__score, array(0.25D, 0.5D, 0.75D))")
+    ).collect()[0][0]
+    kept = quality_band_sample(
+        scored, "__score", [float(c) for c in cuts], list(_BAND_RATES)
+    )
+    return kept.select("doc_id", "band")
+
+
+ORACLE_SAMPLE_QUALITY_BANDS = f"""
+WITH {_BIGRAM_LP_CTE},
+scored AS (
+  SELECT doc_id, CAST(logprob_micro AS DOUBLE) / n_bigrams AS score FROM lp
+),
+cuts AS (
+  SELECT quantile_cont(score, 0.25) AS c1,
+         quantile_cont(score, 0.50) AS c2,
+         quantile_cont(score, 0.75) AS c3
+  FROM scored
+),
+banded AS (
+  SELECT doc_id,
+         CASE WHEN score <= c1 THEN 0
+              WHEN score <= c2 THEN 1
+              WHEN score <= c3 THEN 2
+              ELSE 3 END AS band
+  FROM scored CROSS JOIN cuts
+)
+SELECT doc_id, band FROM banded
+WHERE {{bucket}} < CAST(
+  (CASE band WHEN 0 THEN 0.05 WHEN 1 THEN 0.25
+             WHEN 2 THEN 0.5 ELSE 1.0 END) * 10000 AS BIGINT)
+""".replace("{bucket}", _BUCKET_SQL)
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2067,6 +2133,7 @@ QUERIES = {
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
+    "sample_quality_bands": q_sample_quality_bands,
     "embedding_quantize": q_embedding_quantize,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
@@ -2118,6 +2185,7 @@ ORACLE = {
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
     "text_bigram_logprob": ORACLE_TEXT_BIGRAM_LOGPROB,
+    "sample_quality_bands": ORACLE_SAMPLE_QUALITY_BANDS,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,

@@ -268,3 +268,55 @@ def test_token_budget_sample_matches_python_model_property(spark):
         assert got == expect
 
     run()
+
+
+def test_quality_band_sample_bands_and_rates(spark):
+    """Band assignment at/around the cuts, rate monotonicity, and the
+    nested-sample guarantee within a band."""
+    from spark_cdc_replication_spark.operators.sampling import (
+        hash_bucket,
+        quality_band_sample,
+    )
+
+    rows = [(i, float(s)) for i, s in enumerate([-3, -2, -1, 0, 1, 2, 3] * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = quality_band_sample(
+        df, "score", cuts=[-2.0, 0.0, 2.0], rates=[0.0, 0.3, 0.7, 1.0]
+    )
+    got = {r.doc_id: r.band for r in out.collect()}
+    # band 0 (score <= -2) keeps nothing; band 3 (> 2) keeps all
+    scores = dict(rows)
+    assert all(scores[d] > -2.0 for d in got)
+    assert all(d in got for d, s in rows if s > 2.0)
+    # boundary: score == cut belongs to the LOWER band (<=)
+    assert all(got[d] == 1 for d, s in rows if s == 0.0 and d in got)
+    assert all(got[d] == 2 for d, s in rows if s == 2.0 and d in got)
+    # nested: every survivor at rate r also survives at rate r' > r
+    bigger = {
+        r.doc_id
+        for r in quality_band_sample(
+            df, "score", cuts=[-2.0, 0.0, 2.0], rates=[0.0, 0.6, 0.9, 1.0]
+        ).collect()
+    }
+    assert set(got) <= bigger
+    # decision is the shared md5 bucket: survivors of band 1 are
+    # exactly the rows whose bucket < 0.3 * 10000
+    b1 = {d for d, s in rows if -2.0 < s <= 0.0}
+    expect_b1 = {
+        r.doc_id
+        for r in df.filter(hash_bucket("doc_id") < 3000).collect()
+        if r.doc_id in b1
+    }
+    assert {d for d in got if got[d] == 1} == expect_b1
+
+
+def test_quality_band_sample_null_scores(spark):
+    from spark_cdc_replication_spark.operators.sampling import quality_band_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5.0)], "doc_id long, score double"
+    )
+    none_kept = quality_band_sample(df, "score", [0.0], [1.0, 1.0], null_rate=0.0)
+    assert [r.doc_id for r in none_kept.collect()] == [2]
+    all_kept = quality_band_sample(df, "score", [0.0], [1.0, 1.0], null_rate=1.0)
+    assert {r.doc_id: r.band for r in all_kept.collect()} == {1: None, 2: 1}
