@@ -60,3 +60,37 @@ def quantize_int8(
             F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))
         ).alias("q_fp"),
     )
+
+
+def project_random(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection dimensionality
+    reduction: ``out[j] = dot(vec, planes[j])`` for a fixed (seeded,
+    reproducible — see ``similarity.deterministic_planes``) Gaussian
+    plane matrix.  The standard cheap shrink before an ANN index or a
+    clustering pass: pairwise distances are preserved within
+    ``1 ± eps`` at ``out_dim = O(ln n / eps²)``.
+
+    Pure per-row native expressions — the plane matrix is inlined as
+    literals into ``out_dim`` sequential-sum dot products (the
+    ``functions.vectors.dot`` shape: left-to-right summation, so each
+    component is bit-deterministic and engine-reproducible).  Zero
+    shuffle, zero Python.  Output is EXPLODED scalar rows
+    ``(id_col, pos, proj_micro)`` with ``proj_micro =
+    floor(out[j] * 1e6)`` exact BIGINTs (the micro-unit oracle trick).
+    """
+    from ..functions.vectors import dot
+
+    comps = [
+        F.floor(
+            dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane])) * 1e6
+        ).cast("bigint")
+        for plane in planes
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("pos", "proj_micro")
+    )

@@ -398,3 +398,46 @@ def deterministic_planes(num_tables: int, num_planes: int, dim: int) -> list[lis
         [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
         for _ in range(num_tables)
     ]
+
+
+def knn_label(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k-NN label propagation (weak labeling / label imputation for
+    data curation): each query takes the MAJORITY label among its
+    ``k`` nearest cosine neighbors in ``corpus``; vote ties break to
+    the smallest label, so the answer is deterministic.
+
+    Output: ``(query_id, label, votes)`` — one row per query.
+
+    Composition, not a new kernel: neighbors come from
+    :func:`brute_force_topk` (swap in :func:`ivf_topk` over a
+    persisted inverted file for the at-scale path — the vote algebra
+    is identical), labels attach via one hash join against the
+    bounded neighbor set, and the vote is a tiny two-level aggregate.
+    """
+    nb = brute_force_topk(
+        corpus, queries, k=k, vec_col=vec_col, id_col=id_col,
+        query_id_col=query_id_col,
+    )
+    labeled = nb.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col)),
+        on="neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("query_id", label_col, "votes")
+    )

@@ -47,13 +47,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (takes dedup_embedding_cosine's slot — its oracle embeds that
 #:   query's exact pair predicate plus the survivor anti-join), and
 #:   fuzzy_join_parts (takes dedup_shared_shingles's slot; the dedup
-#:   family keeps 4 other in-window oracles), and sample_quality_bands
+#:   family keeps 4 other in-window oracles), sample_quality_bands
 #:   (takes sample_quality_weighted's slot — the weighted Bernoulli is
-#:   a strict subset of the band-derived-rate algebra).
+#:   a strict subset of the band-derived-rate algebra),
+#:   embedding_project (takes split_assign's slot; sampling floor still
+#:   5-deep), and similarity_knn_label (takes multimodal_resize's slot;
+#:   multimodal_frames holds that family's floor).
 #: Everything left out is r3/r4-green and rotates back in r6 within
 #: the staleness bound (cube_revenue, events_sessionize,
-#: tfidf_top_terms, dedup_embedding_cosine, dedup_shared_shingles and
-#: sample_quality_weighted join the r6 must-rotate set).
+#: tfidf_top_terms, dedup_embedding_cosine, dedup_shared_shingles,
+#: sample_quality_weighted, split_assign and multimodal_resize join
+#: the r6 must-rotate set).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -98,10 +102,10 @@ GATE_WINDOW: tuple[str, ...] = (
     "sample_stratified",
     "sample_k_per_source",
     "sample_quality_bands",
-    "split_assign",
+    "embedding_project",
     "pack_sequences",
     "corpus_stats",
-    "multimodal_resize",
+    "similarity_knn_label",
     "multimodal_frames",
     "decontaminate_fuzzy",
     # round-5 additions (never-green, must debut in-window)

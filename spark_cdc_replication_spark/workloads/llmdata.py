@@ -1654,6 +1654,81 @@ WHERE {{bucket}} < CAST(
 """.replace("{bucket}", _BUCKET_SQL)
 
 
+# --------------------------------------------------------------------------
+# JL random-projection dim reduction (operators/embeddings.py::
+# project_random): 64 -> 16 dims against the seeded deterministic
+# plane matrix.  The SAME python float literals are inlined into the
+# Spark expression tree and the oracle SQL, and both engines sum the
+# dot product left-to-right (the list_cosine_similarity parity
+# precedent), so the micro-unit components hash exactly.
+# --------------------------------------------------------------------------
+
+_PROJ_PLANES = deterministic_planes(num_tables=1, num_planes=16, dim=64)[0]
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embeddings import project_random
+
+    return project_random(load_table(spark, sf_dir, "embeddings"), _PROJ_PLANES)
+
+
+def _planes_sql(planes: list[list[float]]) -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + "]" for plane in planes
+    )
+    return f"CAST([{rows}] AS DOUBLE[][])"
+
+
+ORACLE_EMBEDDING_PROJECT = f"""
+SELECT vec_id, i - 1 AS pos,
+       CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   ({_planes_sql(_PROJ_PLANES)})[i])
+                  * 1000000.0) AS BIGINT) AS proj_micro
+FROM embeddings, range(1, {len(_PROJ_PLANES) + 1}) t(i)
+"""
+
+
+# --------------------------------------------------------------------------
+# k-NN label propagation (operators/similarity.py::knn_label): each
+# query vector takes the majority label of its 10 nearest cosine
+# neighbors; vote ties break to the smallest label.  Weak labeling /
+# label imputation — the vote algebra is identical over the IVF probe
+# at scale.
+# --------------------------------------------------------------------------
+
+def q_similarity_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_label
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label(emb, _queries_df(spark, sf_dir), k=10)
+
+
+ORACLE_SIMILARITY_KNN_LABEL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT r.query_id, e.label, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rank <= 10
+  GROUP BY 1, 2
+)
+SELECT query_id, label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY votes DESC, label ASC) AS r
+  FROM votes
+) WHERE r = 1
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantize every embedding; value-exact md5 fingerprint."""
     from ..operators.embeddings import quantize_int8
@@ -2135,6 +2210,8 @@ QUERIES = {
     "text_bigram_logprob": q_text_bigram_logprob,
     "sample_quality_bands": q_sample_quality_bands,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_project": q_embedding_project,
+    "similarity_knn_label": q_similarity_knn_label,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_corpus": q_dedup_corpus,
@@ -2187,6 +2264,8 @@ ORACLE = {
     "text_bigram_logprob": ORACLE_TEXT_BIGRAM_LOGPROB,
     "sample_quality_bands": ORACLE_SAMPLE_QUALITY_BANDS,
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+    "embedding_project": ORACLE_EMBEDDING_PROJECT,
+    "similarity_knn_label": ORACLE_SIMILARITY_KNN_LABEL,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,

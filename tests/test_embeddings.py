@@ -54,3 +54,54 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     # exact value: ln(60/61) for each of the 3 tokens
     expected = 3 * math.floor(math.log(60 / 61) * 1e6)
     assert out[0].logprob_micro == expected
+
+
+def test_project_random_matches_sequential_python_model(spark):
+    """Each projected component must equal a left-to-right python
+    accumulation (IEEE double) of vec . plane — bit-exact, which is
+    what makes the micro-unit oracle hashable."""
+    import math
+
+    from spark_cdc_replication_spark.operators.embeddings import project_random
+    from spark_cdc_replication_spark.operators.similarity import deterministic_planes
+
+    planes = deterministic_planes(1, 4, 6)[0]
+    vecs = [[0.5, -1.25, 3.0, 0.125, -2.5, 1.0], [1e-3, 2e-3, -5.0, 4.0, 0.0, 7.5]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_id, r.pos): r.proj_micro
+        for r in project_random(df, planes).collect()
+    }
+    import numpy as np
+
+    for i, v in enumerate(vecs):
+        v32 = [float(np.float32(x)) for x in v]  # storage is float32
+        for j, plane in enumerate(planes):
+            acc = 0.0
+            for a, b in zip(v32, plane):
+                acc = acc + a * b
+            assert got[(i, j)] == math.floor(acc * 1e6), (i, j)
+
+
+def test_knn_label_majority_and_tie_break(spark):
+    from spark_cdc_replication_spark.operators.similarity import knn_label
+
+    # 1-D embeddings: cosine is sign-based, so craft neighbors by sign.
+    # Query 0 (positive): neighbors 1..4 positive.  Labels: two 7s,
+    # one 3, one 9 -> majority 7.  With k=2 it sees labels {7, 3}
+    # (ranked by cosine=1.0 tie -> lowest neighbor ids) -> tie 1-1
+    # breaks to the SMALLER label 3.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.1], 7),
+        (2, [3.0, -0.1], 3),
+        (3, [4.0, 0.2], 7),
+        (4, [5.0, -0.2], 9),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+    maj = knn_label(df, queries, k=4)
+    assert [(r.query_id, r.label, r.votes) for r in maj.collect()] == [(0, 7, 2)]
