@@ -554,14 +554,35 @@ def embedding_cosine_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     min_cosine: float = 0.9,
+    impl: str = "native",
 ) -> DataFrame:
     """Pairs with cosine(vec_a, vec_b) >= threshold, blocked.
 
     ``block_cols`` keeps the self-join from being all-pairs (at scale:
-    an LSH/IVF bucket id — see operators/similarity.py); cosine is a
-    native ``aggregate(zip_with(...))`` in double precision.
+    an LSH/IVF bucket id — see operators/similarity.py).
+
+    ``impl``:
+
+    * ``"native"`` (default) — self-join + ``aggregate(zip_with(...))``
+      cosine in double precision, sequential summation: bit-exact
+      against the DuckDB oracle, but higher-order functions evaluate
+      interpreted (~µs/pair) — right for oracle-checked paths and
+      moderate blocks.
+    * ``"arrow"`` — one ``applyInPandas`` per block: normalized numpy
+      matmul gives ALL within-block cosines in one BLAS call (~100×
+      per pair), pairs materialize only above the threshold.  numpy's
+      pairwise-summation dot can differ from sequential in the last
+      ulp, so this path is equivalence-tested against native at the
+      6-decimal rounding rather than oracle-hashed — the production
+      setting for SemDeDup-sized cells (|cell| ~ 10⁴-10⁵, where the
+      per-pair interpreter cost dominates the job).
     """
     from ..functions.vectors import cosine_similarity, l2_norm
+
+    if impl == "arrow":
+        return _cosine_dups_arrow(df, block_cols, vec_col, id_col, min_cosine)
+    if impl != "native":
+        raise ValueError(f"impl must be native|arrow, got {impl!r}")
 
     base = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col(vec_col).alias("__v")
@@ -585,6 +606,46 @@ def embedding_cosine_dups(
     )
 
 
+def _cosine_dups_arrow(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    vec_col: str,
+    id_col: str,
+    min_cosine: float,
+) -> DataFrame:
+    """Arrow per-block pairwise cosine (see ``embedding_cosine_dups``
+    ``impl="arrow"``).  One shuffle on the block key; within a block,
+    one normalized matmul replaces |block|² interpreted expression
+    evaluations.  Memory: the sim matrix is |block|² doubles — size
+    blocks (num_centroids) so |block| ≲ 3·10⁴ keeps it under ~8 GB; the
+    output carries only above-threshold pairs."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.vstack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = np.round((mat / norms) @ (mat / norms).T, 6)
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= min_cosine
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai[keep]],
+                "id_b": ids[bi[keep]],
+                "cosine": sims[ai, bi][keep],
+            }
+        )
+
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col), *block_cols, vec_col)
+        .groupBy(*block_cols)
+        .applyInPandas(pairs, "id_a long, id_b long, cosine double")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -596,6 +657,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     min_cosine: float = 0.95,
     broadcast_removal: bool = True,
+    impl: str = "native",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -634,7 +696,8 @@ def semantic_dedup(
         blocked, block = df.withColumn("__cell", _cell_assign_udf(cent)(vec_col)), "__cell"
 
     pairs = embedding_cosine_dups(
-        blocked, [block], vec_col=vec_col, id_col=id_col, min_cosine=min_cosine
+        blocked, [block], vec_col=vec_col, id_col=id_col,
+        min_cosine=min_cosine, impl=impl,
     )
     removal = pairs.select(F.col("id_b").alias(id_col)).distinct()
     if broadcast_removal:

@@ -332,11 +332,13 @@ WHERE vec_id NOT IN (
 def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: trained-cell blocking (recall vs the label-blocked
     exact variant is pinned by pytest, not a SQL oracle — the Lloyd
-    training loop is not SQL-expressible)."""
+    training loop is not SQL-expressible).  Runs the Arrow matmul
+    pairing — the production path for SemDeDup-sized cells
+    (arrow ≡ native equivalence-tested at the 6-decimal rounding)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, num_centroids=8, min_cosine=0.35).select(
-        "vec_id", "label"
-    )
+    return semantic_dedup(
+        emb, num_centroids=8, min_cosine=0.35, impl="arrow"
+    ).select("vec_id", "label")
 
 
 # --------------------------------------------------------------------------

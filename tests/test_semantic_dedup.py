@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from spark_cdc_replication_spark.operators.dedup import semantic_dedup
 
@@ -82,6 +83,28 @@ def test_one_cell_equals_global_allpairs(spark):
     got = {r.vec_id for r in one_cell.select("vec_id").collect()}
     # model with a single centroid: every pair compared
     assert got == _model_survivors(vecs, [[1.0] * DIM], 0.6)
+
+
+def test_arrow_impl_equals_native(spark):
+    """The Arrow matmul pairing must return the same survivor set as
+    the native sequential-sum path at the shared 6-decimal rounding
+    (ulp-level summation differences die in the rounding)."""
+    from spark_cdc_replication_spark.operators.dedup import embedding_cosine_dups
+
+    vecs = _vectors(9, 40)
+    df = _df(spark, vecs).withColumn("blk", F.col("vec_id") % 3)
+    for tau in (0.5, 0.9):
+        nat = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_cosine_dups(df, ["blk"], min_cosine=tau).collect()
+        }
+        arw = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in embedding_cosine_dups(
+                df, ["blk"], min_cosine=tau, impl="arrow"
+            ).collect()
+        }
+        assert nat == arw
 
 
 def test_survivors_keep_all_columns_and_broadcast_plan(spark):
