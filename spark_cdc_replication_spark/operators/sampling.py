@@ -154,6 +154,8 @@ def quality_band_sample(
     """
     if len(rates) != len(cuts) + 1:
         raise ValueError(f"need len(rates) == len(cuts)+1, got {len(rates)}/{len(cuts)}")
+    if list(cuts) != sorted(float(c) for c in cuts):
+        raise ValueError(f"cuts must be ascending, got {list(cuts)}")
     score = F.col(score_col)
     band = F.lit(len(cuts))
     rate = F.lit(float(rates[-1]))

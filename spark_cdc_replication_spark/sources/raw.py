@@ -231,6 +231,11 @@ def zorder_key(
     — a static codegen'd expression tree of ``bits * n_cols`` terms,
     no UDF, no shuffle."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits * n_cols = {bits * n} exceeds a signed 64-bit key; "
+            f"lower bits (e.g. {63 // n}) or cluster fewer columns"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(cols):
@@ -281,6 +286,9 @@ def land_zorder(
     normed = []
     for c in zorder_cols:
         mn, mx = ranges[c]
+        if mn is None or mx is None:  # all-NULL column: no skip power
+            normed.append(F.lit(0).cast("long"))
+            continue
         span = float(mx) - float(mn)
         if span <= 0:
             normed.append(F.lit(0).cast("long"))

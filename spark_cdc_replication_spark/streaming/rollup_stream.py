@@ -40,6 +40,10 @@ from ..operators.merge import apply_changes, merge_snapshot
 
 
 def _epochs(path: str) -> list[int]:
+    # Local-FS listing (os.listdir + _SUCCESS markers) — right for
+    # tests and single-node runs; on HDFS/S3 swap this helper for the
+    # Hadoop FileSystem API (same protocol: list epoch= dirs, require
+    # the commit marker).  The protocol itself is store-agnostic.
     try:
         names = os.listdir(path)
     except FileNotFoundError:
