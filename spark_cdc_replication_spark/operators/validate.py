@@ -1,0 +1,99 @@
+"""Declarative data-quality validation ([EXT] — the Deequ/dbt-test
+shape, rebuilt as plain DataFrame algebra): assert row-level
+constraints, key uniqueness, and referential integrity over a table
+and get back one tiny ``(rule, violations)`` frame.
+
+The CDC pipeline's natural companion: run it on every merged snapshot
+(or raw landing) and alert on nonzero counts — the reference has no
+quality gate at all, so a poisoned upstream lands silently.
+
+Scale shape:
+
+* ALL row-local rules ride ONE aggregate over ONE scan (conditional
+  sums with map-side partials) — adding a rule adds a column, never a
+  scan (the ``profile_orders`` one-pass discipline); the single-row
+  result unpivots executor-side via ``stack``;
+* uniqueness is ``count(*) - count(distinct key)`` — one extra
+  aggregate whose shuffle carries only the key columns;
+* referential integrity is a LEFT ANTI join counting orphans — AQE
+  broadcasts bounded dimensions, and the count collapses map-side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rows(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
+    """Row-level rules: ``(rule_name, violation_predicate)`` pairs —
+    the predicate is true when the ROW VIOLATES the rule (so NULL
+    predicate results count as non-violations; wrap with
+    ``coalesce(pred, lit(True))`` to treat unknown as violation).
+    One scan, one aggregate, however many rules."""
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in rules
+    ]
+    row = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', `{name}`" for name, _ in rules)
+    return row.selectExpr(f"stack({len(rules)}, {stack}) AS (rule, violations)")
+
+
+def check_unique(df: DataFrame, key_cols: Sequence[str], rule: str | None = None) -> DataFrame:
+    """Duplicate-key count: ``count(*) - count(distinct key)`` (rows
+    beyond the first per key). NULL-keyed rows group per SQL DISTINCT
+    semantics (all-NULL keys collapse to one)."""
+    name = rule or f"unique({', '.join(key_cols)})"
+    key = F.struct(*[F.col(c) for c in key_cols])
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(key)).cast("long").alias("violations")
+    ).select(F.lit(name).alias("rule"), "violations")
+
+
+def check_foreign_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    dim: DataFrame,
+    dim_key_cols: Sequence[str],
+    rule: str | None = None,
+) -> DataFrame:
+    """Orphan count: fact rows whose (non-null) key has no match in
+    ``dim``.  NULL keys are not orphans (SQL join semantics — use a
+    not-null row rule to forbid them)."""
+    name = rule or f"fk({', '.join(key_cols)})"
+    probe = df.select(
+        *[F.col(c).alias(d) for c, d in zip(key_cols, dim_key_cols)]
+    ).na.drop()
+    orphans = probe.join(
+        dim.select(*dim_key_cols).dropDuplicates(list(dim_key_cols)),
+        on=list(dim_key_cols),
+        how="left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
+        F.lit(name).alias("rule"), "violations"
+    )
+
+
+def validate(
+    df: DataFrame,
+    row_rules: Sequence[tuple[str, Column]] = (),
+    unique_keys: Sequence[Sequence[str]] = (),
+    foreign_keys: Sequence[tuple[Sequence[str], DataFrame, Sequence[str]]] = (),
+) -> DataFrame:
+    """Compose every check into one ``(rule, violations)`` frame."""
+    parts = []
+    if row_rules:
+        parts.append(check_rows(df, row_rules))
+    for keys in unique_keys:
+        parts.append(check_unique(df, keys))
+    for keys, dim, dim_keys in foreign_keys:
+        parts.append(check_foreign_key(df, keys, dim, dim_keys))
+    if not parts:
+        raise ValueError("no rules given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

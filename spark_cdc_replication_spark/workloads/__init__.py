@@ -51,13 +51,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   (takes sample_quality_weighted's slot — the weighted Bernoulli is
 #:   a strict subset of the band-derived-rate algebra),
 #:   embedding_project (takes split_assign's slot; sampling floor still
-#:   5-deep), and similarity_knn_label (takes multimodal_resize's slot;
-#:   multimodal_frames holds that family's floor).
+#:   5-deep), similarity_knn_label (takes multimodal_resize's slot;
+#:   multimodal_frames holds that family's floor), and validate_orders
+#:   (takes text_lang_stats's slot; the text family keeps 5 in-window
+#:   oracles).
 #: Everything left out is r3/r4-green and rotates back in r6 within
 #: the staleness bound (cube_revenue, events_sessionize,
 #: tfidf_top_terms, dedup_embedding_cosine, dedup_shared_shingles,
-#: sample_quality_weighted, split_assign and multimodal_resize join
-#: the r6 must-rotate set).
+#: sample_quality_weighted, split_assign, multimodal_resize and
+#: text_lang_stats join the r6 must-rotate set).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -95,7 +97,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "similarity_ivf_all",
     "text_quality_score",
     "text_language_id",
-    "text_lang_stats",
+    "validate_orders",
     "top_words_salted",
     "text_bm25_topk",
     "embedding_label_centroids",

@@ -1313,6 +1313,69 @@ FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 
 
 # --------------------------------------------------------------------------
+# Declarative data-quality validation (operators/validate.py — the
+# Deequ/dbt-test shape): row rules in ONE aggregate over ONE scan,
+# uniqueness as count - count(distinct), referential integrity as a
+# counted anti-join.  Violations are PLANTED deterministically (dup
+# keys, negated prices, orphaned custkeys, nulled dates) so every rule
+# reports a nonzero, oracle-checkable count.
+# --------------------------------------------------------------------------
+
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.validate import validate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    dirty = orders.unionByName(
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            "o_orderkey",
+            (-F.col("o_custkey")).alias("o_custkey"),
+            (-F.col("o_totalprice")).alias("o_totalprice"),
+            F.lit(None).cast("date").alias("o_orderdate"),
+        )
+    )
+    return validate(
+        dirty,
+        row_rules=[
+            ("totalprice_nonneg", F.col("o_totalprice") < 0),
+            ("orderdate_not_null", F.col("o_orderdate").isNull()),
+        ],
+        unique_keys=[["o_orderkey"]],
+        foreign_keys=[(["o_custkey"], customer, ["c_custkey"])],
+    )
+
+
+ORACLE_VALIDATE_ORDERS = """
+WITH dirty AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, -o_custkey, -o_totalprice, CAST(NULL AS DATE) FROM orders
+  WHERE o_orderkey % 97 = 0
+)
+SELECT 'totalprice_nonneg' AS rule,
+       CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT) AS violations
+FROM dirty
+UNION ALL
+SELECT 'orderdate_not_null',
+       CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) FROM dirty
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM dirty
+UNION ALL
+SELECT 'fk(o_custkey)', CAST(count(*) AS BIGINT) FROM dirty
+WHERE o_custkey IS NOT NULL
+  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+# --------------------------------------------------------------------------
 # Entity resolution: blocked approximate string join
 # (operators/stringmatch.py).  Probe = every 50th part name with its
 # last character dropped (edit distance exactly 1 to its source row);
@@ -1384,6 +1447,7 @@ QUERIES = {
     "yoy_customer_diff": q_yoy_customer_diff,
     "profile_orders": q_profile_orders,
     "fuzzy_join_parts": q_fuzzy_join_parts,
+    "validate_orders": q_validate_orders,
     "top_orders_per_customer": q_top_orders_per_customer,
     "daily_revenue_trend": q_daily_revenue_trend,
     "q2_best_supplier_per_part": q_best_supplier_per_part,
@@ -1422,5 +1486,6 @@ ORACLE = {
     "yoy_customer_diff": ORACLE_YOY_CUSTOMER_DIFF,
     "profile_orders": ORACLE_PROFILE_ORDERS,
     "fuzzy_join_parts": ORACLE_FUZZY_JOIN_PARTS,
+    "validate_orders": ORACLE_VALIDATE_ORDERS,
     "top_orders_per_customer": ORACLE_TOP_ORDERS_PER_CUSTOMER,
 }

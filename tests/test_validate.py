@@ -1,0 +1,63 @@
+"""Data-quality validation (operators/validate.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.operators.validate import (
+    check_foreign_key,
+    check_rows,
+    check_unique,
+    validate,
+)
+
+
+def _facts(spark):
+    rows = [
+        (1, 10, 5.0),
+        (2, 10, -1.0),   # negative amount
+        (2, 20, 3.0),    # duplicate id
+        (3, 99, 2.0),    # orphan dim key
+        (4, None, 0.0),  # NULL fk: not an orphan by contract
+    ]
+    return spark.createDataFrame(rows, "id long, dim_id long, amount double")
+
+
+def _dim(spark):
+    return spark.createDataFrame([(10,), (20,)], "k long")
+
+
+def test_row_rules_one_pass(spark):
+    out = check_rows(
+        _facts(spark),
+        [
+            ("amount_nonneg", F.col("amount") < 0),
+            ("dim_not_null", F.col("dim_id").isNull()),
+        ],
+    )
+    got = {r.rule: r.violations for r in out.collect()}
+    assert got == {"amount_nonneg": 1, "dim_not_null": 1}
+    # one scan: a single Aggregate over the relation
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+
+
+def test_unique_and_fk(spark):
+    uniq = check_unique(_facts(spark), ["id"]).collect()[0]
+    assert (uniq.rule, uniq.violations) == ("unique(id)", 1)
+    fk = check_foreign_key(_facts(spark), ["dim_id"], _dim(spark), ["k"]).collect()[0]
+    assert (fk.rule, fk.violations) == ("fk(dim_id)", 1)  # only id=3; NULL excluded
+
+
+def test_validate_composes_and_requires_rules(spark):
+    out = validate(
+        _facts(spark),
+        row_rules=[("amount_nonneg", F.col("amount") < 0)],
+        unique_keys=[["id"]],
+        foreign_keys=[(["dim_id"], _dim(spark), ["k"])],
+    )
+    got = {r.rule: r.violations for r in out.collect()}
+    assert got == {"amount_nonneg": 1, "unique(id)": 1, "fk(dim_id)": 1}
+    with pytest.raises(ValueError):
+        validate(_facts(spark))
