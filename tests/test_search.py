@@ -78,6 +78,71 @@ def test_rank_properties(spark):
     assert by_doc[5] > by_doc[1]
 
 
+def test_matches_model_property(spark):
+    """Random corpora + random query terms vs the pure-python model:
+    pins tokenization (min length filter), df/dl/avgdl accounting,
+    rounding, and rank tie-breaks across generated shapes."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    VOCAB = ["aa", "bbb", "cccc", "ddddd", "ee", "ffff"]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(VOCAB), min_size=0, max_size=8),
+            min_size=1,
+            max_size=8,
+        ),
+        terms=st.sets(st.sampled_from(VOCAB), min_size=1, max_size=3),
+    )
+    def check(docs, terms):
+        k1, b, min_len = 1.2, 0.75, 3
+        corpus = {i: [w for w in ws if len(w) >= min_len] for i, ws in enumerate(docs)}
+        corpus = {i: ws for i, ws in corpus.items() if ws}  # docs w/o tokens drop out of dl
+        if not corpus:
+            return
+        n = len(corpus)
+        avgdl = sum(len(v) for v in corpus.values()) / n
+
+        def score(doc):
+            s = 0.0
+            for t in terms:
+                tf = corpus[doc].count(t)
+                if tf == 0:
+                    continue
+                df = sum(1 for d in corpus.values() if t in d)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(corpus[doc]) / avgdl)
+                )
+            return round(s, 6)
+
+        expected = sorted(
+            ((d, score(d)) for d in corpus if score(d) > 0),
+            key=lambda x: (-x[1], x[0]),
+        )[:4]
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        got = [
+            (r.doc_id, r.score)
+            for r in bm25_topk(df, _queries(spark, *sorted(terms)), k=4)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == expected
+
+    check()
+
+
 def test_no_term_window_and_query_broadcast(spark):
     """Plan contract: no WindowExec before the final per-query ranking
     over the corpus-sized relations (the df/dl aggregates are groupBys
