@@ -52,14 +52,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   a strict subset of the band-derived-rate algebra),
 #:   embedding_project (takes split_assign's slot; sampling floor still
 #:   5-deep), similarity_knn_label (takes multimodal_resize's slot;
-#:   multimodal_frames holds that family's floor), and validate_orders
+#:   multimodal_frames holds that family's floor), validate_orders
 #:   (takes text_lang_stats's slot; the text family keeps 5 in-window
-#:   oracles).
+#:   oracles), and events_anomaly_days (takes
+#:   embedding_label_centroids's slot — no family floor on embeddings;
+#:   it rotates back in r6).
 #: Everything left out is r3/r4-green and rotates back in r6 within
 #: the staleness bound (cube_revenue, events_sessionize,
 #: tfidf_top_terms, dedup_embedding_cosine, dedup_shared_shingles,
-#: sample_quality_weighted, split_assign, multimodal_resize and
-#: text_lang_stats join the r6 must-rotate set).
+#: sample_quality_weighted, split_assign, multimodal_resize,
+#: text_lang_stats and embedding_label_centroids join the r6
+#: must-rotate set).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -100,7 +103,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "validate_orders",
     "top_words_salted",
     "text_bm25_topk",
-    "embedding_label_centroids",
+    "events_anomaly_days",
     "sample_stratified",
     "sample_k_per_source",
     "sample_quality_bands",

@@ -103,6 +103,42 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Metric anomaly detection (operators/anomaly.py): daily event volumes
+# per type, days beyond 3 sample standard deviations flagged by the
+# EXACT-INTEGER z-score inequality (x·n − S)²·(n−1) > t²·(n·Q − S²) —
+# no float mean/stddev anywhere, so the decision is bit-identical in
+# both engines (a stddev_samp formulation would depend on float
+# summation order).
+# --------------------------------------------------------------------------
+
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anomaly import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return zscore_outliers(daily, ["event_type"], "n", threshold=3)
+
+
+ORACLE_EVENTS_ANOMALY_DAYS = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS nn, sum(n) AS ss, sum(n * n) AS qq
+  FROM d GROUP BY 1
+)
+SELECT event_type, day, n
+FROM d JOIN s USING (event_type)
+WHERE nn >= 2
+  AND (n * nn - ss) * (n * nn - ss) * (nn - 1) > 9 * (nn * qq - ss * ss)
+"""
+
+
+# --------------------------------------------------------------------------
 # As-of join: each purchase paired with the user's latest prior view
 # (point-in-time feature lookup).  Merge/union plan — see
 # operators/asofjoin.py; the oracle is DuckDB's native ASOF JOIN.
@@ -541,6 +577,7 @@ QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
     "events_hopping_6h_2h": q_hopping,
+    "events_anomaly_days": q_events_anomaly_days,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_forward_tolerance": q_asof_forward_tolerance,
     "range_join_signup_views": q_range_join_signup_views,
@@ -556,6 +593,7 @@ ORACLE = {
     "events_sessionize": ORACLE_SESSIONIZE,
     "events_tumbling_6h": ORACLE_TUMBLING,
     "events_hopping_6h_2h": ORACLE_HOPPING,
+    "events_anomaly_days": ORACLE_EVENTS_ANOMALY_DAYS,
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
     "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,
     "range_join_signup_views": ORACLE_RANGE_JOIN_SIGNUP_VIEWS,
