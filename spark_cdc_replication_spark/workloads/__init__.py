@@ -30,39 +30,35 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   "next" #1) and the five r5-new ones (prepare_corpus,
 #:   cdc_snapshot_asof, sample_token_budget, similarity_ivf_int8_all,
 #:   text_bigram_logprob);
-#: * 21 of the 25 r3-green llmdata queries (clean_corpus,
-#:   chunk_documents, top_words and text_fingerprints sit out one
-#:   round — clean_corpus's algebra is a strict subset of in-window
-#:   prepare_corpus, top_words_salted pins the same top-k algebra, and
-#:   the fingerprint expression rides every in-window dedup oracle —
-#:   all rotate back in r6 inside the staleness bound);
+#: * 13 of the 25 r3-green llmdata queries (every one not in-window is
+#:   either superseded-in-algebra by an in-window query or explicitly
+#:   queued for r6 — see below);
 #: * 2 family-floor keeps from the r4 window (range_join_signup_views,
 #:   pii_scrub) so no family loses driver coverage;
-#: * 3 late-r5 additions, never-green so they must debut in-window:
-#:   rollup_incremental (takes cube_revenue's slot — "rollup_" holds
-#:   the olap-extensions floor), events_hopping_6h_2h (takes
-#:   events_sessionize's slot — "events_" floor held), and
-#:   text_bm25_topk (takes tfidf_top_terms's slot — BM25's tf/df
-#:   algebra is a strict superset of tf-idf's), dedup_semantic
-#:   (takes dedup_embedding_cosine's slot — its oracle embeds that
-#:   query's exact pair predicate plus the survivor anti-join), and
-#:   fuzzy_join_parts (takes dedup_shared_shingles's slot; the dedup
-#:   family keeps 4 other in-window oracles), sample_quality_bands
-#:   (takes sample_quality_weighted's slot — the weighted Bernoulli is
-#:   a strict subset of the band-derived-rate algebra),
-#:   embedding_project (takes split_assign's slot; sampling floor still
-#:   5-deep), similarity_knn_label (takes multimodal_resize's slot;
-#:   multimodal_frames holds that family's floor), validate_orders
-#:   (takes text_lang_stats's slot; the text family keeps 5 in-window
-#:   oracles), and events_anomaly_days (takes
-#:   embedding_label_centroids's slot — no family floor on embeddings;
-#:   it rotates back in r6).
+#: * 10 late-r5 additions, never-green so they must debut in-window,
+#:   each taking the slot of a query whose algebra it pins or whose
+#:   family stays covered: rollup_incremental (cube_revenue's slot;
+#:   "rollup_" holds the olap floor), events_hopping_6h_2h
+#:   (events_sessionize's slot; "events_" floor held), text_bm25_topk
+#:   (tfidf_top_terms's slot; BM25's tf/df algebra is a strict
+#:   superset), dedup_semantic (dedup_embedding_cosine's slot; its
+#:   oracle embeds that pair predicate + the survivor anti-join),
+#:   fuzzy_join_parts (dedup_shared_shingles's slot; dedup keeps 4
+#:   other in-window oracles), sample_quality_bands
+#:   (sample_quality_weighted's slot; the weighted Bernoulli is a
+#:   strict subset), embedding_project (split_assign's slot; sampling
+#:   floor still 5-deep), similarity_knn_label (multimodal_resize's
+#:   slot; multimodal_frames holds that floor), validate_orders
+#:   (text_lang_stats's slot; text keeps 5 in-window oracles), and
+#:   events_anomaly_days (embedding_label_centroids's slot; no floor
+#:   on embeddings).
 #: Everything left out is r3/r4-green and rotates back in r6 within
-#: the staleness bound (cube_revenue, events_sessionize,
+#: the staleness bound.  The r6 must-rotate set: clean_corpus,
+#: chunk_documents, top_words, text_fingerprints (sat out r4+r5),
+#: plus the ten displaced above (cube_revenue, events_sessionize,
 #: tfidf_top_terms, dedup_embedding_cosine, dedup_shared_shingles,
 #: sample_quality_weighted, split_assign, multimodal_resize,
-#: text_lang_stats and embedding_label_centroids join the r6
-#: must-rotate set).
+#: text_lang_stats, embedding_label_centroids).
 GATE_WINDOW: tuple[str, ...] = (
     # never-driver-green first (8)
     "dedup_corpus",
@@ -91,7 +87,8 @@ GATE_WINDOW: tuple[str, ...] = (
     "customer_retention_setops",
     "yoy_customer_diff",
     "profile_orders",
-    # llmdata last green in r3 (21)
+    # 13 llmdata keeps last green in r3, interleaved with 8 of the 10
+    # late-r5 debuts (slot-for-slot swaps documented above)
     "dedup_minhash_verified",
     "dedup_simhash_verified",
     "fuzzy_join_parts",
@@ -113,7 +110,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "similarity_knn_label",
     "multimodal_frames",
     "decontaminate_fuzzy",
-    # round-5 additions (never-green, must debut in-window)
+    # the other 2 late-r5 debuts + 2 family-floor keeps from r4
     "rollup_incremental",
     "events_hopping_6h_2h",
     "range_join_signup_views",
