@@ -83,7 +83,14 @@ def validate(
     unique_keys: Sequence[Sequence[str]] = (),
     foreign_keys: Sequence[tuple[Sequence[str], DataFrame, Sequence[str]]] = (),
 ) -> DataFrame:
-    """Compose every check into one ``(rule, violations)`` frame."""
+    """Compose every check into one ``(rule, violations)`` frame.
+
+    Each check GROUP (row rules / one uniqueness key / one FK) scans
+    ``df`` once — row rules share a single scan no matter how many,
+    but uniqueness and FK checks are separate aggregates by nature.
+    When ``df`` is an expensive derivation (not a table scan),
+    persist/checkpoint it first; for plain tables the extra scans are
+    footer-pruned column reads (keys only)."""
     parts = []
     if row_rules:
         parts.append(check_rows(df, row_rules))
