@@ -4,19 +4,23 @@ outputs (daily event volumes, per-source ingest counts, rollup
 deltas).
 
 The whole test runs in EXACT INTEGER arithmetic.  For integer
-observations x with per-group count n, sum S = Σx and sum of squares
-Q = Σx², the sample z-score exceeds t iff
+observations x with per-group count n (NULLs excluded), sum S = Σx
+and sum of squares Q = Σx², the sample z-score satisfies
 
-    (x·n − S)² · (n−1)  >  t² · (n·Q − S²)
+    z² = (x·n − S)² · (n−1) / ( n · (n·Q − S²) )
+
+so |z| > t iff
+
+    (x·n − S)² · (n−1)  >  t² · n · (n·Q − S²)
 
 — both sides are products of BIGINTs (no mean, no stddev, no float
 division), so the decision is bit-identical in every engine and safely
 oracle-hashable, where a ``stddev_samp``-based formulation depends on
-float summation order.  Groups with n < 2 or zero variance flag
-nothing (a constant series has no outliers; the right-hand side is 0
-and the left is 0 too when every x equals the mean... for a non-mean
-x in a zero-variance group both sides are 0 — impossible, since zero
-variance forces x = mean).
+float summation order.  (An earlier draft omitted the ``n`` on the
+right-hand side, silently testing |z| > t/√n — caught by code review,
+now pinned by a regression test with a value in exactly that band.)
+Groups with n < 2 or zero variance flag nothing (zero variance forces
+x = mean, making both sides 0).
 
 Scale shape: one groupBy for (n, S, Q) — map-side partials — joined
 back to the observations (AQE-governed; the per-group stats relation
@@ -45,7 +49,10 @@ def zscore_outliers(
     exact integer inequality above.  Returns the flagged input rows
     (every column preserved)."""
     stats = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("__n"),
+        # count(col), not count(*): a NULL observation must not enter
+        # n while being skipped by the sums (it can't flag either way —
+        # its deviation is NULL — but it would poison the variance).
+        F.count(F.col(value_col)).alias("__n"),
         F.sum(F.col(value_col).cast("long")).alias("__s"),
         F.sum((F.col(value_col).cast("long")) * F.col(value_col).cast("long")).alias(
             "__q"
@@ -57,6 +64,7 @@ def zscore_outliers(
     lhs = dev * dev * (F.col("__n") - 1)
     rhs = (
         F.lit(int(threshold) * int(threshold))
+        * F.col("__n")
         * (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s"))
     )
     return joined.filter((F.col("__n") >= 2) & (lhs > rhs)).drop(

@@ -639,10 +639,14 @@ def _cosine_dups_arrow(
             }
         )
 
+    # id_a/id_b keep the INPUT id type (a long cast would NULL string
+    # ids and silently drop every pair); numpy argsort orders strings
+    # and ints alike, matching the native path's `id_a < id_b` rule.
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
-        df.select(F.col(id_col).cast("long").alias(id_col), *block_cols, vec_col)
+        df.select(F.col(id_col), *block_cols, vec_col)
         .groupBy(*block_cols)
-        .applyInPandas(pairs, "id_a long, id_b long, cosine double")
+        .applyInPandas(pairs, f"id_a {id_type}, id_b {id_type}, cosine double")
     )
 
 

@@ -32,13 +32,22 @@ def check_rows(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
     the predicate is true when the ROW VIOLATES the rule (so NULL
     predicate results count as non-violations; wrap with
     ``coalesce(pred, lit(True))`` to treat unknown as violation).
-    One scan, one aggregate, however many rules."""
+    One scan, one aggregate, however many rules.  An EMPTY input
+    yields 0 violations per rule (not SUM's NULL) — a clean-but-empty
+    snapshot must read as clean."""
+    names = [name for name, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
     aggs = [
-        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(name)
         for name, pred in rules
     ]
     row = df.agg(*aggs)
-    stack = ", ".join(f"'{name}', `{name}`" for name, _ in rules)
+    stack = ", ".join(
+        f"'{lit}', `{alias}`" for lit, alias in (_q(n) for n in names)
+    )
     return row.selectExpr(f"stack({len(rules)}, {stack}) AS (rule, violations)")
 
 
@@ -51,6 +60,12 @@ def check_unique(df: DataFrame, key_cols: Sequence[str], rule: str | None = None
     return df.agg(
         (F.count(F.lit(1)) - F.count_distinct(key)).cast("long").alias("violations")
     ).select(F.lit(name).alias("rule"), "violations")
+
+
+def _q(name: str) -> tuple[str, str]:
+    """Escape a rule name for the stack() literal and its backquoted
+    alias (the merge_statement identifier discipline, catalog.py)."""
+    return name.replace("'", "''"), name.replace("`", "``")
 
 
 def check_foreign_key(

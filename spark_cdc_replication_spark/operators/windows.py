@@ -53,19 +53,11 @@ def tumbling_counts(
 ) -> DataFrame:
     """Tumbling-window aggregate: count + optional value sum per
     (window-start, group).  ``F.window`` buckets are epoch-aligned,
-    matching DuckDB ``time_bucket``."""
-    aggs = [F.count(F.lit(1)).alias("n")]
-    if agg_col:
-        # round in decimal, cast to double last (cross-engine stable)
-        aggs.append(
-            F.round(F.sum(F.col(agg_col).cast("decimal(27,8)")), 4)
-            .cast("double")
-            .alias("total")
-        )
-    return (
-        df.groupBy(F.window(ts_col, width).start.alias("bucket"), *group_cols)
-        .agg(*aggs)
-    )
+    matching DuckDB ``time_bucket``.  Exactly the ``slide == width``
+    special case of :func:`hopping_counts` (one shared agg builder, so
+    the cross-engine decimal-rounding discipline can never drift
+    between the two)."""
+    return hopping_counts(df, ts_col, width, width, group_cols, agg_col)
 
 
 def hopping_counts(

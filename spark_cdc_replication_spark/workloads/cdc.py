@@ -467,8 +467,20 @@ _ROLLUP_SUMS = ["value"]
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incremental import additive_rollup, maintain_rollup
 
+    # The measure folds through a chain of signed add/subtract deltas
+    # whose partial order differs from the oracle's one-shot SUM —
+    # double arithmetic would leave an order-dependent residue, so the
+    # measure is cast to DECIMAL(27,8) up front: every delta is exact
+    # integer-scaled arithmetic and the maintained sum equals the
+    # direct sum bit-for-bit (the tumbling/hopping `total` discipline,
+    # applied to the incremental path).  Presented as DOUBLE at the end.
+    def _dec(df: DataFrame) -> DataFrame:
+        return df.withColumn("value", F.col("value").cast("decimal(27,8)"))
+
     snapshot = apply_changes(
-        _changes(spark, sf_dir, where=f"timestamp < '{_ROLLUP_CUTS[0]}'"), PK, ORDER
+        _dec(_changes(spark, sf_dir, where=f"timestamp < '{_ROLLUP_CUTS[0]}'")),
+        PK,
+        ORDER,
     )
     rollup = additive_rollup(snapshot, _ROLLUP_DIMS, _ROLLUP_SUMS, count_col="n_users")
     bounds = list(_ROLLUP_CUTS) + [None]
@@ -476,14 +488,16 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         where = f"timestamp >= '{lo}'"
         if hi is not None:
             where += f" AND timestamp < '{hi}'"
-        batch = _changes(spark, sf_dir, where=where)
+        batch = _dec(_changes(spark, sf_dir, where=where))
         rollup = maintain_rollup(
             rollup, snapshot, batch, PK, ORDER, _ROLLUP_DIMS, _ROLLUP_SUMS,
             count_col="n_users",
         )
         if hi is not None:  # the post-final snapshot feeds nothing
             snapshot = merge_snapshot(snapshot, batch, PK, ORDER)
-    return rollup.select("k", "n_users", "sum_value")
+    return rollup.select(
+        "k", "n_users", F.col("sum_value").cast("double").alias("sum_value")
+    )
 
 
 ORACLE_ROLLUP_INCREMENTAL = f"""
@@ -492,7 +506,8 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM ops
 )
-SELECT k, count(*) AS n_users, sum(value) AS sum_value
+SELECT k, count(*) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum_value
 FROM ranked WHERE rn = 1 AND op <> 'd'
 GROUP BY k
 """

@@ -103,9 +103,10 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
-# Metric anomaly detection (operators/anomaly.py): daily event volumes
-# per type, days beyond 3 sample standard deviations flagged by the
-# EXACT-INTEGER z-score inequality (x·n − S)²·(n−1) > t²·(n·Q − S²) —
+# Metric anomaly detection (operators/anomaly.py): hourly event
+# volumes per type, hours beyond 3 sample standard deviations (the
+# fixture's traffic bursts) flagged by the
+# EXACT-INTEGER z-score inequality (x·n−S)²·(n−1) > t²·n·(n·Q−S²) —
 # no float mean/stddev anywhere, so the decision is bit-identical in
 # both engines (a stddev_samp formulation would depend on float
 # summation order).
@@ -115,26 +116,26 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.anomaly import zscore_outliers
 
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.date_trunc("day", "ts").alias("day")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count(F.lit(1)).alias("n"))
-    return zscore_outliers(daily, ["event_type"], "n", threshold=3)
+    return zscore_outliers(hourly, ["event_type"], "n", threshold=3)
 
 
 ORACLE_EVENTS_ANOMALY_DAYS = """
 WITH d AS (
-  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
          count(*) AS n
   FROM events GROUP BY 1, 2
 ),
 s AS (
-  SELECT event_type, count(*) AS nn, sum(n) AS ss, sum(n * n) AS qq
+  SELECT event_type, count(n) AS nn, sum(n) AS ss, sum(n * n) AS qq
   FROM d GROUP BY 1
 )
-SELECT event_type, day, n
+SELECT event_type, hour, n
 FROM d JOIN s USING (event_type)
 WHERE nn >= 2
-  AND (n * nn - ss) * (n * nn - ss) * (nn - 1) > 9 * (nn * qq - ss * ss)
+  AND (n * nn - ss) * (n * nn - ss) * (nn - 1) > 9 * nn * (nn * qq - ss * ss)
 """
 
 

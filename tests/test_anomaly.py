@@ -20,6 +20,10 @@ def test_matches_float_zscore_model(spark):
         "b": [5, 5, 5, 5, 5],                   # zero variance: nothing flags
         "c": [100],                             # n < 2: nothing flags
         "d": [0] * 15 + [1],                    # small bump (z ~ 3.75)
+        # regression for the missing-factor-n draft: 25 sits at
+        # z ~ 1.85 — inside (t/sqrt(n), t], exactly the band the wrong
+        # inequality (x*n-S)^2*(n-1) > t^2*(n*Q-S^2) misflags.
+        "e": [10] * 20 + [25, 40],
     }
     got = {
         (r.g, r.i)
@@ -35,6 +39,8 @@ def test_matches_float_zscore_model(spark):
             if sd > 0 and abs(v - mu) / sd > 3:
                 expected.add((g, i))
     assert got == expected and ("a", 20) in got and ("d", 15) in got
+    # group e: 40 (z~3.99) flags, 25 (z~1.85) must NOT
+    assert ("e", 21) in got and ("e", 20) not in got
 
 
 def test_threshold_monotone_and_columns_preserved(spark):

@@ -107,6 +107,32 @@ def test_arrow_impl_equals_native(spark):
         assert nat == arw
 
 
+def test_arrow_impl_preserves_string_ids(spark):
+    """Regression: the arrow path must keep the INPUT id type — an
+    unconditional long cast NULLed string ids and silently returned
+    the corpus un-deduplicated."""
+    from spark_cdc_replication_spark.operators.dedup import embedding_cosine_dups
+
+    vecs = _vectors(12, 8)
+    df = spark.createDataFrame(
+        [(f"doc-{i:02d}", v, i % 2) for i, v in enumerate(vecs)],
+        "vec_id string, embedding array<float>, blk int",
+    )
+    for impl in ("native", "arrow"):
+        got = {
+            (r.id_a, r.id_b)
+            for r in embedding_cosine_dups(
+                df, ["blk"], min_cosine=0.2, impl=impl
+            ).collect()
+        }
+        assert got and all(a < b and a.startswith("doc-") for a, b in got), impl
+    nat = embedding_cosine_dups(df, ["blk"], min_cosine=0.2).collect()
+    arw = embedding_cosine_dups(df, ["blk"], min_cosine=0.2, impl="arrow").collect()
+    assert {(r.id_a, r.id_b, r.cosine) for r in nat} == {
+        (r.id_a, r.id_b, r.cosine) for r in arw
+    }
+
+
 def test_survivors_keep_all_columns_and_broadcast_plan(spark):
     vecs = _vectors(4, 16)
     df = _df(spark, vecs)
