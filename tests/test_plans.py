@@ -161,8 +161,12 @@ def test_single_fact_scan_for_threshold_rewrites(spark, sf_dir):
         ("q17", analytics.QUERIES["q17_small_quantity_revenue"], "lineitem.parquet", 1),
         ("q20", analytics.QUERIES["q20_dominant_suppliers"], "lineitem.parquet", 1),
         ("q21", analytics.QUERIES["q21_waiting_supplier"], "lineitem.parquet", 1),
-        # tfidf: token explode + the column-less corpus-count scan
-        ("tfidf", llmdata.QUERIES["tfidf_top_terms"], "documents.parquet", 2),
+        # tfidf: token explode x2 + the column-less corpus-count scan.
+        # The df aggregate deliberately duplicates the tf subtree (a
+        # groupBy+join instead of a per-term window — SCALE.md's r5
+        # skew carve-out: a second scan beats a single-task stop-word
+        # partition); this pin is the budget, not an aspiration.
+        ("tfidf", llmdata.QUERIES["tfidf_top_terms"], "documents.parquet", 3),
     ):
         assert count_table_scans(fn(spark, sf_dir), table) == expect, name
 
