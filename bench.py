@@ -114,7 +114,7 @@ def main() -> None:
             n = len(df.collect())
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-        if n == 0 and name not in ("dedup_ngram_jaccard",):
+        if n == 0:
             print(f"WARN: {name} returned 0 rows", file=sys.stderr)
         if name in release_after:
             release_after[name](spark, sf_dir)

@@ -258,7 +258,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("a.doc_id") % 5 == 0) & (F.col("b.doc_id") % 5 == 0))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    out = ngram_jaccard_pairs(docs, pairs, n=3, min_jaccard=0.1)
+    # 0.02, not a dedup-grade 0.8: the fixture corpus has no planted
+    # near-dup pairs inside this blocked+sampled pair set, and a
+    # threshold above every true similarity made the oracle a 0-row
+    # (trivially-hashing) check — at 0.02 the gate hashes REAL jaccard
+    # values at every sf (the dedup-grade thresholds are exercised by
+    # dedup_corpus / decontaminate, whose fixtures plant dups).
+    out = ngram_jaccard_pairs(docs, pairs, n=3, min_jaccard=0.02)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -279,7 +285,7 @@ SELECT id_a, id_b,
              / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0), 6) AS jaccard
 FROM pairs
 WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
-      / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0) >= 0.1
+      / nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0) >= 0.02
 """
 
 
