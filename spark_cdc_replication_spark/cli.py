@@ -193,6 +193,62 @@ def cmd_tick(args: argparse.Namespace, spark: SparkSession) -> int:
     return rc
 
 
+def cmd_validate(args: argparse.Namespace, spark: SparkSession) -> int:
+    """Quality gate: run the config's declarative rules against a
+    catalog table (the merged daily/history snapshot, typically) and
+    fail the scheduler step on violations — the gate the reference
+    lifecycle lacks entirely (a poisoned upstream lands silently).
+
+    Config block (all fields optional)::
+
+        "quality": {
+          "not_null":     ["id", "timestamp"],
+          "non_negative": ["value"],
+          "unique":       [["id"]],
+          "fk":           [{"cols": ["k"], "ref_table": "dim_k",
+                            "ref_cols": ["k"]}]
+        }
+
+    Row rules share ONE scan; see operators/validate.py for the scale
+    shape of each check."""
+    from pyspark.sql import functions as F
+
+    from .operators.validate import validate
+
+    cfg = load_config(args.config)
+    quality = cfg.get("quality") or {}
+    if not quality:
+        print("No 'quality' block in config; nothing to validate.")
+        return 0
+    table = args.table or f"{cfg['name']}_daily"
+    df = spark.table(table)
+    row_rules = [
+        (f"not_null({c})", F.col(c).isNull()) for c in quality.get("not_null", ())
+    ] + [
+        (f"non_negative({c})", F.col(c) < 0)
+        for c in quality.get("non_negative", ())
+    ]
+    fks = [
+        (fk["cols"], spark.table(fk["ref_table"]), fk["ref_cols"])
+        for fk in quality.get("fk", ())
+    ]
+    report = validate(
+        df,
+        row_rules=row_rules,
+        unique_keys=quality.get("unique", ()),
+        foreign_keys=fks,
+    ).collect()
+    bad = 0
+    for r in report:
+        print(f"{r.rule}: {r.violations}")
+        bad += int(r.violations or 0)
+    if bad and not args.warn_only:
+        print(f"Quality gate FAILED: {bad} violation(s) in {table}.")
+        return 1
+    print(f"Quality gate passed for {table}.")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="spark-cdc-replication")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -253,6 +309,18 @@ def build_parser() -> argparse.ArgumentParser:
     p_tick.add_argument("--daily-table", help="default <name>_daily")
     p_tick.add_argument("--history-table", help="default <name>_history")
     p_tick.set_defaults(func=cmd_tick)
+
+    p_val = sub.add_parser(
+        "validate", help="quality gate: run the config's rules on a table"
+    )
+    p_val.add_argument("--config", required=True, help="table config JSON")
+    p_val.add_argument("--table", help="catalog table (default <name>_daily)")
+    p_val.add_argument(
+        "--warn-only",
+        action="store_true",
+        help="report violations but exit 0 (default: nonzero exit fails the scheduler step)",
+    )
+    p_val.set_defaults(func=cmd_validate)
     return parser
 
 

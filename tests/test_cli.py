@@ -263,3 +263,43 @@ def test_cli_compact_day(spark, cfg_path):
     files = glob.glob(os.path.join(raw, "op_year=*", "op_month=*", "op_day=5", "*.parquet"))
     assert len(files) == 1
     assert spark.read.parquet(raw).filter("op_day = 5").count() == day_rows
+
+
+def test_cli_validate_quality_gate(spark, tmp_path):
+    """The validate subcommand runs the config's declarative rules on
+    a catalog table: clean table -> rc 0; planted violations -> rc 1
+    (failing the scheduler step) unless --warn-only."""
+    import json
+
+    spark.sql("DROP TABLE IF EXISTS qa_dim")
+    spark.sql("DROP TABLE IF EXISTS qa_tbl_daily")
+    spark.createDataFrame([(1,), (2,)], "k long").write.saveAsTable("qa_dim")
+    spark.createDataFrame(
+        [(1, 1, 5.0), (2, 2, 3.0)], "id long, k long, value double"
+    ).write.saveAsTable("qa_tbl_daily")
+
+    cfg = tmp_path / "qa.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "name": "qa_tbl",
+                "primary_keys": ["id"],
+                "quality": {
+                    "not_null": ["id"],
+                    "non_negative": ["value"],
+                    "unique": [["id"]],
+                    "fk": [{"cols": ["k"], "ref_table": "qa_dim", "ref_cols": ["k"]}],
+                },
+            }
+        )
+    )
+    assert cli.main(["validate", "--config", str(cfg)], spark=spark) == 0
+
+    # plant: duplicate id, negative value, orphan k
+    spark.createDataFrame(
+        [(2, 99, -1.0)], "id long, k long, value double"
+    ).write.insertInto("qa_tbl_daily")
+    assert cli.main(["validate", "--config", str(cfg)], spark=spark) == 1
+    assert (
+        cli.main(["validate", "--config", str(cfg), "--warn-only"], spark=spark) == 0
+    )
