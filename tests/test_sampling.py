@@ -320,3 +320,15 @@ def test_quality_band_sample_null_scores(spark):
     assert [r.doc_id for r in none_kept.collect()] == [2]
     all_kept = quality_band_sample(df, "score", [0.0], [1.0, 1.0], null_rate=1.0)
     assert {r.doc_id: r.band for r in all_kept.collect()} == {1: None, 2: 1}
+
+
+def test_quality_band_sample_rejects_bad_cuts(spark):
+    import pytest
+
+    from spark_cdc_replication_spark.operators.sampling import quality_band_sample
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="ascending"):
+        quality_band_sample(df, "score", cuts=[1.0, 0.0], rates=[0.1, 0.2, 0.3])
+    with pytest.raises(ValueError, match="len"):
+        quality_band_sample(df, "score", cuts=[0.0], rates=[0.1])

@@ -108,3 +108,19 @@ def test_zorder_stable_ranges_for_incremental_landing(spark, tmp_path):
     land_zorder(b1, root, ["x", "y"], bits=6, num_partitions=2, ranges=ranges)
     land_zorder(b2, root, ["x", "y"], bits=6, num_partitions=2, ranges=ranges)
     assert spark.read.parquet(root).count() == 1000
+
+
+def test_zorder_key_three_columns_and_overflow_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    # 3-way interleave: bit b of col i lands at position b*3 + i
+    df = spark.createDataFrame([(1, 2, 4)], "x long, y long, z long")
+    got = df.select(
+        zorder_key([F.col("x"), F.col("y"), F.col("z")], bits=3).alias("m")
+    ).collect()[0].m
+    # x=0b001 -> bit0 at pos 0; y=0b010 -> bit1 at pos 4; z=0b100 -> bit2 at pos 8
+    assert got == (1 << 0) | (1 << 4) | (1 << 8)
+
+    with pytest.raises(ValueError, match="64-bit"):
+        zorder_key([F.col("x")] * 6, bits=12)  # 72 bits > signed int64
