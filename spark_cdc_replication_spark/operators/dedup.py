@@ -631,6 +631,13 @@ def _cosine_dups_arrow(
         sims = np.round((mat / norms) @ (mat / norms).T, 6)
         ai, bi = np.triu_indices(len(ids), k=1)
         keep = sims[ai, bi] >= min_cosine
+        # The native path's `id_a < id_b` is STRICT, so a duplicated id
+        # never pairs with itself; the stable argsort + triu indices
+        # would emit that (id, id) pair (cosine 1.0 for identical
+        # rows), making semantic_dedup remove every copy of the id
+        # instead of keeping one — guard it out to preserve the
+        # contract under non-unique ids.
+        keep &= ids[ai] != ids[bi]
         return pd.DataFrame(
             {
                 "id_a": ids[ai[keep]],
@@ -650,13 +657,34 @@ def _cosine_dups_arrow(
     )
 
 
+#: Auto-sizing target: |cell| ≈ 10⁴ keeps the per-cell pairwise cost
+#: (|cell|² sims ≈ 10⁸ flops·dim via one BLAS call on the arrow path)
+#: and the sim-matrix memory (~0.8 GB doubles) executor-friendly.
+_TARGET_CELL_SIZE = 10_000
+
+#: Floor on derived k — below this, cells are so few that the blocked
+#: join degenerates toward all-pairs even on small corpora.
+_MIN_CENTROIDS = 16
+
+
+def _auto_num_centroids(n: int, target_cell_size: int = _TARGET_CELL_SIZE) -> int:
+    """k such that average |cell| ≈ target_cell_size, floored at
+    ``_MIN_CENTROIDS``: Σ|cell|² ≈ n·target is linear in n instead of
+    the effectively-quadratic n²/k of any FIXED k default (SemDeDup
+    itself uses ~11k clusters at web scale for exactly this reason)."""
+    if target_cell_size < 1:
+        raise ValueError(f"target_cell_size must be >= 1, got {target_cell_size}")
+    return max(_MIN_CENTROIDS, -(-int(n) // int(target_cell_size)))
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     *,
     cluster_col: str | None = None,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
+    target_cell_size: int = _TARGET_CELL_SIZE,
     lloyd_iters: int = 2,
     centroids: list[list[float]] | None = None,
     min_cosine: float = 0.95,
@@ -682,10 +710,15 @@ def semantic_dedup(
     pair of EXACTLY equal vectors always lands in the same cell
     (identical assignment), so exact duplicates are never missed.
 
-    Scale: per-cluster self-join cost is Σ |cell|² — size
-    ``num_centroids`` so cells stay bounded (SemDeDup uses ~11k
-    clusters at web scale); the removal set is one id column,
-    broadcast for the final anti-join unless
+    Scale: per-cluster self-join cost is Σ |cell|².  When neither
+    ``centroids`` nor ``num_centroids`` is given, k is DERIVED from the
+    corpus: one count, then ``max(16, ceil(n / target_cell_size))`` —
+    so Σ|cell|² ≈ n·target_cell_size stays linear in n as the corpus
+    grows (a fixed k would be n²/k, effectively quadratic; SemDeDup
+    itself uses ~11k clusters at web scale).  Pass ``num_centroids``
+    or prebuilt ``centroids`` to pin k explicitly (reproducing a
+    persisted index skips the count entirely).  The removal set is one
+    id column, broadcast for the final anti-join unless
     ``broadcast_removal=False`` (same escape hatch + bound argument as
     :func:`dedup_corpus`).
     """
@@ -694,9 +727,14 @@ def semantic_dedup(
     else:
         from .similarity import _cell_assign_udf, ivf_centroids
 
-        cent = centroids or ivf_centroids(
-            df, num_centroids, vec_col=vec_col, id_col=id_col, lloyd_iters=lloyd_iters
-        )
+        cent = centroids
+        if cent is None:
+            k = num_centroids
+            if k is None:
+                k = _auto_num_centroids(df.count(), target_cell_size)
+            cent = ivf_centroids(
+                df, k, vec_col=vec_col, id_col=id_col, lloyd_iters=lloyd_iters
+            )
         blocked, block = df.withColumn("__cell", _cell_assign_udf(cent)(vec_col)), "__cell"
 
     pairs = embedding_cosine_dups(

@@ -17,6 +17,7 @@ sequential per group and uses ``applyInPandas``.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator, Mapping, Sequence
 
 import pandas as pd
@@ -25,6 +26,22 @@ from pyspark.sql import functions as F
 
 #: hash buckets per unit of rate (1e-4 rate resolution)
 _BUCKETS = 10_000
+
+
+def _rate_cut(rate: float) -> int:
+    """Rate -> bucket threshold, rounded to the NEAREST bucket
+    (half-up) via ``floor(x + 0.5)`` — plain truncation turns a
+    non-representable rate like 0.07 (-> 699.999...) into an
+    off-by-one-bucket threshold, diverging from user intent and from
+    any round-to-nearest oracle.  floor(x + 0.5) is bit-identical in
+    Python, Spark, and DuckDB (no round-half-to-even ambiguity), so
+    the SQL twin is ``CAST(floor(rate * 10000 + 0.5) AS BIGINT)``."""
+    return math.floor(float(rate) * _BUCKETS + 0.5)
+
+
+def _rate_cut_col(rate: Column) -> Column:
+    """Column twin of :func:`_rate_cut` (same floor(x+0.5) contract)."""
+    return F.floor(rate * _BUCKETS + F.lit(0.5)).cast("long")
 
 
 def hash_bucket(key: Column | str, buckets: int = _BUCKETS) -> Column:
@@ -52,7 +69,7 @@ def deterministic_sample(
     at rate r is also kept at every rate > r (nested samples — grow a
     training subset without resampling everything).
     """
-    return df.filter(hash_bucket(key_col) < int(rate * _BUCKETS))
+    return df.filter(hash_bucket(key_col) < _rate_cut(rate))
 
 
 def stratified_sample(
@@ -71,9 +88,7 @@ def stratified_sample(
     expr = F.lit(float(default_rate))
     for value, rate in sorted(rates.items()):
         expr = F.when(F.col(strata_col) == value, F.lit(float(rate))).otherwise(expr)
-    return df.filter(
-        hash_bucket(key_col) < (expr * _BUCKETS).cast("long")
-    )
+    return df.filter(hash_bucket(key_col) < _rate_cut_col(expr))
 
 
 def mixture_sample(
@@ -124,9 +139,7 @@ def weighted_sample(
     like :func:`deterministic_sample`, raising a row's weight can only
     ADD it (nested across weightings), and the decision is independent
     of partitioning and engine."""
-    return df.filter(
-        hash_bucket(key_col) < (weight * _BUCKETS).cast("long")
-    )
+    return df.filter(hash_bucket(key_col) < _rate_cut_col(weight))
 
 
 def quality_band_sample(
@@ -164,7 +177,7 @@ def quality_band_sample(
         rate = F.when(score <= float(cuts[i]), F.lit(float(rates[i]))).otherwise(rate)
     band = F.when(score.isNull(), F.lit(None).cast("int")).otherwise(band)
     rate = F.when(score.isNull(), F.lit(float(null_rate))).otherwise(rate)
-    out = df.filter(hash_bucket(key_col) < (rate * _BUCKETS).cast("long"))
+    out = df.filter(hash_bucket(key_col) < _rate_cut_col(rate))
     return out.withColumn(band_col, band) if band_col else out
 
 
@@ -322,7 +335,7 @@ def split_assign(
     expr: Column | None = None
     for name, w in weights[:-1]:
         upper += float(w)
-        cond = bucket < int(upper * _BUCKETS)
+        cond = bucket < _rate_cut(upper)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = weights[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))

@@ -53,8 +53,21 @@ def check_rows(df: DataFrame, rules: Sequence[tuple[str, Column]]) -> DataFrame:
 
 def check_unique(df: DataFrame, key_cols: Sequence[str], rule: str | None = None) -> DataFrame:
     """Duplicate-key count: ``count(*) - count(distinct key)`` (rows
-    beyond the first per key). NULL-keyed rows group per SQL DISTINCT
-    semantics (all-NULL keys collapse to one)."""
+    beyond the first per key), with the key taken as a STRUCT of
+    ``key_cols``.
+
+    NULL semantics (deliberate, and different from a bare
+    ``COUNT(DISTINCT col)``): struct comparison treats NULL fields as
+    a real, equal-to-itself value, so NULL-keyed rows form a group —
+    two all-NULL keys count as one distinct key and therefore one
+    violation.  Plain SQL ``COUNT(DISTINCT col)`` instead SKIPS
+    NULL-keyed rows entirely: a table with a single NULL-keyed row
+    reports 0 violations here but 1 under that formulation.  For a
+    uniqueness rule the struct grouping is the useful reading (two
+    NULL-keyed rows ARE a key collision); SQL oracles must mirror it
+    with ``COUNT(DISTINCT (col1, col2))`` / a row-value comparison, or
+    keep their fixtures NULL-free.  Forbid NULL keys outright with a
+    separate not-null row rule in :func:`check_rows`."""
     name = rule or f"unique({', '.join(key_cols)})"
     key = F.struct(*[F.col(c) for c in key_cols])
     return df.agg(

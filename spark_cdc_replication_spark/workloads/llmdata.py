@@ -872,10 +872,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SAMPLE_STRATIFIED = f"""
 SELECT doc_id, source FROM documents
-WHERE {_BUCKET_SQL} < CAST(
+WHERE {_BUCKET_SQL} < CAST(floor(
   (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 ELSE 0.0 END) * 10000
-  AS BIGINT)
+  + 0.5) AS BIGINT)
 """
 
 
@@ -979,7 +979,7 @@ scored AS (
   FROM feats
 )
 SELECT doc_id, source, quality FROM scored
-WHERE {_BUCKET_SQL} < CAST(floor(quality * 10000) AS BIGINT)
+WHERE {_BUCKET_SQL} < CAST(floor(quality * 10000 + 0.5) AS BIGINT)
 """
 
 
@@ -1656,9 +1656,9 @@ banded AS (
   FROM scored CROSS JOIN cuts
 )
 SELECT doc_id, band FROM banded
-WHERE {{bucket}} < CAST(
+WHERE {{bucket}} < CAST(floor(
   (CASE band WHEN 0 THEN 0.05 WHEN 1 THEN 0.25
-             WHEN 2 THEN 0.5 ELSE 1.0 END) * 10000 AS BIGINT)
+             WHEN 2 THEN 0.5 ELSE 1.0 END) * 10000 + 0.5) AS BIGINT)
 """.replace("{bucket}", _BUCKET_SQL)
 
 

@@ -51,3 +51,45 @@ def test_threshold_monotone_and_columns_preserved(spark):
     assert t3 <= t2
     out = zscore_outliers(df, ["g"], "v")
     assert out.columns == df.columns
+
+
+def test_large_values_do_not_wrap_int64(spark):
+    # dev^2*(n-1) reaches ~1.6e21 here — far past int64 — so the old
+    # long-arithmetic formulation wrapped silently and flipped the
+    # decision; the decimal(38,0) path must flag exactly the blowout.
+    base = 10**9
+    groups = {"a": [base] * 11 + [2 * base]}   # z ~ 3.18 for the 2e9
+    mu = statistics.mean(groups["a"])
+    sd = statistics.stdev(groups["a"])
+    assert abs(2 * base - mu) / sd > 3          # the float model agrees
+    got = {
+        (r.g, r.i)
+        for r in zscore_outliers(_df(spark, groups), ["g"], "v", threshold=3).collect()
+    }
+    assert got == {("a", 11)}
+
+
+def test_fractional_threshold_exact_not_truncated(spark):
+    # "e": 25 sits at z ~ 1.85: below t=2.5 but above t=2 — so if 2.5
+    # were truncated to 2 (the old int(threshold)) it would misflag.
+    groups = {"e": [10] * 20 + [25, 40]}
+    df = _df(spark, groups)
+    got = {(r.g, r.i) for r in zscore_outliers(df, ["g"], "v", threshold=2.5).collect()}
+    assert got == {("e", 21)}                   # only the 40 (z ~ 3.99)
+    frac = {
+        (r.g, r.i)
+        for r in zscore_outliers(
+            df, ["g"], "v", threshold=__import__("fractions").Fraction(5, 2)
+        ).collect()
+    }
+    assert frac == got
+
+
+def test_unrepresentable_float_threshold_rejected(spark):
+    import pytest
+
+    df = _df(spark, {"a": [1, 2, 3]})
+    with pytest.raises(ValueError, match="Fraction"):
+        zscore_outliers(df, ["g"], "v", threshold=0.1)
+    with pytest.raises(ValueError, match="positive"):
+        zscore_outliers(df, ["g"], "v", threshold=0)

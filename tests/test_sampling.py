@@ -28,6 +28,36 @@ def test_deterministic_sample_is_stable_and_nested(spark, sf_dir):
     assert 0.02 < len(s10) / docs.count() < 0.25  # roughly the rate
 
 
+def test_rate_cut_rounds_to_nearest_bucket(spark, sf_dir):
+    # 0.07 is not float-representable: 0.07 * 10000 = 699.999...;
+    # plain truncation gave threshold 699 (one bucket short of user
+    # intent), and DuckDB's CAST rounds — the floor(x+0.5) contract
+    # pins both engines to 700.  Checked three ways: the pure helper,
+    # the python-side path (deterministic_sample), and the
+    # column-side path (weighted_sample with a literal rate column).
+    from spark_cdc_replication_spark.operators.sampling import (
+        _rate_cut,
+        hash_bucket,
+        weighted_sample,
+    )
+
+    assert _rate_cut(0.07) == 700
+    assert _rate_cut(0.05) == 500          # representable rates unchanged
+    docs = load_table(spark, sf_dir, "documents")
+    expect = {
+        r.doc_id
+        for r in docs.filter(hash_bucket("doc_id") < 700).select("doc_id").collect()
+    }
+    got_py = {
+        r.doc_id for r in deterministic_sample(docs, 0.07).select("doc_id").collect()
+    }
+    got_col = {
+        r.doc_id
+        for r in weighted_sample(docs, F.lit(0.07)).select("doc_id").collect()
+    }
+    assert got_py == expect and got_col == expect
+
+
 def test_split_assign_total_and_disjoint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = split_assign(docs, (("train", 0.8), ("val", 0.1), ("test", 0.1)))
