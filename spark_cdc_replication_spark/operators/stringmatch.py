@@ -3,39 +3,60 @@ blocked fuzzy join for entity resolution (dirty dimension keys,
 free-text product/vendor names, OCR'd identifiers).
 
 ``fuzzy_join`` is the edit-distance sibling of
-``dedup.embedding_cosine_dups``: a user-supplied BLOCKING expression
-keeps the join from being all-pairs, and the native ``levenshtein``
-(JVM-side, with Spark's early-exit threshold form) verifies inside
-each block.
+``dedup.embedding_cosine_dups``: a BLOCKING key set keeps the join
+from being all-pairs, and the native ``levenshtein`` (JVM-side, with
+Spark's early-exit threshold form) verifies inside each block.
 
 Scale shape:
 
-* the only shuffle is the equi-join on the block key; block
-  cardinality governs parallelism and hot blocks are ordinary join
-  skew (AQE skew-join splitting, or pre-salt with
-  ``operators/skew.salted_join``);
+* the only shuffle is the equi-join on the (position, key) pair;
+  block cardinality governs parallelism and hot blocks (a common last
+  token like "juice") are ordinary join skew (AQE skew-join
+  splitting, or pre-salt with ``operators/skew.salted_join``);
 * a length-difference prefilter prunes pairs before the O(len²)
   edit-distance kernel runs (|len(a) - len(b)| is a lower bound on
   Levenshtein), and the threshold form abandons a pair as soon as the
   running distance exceeds ``max_distance``;
-* recall contract, stated honestly: a typo that CHANGES the blocking
-  value (default: the first whitespace token) is missed — pick the
-  block to be the stable part of the key (leading token, sorted token
-  signature, phonetic code).  Within a block, matching is exact
-  edit-distance: no candidate inside the block is ever missed.
+* multi-key union without duplicate work: keys are position-tagged
+  and joined position-to-position, and a pair matching at position p
+  is emitted only if no earlier position matched — so each candidate
+  pair reaches the levenshtein verify exactly ONCE even when several
+  keys agree, with no row-id bookkeeping and no post-join distinct;
+* recall contract, stated honestly: the default key set
+  (first token, last token) misses a pair only when the edits change
+  BOTH tokens — a single-token name with a typo in it, or a ≤2-edit
+  change that spans both ends of a two-token name.  The old
+  single-key default missed every first-token typo; see
+  ``tests/test_stringmatch.py`` for the planted fixture.  Within a
+  block, matching is exact edit-distance: no candidate inside the
+  block is ever missed.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+BlockFn = Callable[[Column], Column]
+
 
 def first_token(c: Column) -> Column:
-    """Default blocking key: the first whitespace-delimited token."""
+    """Blocking key: the first whitespace-delimited token."""
     return F.split(F.trim(c), " ").getItem(0)
+
+
+def last_token(c: Column) -> Column:
+    """Blocking key: the last whitespace-delimited token — the cheap
+    complement of :func:`first_token` (an edit that changes the first
+    token almost never changes the last one too)."""
+    toks = F.split(F.trim(c), " ")
+    return F.element_at(toks, -1)
+
+
+#: Default key set: a pair is a candidate if it agrees on EITHER end.
+DEFAULT_BLOCKS: tuple[BlockFn, ...] = (first_token, last_token)
 
 
 def fuzzy_join(
@@ -44,22 +65,58 @@ def fuzzy_join(
     left_col: str,
     right_col: str,
     max_distance: int = 2,
-    block: Callable[[Column], Column] = first_token,
+    block: BlockFn | Sequence[BlockFn] = DEFAULT_BLOCKS,
     dist_col: str = "distance",
 ) -> DataFrame:
     """All (left, right) row pairs whose strings are within
-    ``max_distance`` Levenshtein edits AND share a blocking key.
-    Output: every column of both inputs plus ``dist_col`` (column
-    names must not collide — rename upstream, as with any join).
+    ``max_distance`` Levenshtein edits AND share at least one blocking
+    key (same key position on both sides).  ``block`` is one callable
+    or a sequence of them (``Column -> Column``); the default is
+    (first token, last token).  Output: every column of both inputs
+    plus ``dist_col`` (column names must not collide — rename
+    upstream, as with any join).
     """
-    lb = left.withColumn("__blk", block(F.col(left_col)))
-    rb = right.withColumn("__blk", block(F.col(right_col)))
-    pairs = lb.join(rb, on="__blk").filter(
+    blocks: tuple[BlockFn, ...] = (
+        (block,) if callable(block) else tuple(block)
+    )
+    if not blocks:
+        raise ValueError("need at least one blocking function")
+
+    def keyed(df: DataFrame, col: str, side: str) -> DataFrame:
+        arr = F.array(*[b(F.col(col)) for b in blocks])
+        return df.withColumn(f"__ks_{side}", arr).select(
+            "*", F.posexplode(f"__ks_{side}").alias("__pos", "__key")
+        )
+
+    lb = keyed(left, left_col, "l")
+    rb = keyed(right, right_col, "r")
+    pairs = lb.join(rb, on=["__pos", "__key"]).filter(
         F.abs(F.length(left_col) - F.length(right_col)) <= max_distance
     )
+    # keep a pair only at its FIRST agreeing key position: the same
+    # two rows joined at a later position are exact duplicates of the
+    # position-0 match, and dropping them here (one array probe) is
+    # cheaper than a post-join distinct (a second shuffle).
+    if len(blocks) > 1:
+        # "no earlier position agreed": fold over (index, keys-equal)
+        # pairs, true iff some index < __pos matched.  Null-safe
+        # equality so a NULL key (empty string edge cases) never
+        # resurrects a duplicate.
+        prefix_match = F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(len(blocks) - 1)),
+                F.zip_with(
+                    F.col("__ks_l"), F.col("__ks_r"), lambda a, b: a.eqNullSafe(b)
+                ),
+                lambda i, m: F.struct(i.alias("i"), m.alias("m")),
+            ),
+            F.lit(False),
+            lambda acc, x: acc | (x["m"] & (x["i"] < F.col("__pos"))),
+        )
+        pairs = pairs.filter(~prefix_match)
     d = F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
     return (
         pairs.withColumn(dist_col, d)
         .filter(F.col(dist_col) >= 0)  # threshold form: -1 = exceeded
-        .drop("__blk")
+        .drop("__pos", "__key", "__ks_l", "__ks_r")
     )

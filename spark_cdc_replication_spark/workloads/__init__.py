@@ -27,13 +27,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   staleness bound (VERDICT r5 "next" #1, the tripwire test's red);
 #: * `pii_scrub` (green r5 but the ONLY privacy-family oracle, and
 #:   the family floor is enforced in-window, so it never rotates out);
-#: * 37 of the 48 queries last green in r4.  The 11 r4-greens left
-#:   out (approx_distinct_bound, approx_percentile_bound,
+#: * 36 of the 48 queries last green in r4, plus fuzzy_join_parts
+#:   (r5-green but its blocking default changed this round, so it
+#:   re-earns its driver row).  The 12 r4-greens left out
+#:   (approx_distinct_bound, approx_percentile_bound,
 #:   asof_forward_tolerance, cdc_coalesce_updates, cdc_name_sanitize,
 #:   cdc_route_ops, cdc_union_dedup, cohort_retention,
-#:   customer_deciles, daily_revenue_trend, funnel_conversion) stay
-#:   within the bound (6-4=2) and head the r7 must-rotate list; every
-#:   family they touch keeps other in-window representatives.
+#:   customer_deciles, daily_revenue_trend, funnel_conversion,
+#:   user_behavior_topk) stay within the bound (6-4=2) and head the
+#:   r7 must-rotate list; every family they touch keeps other
+#:   in-window representatives.
 #:
 #: This settles into a sustainable 3-round cycle over the ~110-oracle
 #: registry: each round's window = last round's leftovers + the
@@ -91,7 +94,10 @@ GATE_WINDOW: tuple[str, ...] = (
     "text_stats",
     "text_unigram_logprob",
     "top_orders_per_customer",
-    "user_behavior_topk",
+    # changed semantics this round (multi-key blocking default) —
+    # re-earns its driver row now; displaces user_behavior_topk
+    # (r4-green, still within bound, heads the r7 rotation)
+    "fuzzy_join_parts",
 )
 
 

@@ -1377,25 +1377,33 @@ WHERE o_custkey IS NOT NULL
 
 # --------------------------------------------------------------------------
 # Entity resolution: blocked approximate string join
-# (operators/stringmatch.py).  Probe = every 50th part name with its
-# last character dropped (edit distance exactly 1 to its source row);
-# the fuzzy join must recover the source part — and any other part
-# name within 2 edits — through first-token blocking + native
-# levenshtein (early-exit threshold form).  The oracle replays the
-# identical blocking and distance predicate; both engines implement
-# textbook Levenshtein.
+# (operators/stringmatch.py).  Two planted typo shapes, both of which
+# the default (first token, last token) multi-key blocking must
+# recover: every 50th part name loses its LAST character (last-token
+# typo, caught by the first-token key) and every 50th-offset-7 name
+# loses its FIRST character (first-token typo — the hole the old
+# single-key default missed, caught by the last-token key), plus any
+# other part name within 2 edits.  The oracle replays the blocking as
+# an OR of the two position-aligned keys (one row per qualifying pair
+# — same set as Spark's emit-at-first-agreeing-position rule) and the
+# same distance predicate; both engines implement textbook
+# Levenshtein.
 # --------------------------------------------------------------------------
 
 def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.stringmatch import fuzzy_join
 
     part = load_table(spark, sf_dir, "part")
-    probe = part.filter(F.col("p_partkey") % 50 == 0).select(
+    tail_typo = part.filter(F.col("p_partkey") % 50 == 0).select(
         F.col("p_partkey").alias("probe_id"),
         F.expr("substring(p_name, 1, length(p_name) - 1)").alias("probe_name"),
     )
+    head_typo = part.filter(F.col("p_partkey") % 50 == 7).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.expr("substring(p_name, 2)").alias("probe_name"),
+    )
     return fuzzy_join(
-        probe,
+        tail_typo.unionByName(head_typo),
         part.select("p_partkey", "p_name"),
         "probe_name",
         "p_name",
@@ -1408,11 +1416,15 @@ WITH probe AS (
   SELECT p_partkey AS probe_id,
          substring(p_name, 1, length(p_name) - 1) AS probe_name
   FROM part WHERE p_partkey % 50 = 0
+  UNION ALL
+  SELECT p_partkey AS probe_id, substring(p_name, 2) AS probe_name
+  FROM part WHERE p_partkey % 50 = 7
 )
 SELECT probe_id, p.p_partkey, probe_name, p_name,
        levenshtein(probe_name, p_name) AS distance
 FROM probe JOIN part p
-  ON string_split(trim(probe_name), ' ')[1] = string_split(trim(p_name), ' ')[1]
+  ON (string_split(trim(probe_name), ' ')[1] = string_split(trim(p_name), ' ')[1]
+      OR string_split(trim(probe_name), ' ')[-1] = string_split(trim(p_name), ' ')[-1])
  AND abs(length(probe_name) - length(p_name)) <= 2
 WHERE levenshtein(probe_name, p_name) <= 2
 """
