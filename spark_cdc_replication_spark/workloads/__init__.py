@@ -34,9 +34,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   asof_forward_tolerance, cdc_coalesce_updates, cdc_name_sanitize,
 #:   cdc_route_ops, cdc_union_dedup, cohort_retention,
 #:   customer_deciles, daily_revenue_trend, funnel_conversion,
-#:   user_behavior_topk) stay within the bound (6-4=2) and head the
-#:   r7 must-rotate list; every family they touch keeps other
-#:   in-window representatives.
+#:   q6_revenue_forecast, user_behavior_topk) stay within the bound
+#:   (6-4=2) and head the r7 must-rotate list; every family they
+#:   touch keeps other in-window representatives;
+#: * the r6-new dedup_clusters_logstar (never-green debuts in-window).
 #:
 #: This settles into a sustainable 3-round cycle over the ~110-oracle
 #: registry: each round's window = last round's leftovers + the
@@ -70,6 +71,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "cube_revenue",
     "decontaminate_corpus",
     "dedup_clusters",
+    # r6-new debut (never-green oracles must enter the window now);
+    # displaces q6_revenue_forecast (r4-green, within bound, r7 list)
+    "dedup_clusters_logstar",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "embedding_quantize",
@@ -85,7 +89,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "q2_best_supplier_per_part",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_revenue_forecast",
     "rollup_revenue",
     "sample_mixture",
     "similarity_topk",

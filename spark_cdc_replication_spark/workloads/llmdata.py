@@ -243,6 +243,34 @@ SELECT doc_id, cluster_id FROM comp WHERE n > 1
 """
 
 
+def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log-round connected-components twin of ``dedup_clusters``:
+    identical candidate pipeline (minhash-LSH + exact verify over the
+    two planted perturbation families), labeled with
+    :func:`dup_clusters_logstar` (Kiveris large-star/small-star)
+    instead of min-label propagation.  Same oracle — both algorithms
+    must reproduce the ground-truth components exactly, so the shared
+    SQL doubles as an algorithm-equivalence check at corpus scale."""
+    from ..operators.dedup import dup_clusters_logstar
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(near1).unionByName(near2)
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3).cache()
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.99)
+    verified = ngram_jaccard_pairs(
+        corpus, cands.select("id_a", "id_b"), n=3, min_jaccard=0.999
+    )
+    return dup_clusters_logstar(verified.select("id_a", "id_b"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over same-source candidate pairs.
 
@@ -2173,6 +2201,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_logstar": q_dedup_clusters_logstar,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -2233,6 +2262,7 @@ ORACLE = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_clusters_logstar": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_shared_shingles": ORACLE_DEDUP_SHARED_SHINGLES,

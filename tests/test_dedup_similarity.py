@@ -268,3 +268,73 @@ def test_dup_clusters_property_random_graphs(spark):
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
         assert got == want, f"seed={seed}"
+
+
+def test_logstar_long_chain_converges_in_log_rounds(spark):
+    """The forcing fixture for the Kiveris large-star/small-star
+    variant: a diameter-80 path (plus a star and an isolated pair)
+    labels correctly within ceil(log2(80))+4 = 11 rounds, where
+    min-label propagation needs ~80 — the VERDICT r5 'next' #6
+    done-criterion."""
+    from spark_cdc_replication_spark.operators.dedup import dup_clusters_logstar
+
+    edges = (
+        [(i, i + 1) for i in range(80)]
+        + [(1000, x) for x in range(1001, 1006)]
+        + [(2000, 2001)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters_logstar(pairs, max_rounds=11).collect()
+    }
+    want = (
+        {(i, 0) for i in range(81)}
+        | {(x, 1000) for x in range(1000, 1006)}
+        | {(2000, 2000), (2001, 2000)}
+    )
+    assert got == want
+
+
+def test_logstar_equals_minlabel_on_random_graphs(spark):
+    import random
+
+    from spark_cdc_replication_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_logstar,
+    )
+
+    for seed, n_nodes, n_edges in [(11, 30, 12), (12, 40, 45), (13, 25, 60)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ml = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+        ls = {
+            (r.doc_id, r.cluster_id)
+            for r in dup_clusters_logstar(pairs).collect()
+        }
+        assert ml == ls, f"seed={seed}"
+
+
+def test_logstar_nonconvergence_is_loud(spark):
+    import warnings
+
+    import pytest
+
+    from spark_cdc_replication_spark.operators.dedup import dup_clusters_logstar
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters_logstar(pairs, max_rounds=1).collect()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = dup_clusters_logstar(pairs, max_rounds=1, on_nonconverged="warn").collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    assert out
