@@ -8,22 +8,36 @@ audits (find documents matching benchmark phrases, leaked PII
 patterns, domain probes) without standing up a search cluster —
 retrieval-shaped decontamination at corpus scale.
 
-Scale shape (one token shuffle, no window over terms):
+The inverted index is an explicit, PERSISTABLE relation:
+``token_index`` builds ``(doc_id, term, tf, dl, bucket)`` with a
+purely per-row transform (each document arrives as one row, so its
+term frequencies and length are computed inside that row with array
+HOFs — no shuffle, no stateful aggregation), which makes the same
+expression streaming-safe: ``streaming/token_index_stream.py``
+appends arriving documents to the bucket-partitioned index with the
+native file sink's exactly-once epoch commit.  ``bm25_topk`` is then
+just ``token_index`` + ``bm25_topk_from_index``; handing the latter a
+persisted (streamed) index skips re-tokenizing the corpus entirely —
+the "build once, maintain continuously" contract SCALE.md promises.
 
+Scale shape (one token shuffle at build, none at query):
+
+* the index build shuffles nothing at all (per-row HOFs); the
+  partitioned write is the only data movement;
 * the query set is the bounded side: broadcast everywhere it appears;
-  the corpus is never shuffled by anything except the one
-  ``(doc, term)`` aggregate — the same inverted-index-build shuffle
-  tf-idf pays, with map-side partial aggregation (a stop-word term
-  never concentrates raw rows in one task, unlike a
-  ``count() OVER (PARTITION BY term)`` formulation — see the
-  unigram_logprob skew fix, VERDICT r4);
-* document length (``dl``) derives from the tf relation
-  (``SUM(tf) GROUP BY doc``), not a second pass over the token
-  explode;
+  with ``prune_buckets`` the matched-term restriction also becomes a
+  partition-pruning ``bucket IN (...)`` literal filter on the
+  persisted index (query terms are bounded, so collecting their
+  bucket ids is a driver-safe, ≤ num_buckets-int collect);
+* document length (``dl``) rides on every index row, so scoring needs
+  NO per-doc join; the only corpus-wide aggregate is the (N, avgdl)
+  stats pair over the column-pruned ``(doc_id, dl)`` projection —
+  compute it once per index version with ``index_stats`` and pass it
+  in;
 * ``df`` is computed AFTER the broadcast semi-restriction to query
-  terms, so the per-term aggregate shuffles only matching rows;
-* the dl join streams the big per-doc relation against the broadcast
-  matched side — no shuffle of per-doc state;
+  terms, so the per-term aggregate shuffles only matching rows, with
+  map-side partials (a stop-word term never concentrates raw rows in
+  one task — see the unigram_logprob skew fix, VERDICT r4);
 * scores are rounded to 6 decimals before ranking so ranking (and
   cross-engine comparison) never depends on float summation order.
 """
@@ -35,11 +49,157 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalized
 
+#: Default term-hash partition count for the persisted index layout.
+DEFAULT_BUCKETS = 64
 
-def _tokens(docs: DataFrame, text_col: str, id_col: str, min_len: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.explode(F.split(normalized(text_col), " ")).alias("term")
-    ).filter(F.length("term") >= min_len)
+
+def term_bucket(term, num_buckets: int = DEFAULT_BUCKETS):
+    """Deterministic index partition for a term (Murmur3 via
+    ``F.hash``, non-negative)."""
+    c = F.col(term) if isinstance(term, str) else term
+    return F.pmod(F.hash(c), F.lit(num_buckets)).cast("int")
+
+
+def token_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """The inverted-index relation ``(doc_id, term, tf, dl, bucket)``.
+
+    Everything is computed INSIDE each document's row (array HOFs over
+    the token array), then exploded — so the expression is stateless
+    per row: batch and streaming builds are the same code, and the
+    plan has zero exchanges before the sink.  Documents with no
+    qualifying token contribute no rows (and so don't count toward N
+    or avgdl, matching the groupBy formulation this replaced).
+
+    Per-row cost is O(distinct_terms × tokens) HOF comparisons — fine
+    for natural documents; pathological single-row megadocs should be
+    chunked upstream (``chunk_documents``) anyway.
+    """
+    toks = F.filter(
+        F.split(normalized(text_col), " "),
+        lambda t: F.length(t) >= min_token_len,
+    )
+    entries = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+        ),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(entries).alias("__e"),
+        )
+        .select(
+            id_col,
+            F.col("__e.term").alias("term"),
+            F.col("__e.tf").alias("tf"),
+            "dl",
+            term_bucket(F.col("__e.term"), num_buckets).alias("bucket"),
+        )
+    )
+
+
+def index_stats(index: DataFrame, id_col: str = "doc_id") -> tuple[int, float]:
+    """(N, avgdl) for an index relation — one column-pruned pass over
+    ``(doc_id, dl)``.  Compute once per index version and hand to
+    :func:`bm25_topk_from_index`; the scoring path never needs the
+    full index scan again."""
+    row = (
+        index.select(id_col, "dl")
+        .dropDuplicates([id_col])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), float(row["avgdl"]) if row["n"] else 0.0
+
+
+def bm25_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: tuple[int, float] | None = None,
+    prune_buckets: bool = False,
+    num_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 over a prebuilt
+    :func:`token_index` relation (in-memory or read back from the
+    persisted/streamed index directory).
+
+    ``stats`` is the (N, avgdl) pair from :func:`index_stats`; when
+    omitted it is computed here (one column-pruned scan).
+    ``prune_buckets=True`` additionally restricts the scan with a
+    literal ``bucket IN (...)`` filter derived from the query terms —
+    on a bucket-partitioned on-disk index that is real partition
+    pruning (the collect is bounded by the query-term count).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene variant, > 0)
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    """
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).dropDuplicates(["query_id", "term"])
+    if stats is None:
+        stats = index_stats(index, id_col=id_col)
+    n_docs, avgdl = stats
+
+    if prune_buckets:
+        buckets = [
+            r["b"]
+            for r in qterms.select(
+                term_bucket("term", num_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        index = index.filter(F.col("bucket").isin(buckets))
+
+    # Restrict the index to query terms FIRST (broadcast hash join,
+    # index side streams) — df and scoring both read the restricted
+    # relation, and dl rides along on every matched row.
+    matched = index.join(F.broadcast(qterms.select("term").distinct()), on="term")
+    # the index has exactly one row per (doc, term): count == doc count
+    df_rel = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored_terms = (
+        matched.join(F.broadcast(df_rel), on="term")
+        .join(F.broadcast(qterms), on="term")
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.col("__idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    per_doc = scored_terms.groupBy("query_id", id_col).agg(
+        F.round(F.sum("__w"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
 
 
 def bm25_topk(
@@ -54,62 +214,24 @@ def bm25_topk(
     b: float = 0.75,
     min_token_len: int = 3,
 ) -> DataFrame:
-    """Top-``k`` documents per query by BM25.
+    """Top-``k`` documents per query by BM25, building the index
+    relation inline — :func:`token_index` + :func:`bm25_topk_from_index`.
 
     ``queries`` holds ``(query_id, term)`` rows — one row per query
     term, normalized like the corpus.  Returns
     ``(query_id, doc_id, score, rank)`` with rank 1 = best; ties on
     the rounded score break by ascending doc id for determinism.
-
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene variant, > 0)
-    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
     """
-    toks = _tokens(docs, text_col, id_col, min_token_len)
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("__n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("__avgdl"),
+    index = token_index(
+        docs, text_col=text_col, id_col=id_col, min_token_len=min_token_len
     )
-
-    qterms = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
-    ).dropDuplicates(["query_id", "term"])
-    # Restrict the corpus tf relation to query terms FIRST (broadcast
-    # hash join, corpus side streams) — df and scoring both read the
-    # restricted relation.
-    matched = tf.join(F.broadcast(qterms.select("term").distinct()), on="term")
-    # tf has exactly one row per (doc, term): plain count == doc count.
-    df_rel = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    scored_terms = (
-        matched.join(F.broadcast(df_rel), on="term")
-        .join(F.broadcast(qterms), on="term")
-        .join(dl, on=id_col)  # matched side broadcast by AQE; dl streams
-        .join(F.broadcast(stats))
-        .withColumn(
-            "__idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "__w",
-            F.col("__idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
-            ),
-        )
-    )
-    per_doc = scored_terms.groupBy("query_id", id_col).agg(
-        F.round(F.sum("__w"), 6).alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score", "rank")
+    return bm25_topk_from_index(
+        index,
+        queries,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        term_col=term_col,
+        k=k,
+        k1=k1,
+        b=b,
     )
