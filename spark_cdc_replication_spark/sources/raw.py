@@ -245,6 +245,41 @@ def zorder_key(
     return z
 
 
+def quantile_cuts(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    relative_error: float = 1e-3,
+) -> dict[str, list[float]]:
+    """Per-column percentile cutpoints for quantile Z-order binning:
+    ``2^bits - 1`` interior quantiles via ``approxQuantile``
+    (Greenwald-Khanna — one pass, driver result bounded by
+    cols × 2^bits floats).  Persist the result and pass it back as
+    ``cuts`` when landing incrementally so every batch bins
+    identically (the stable-``ranges`` contract, quantile form)."""
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    res = df.stat.approxQuantile(list(cols), probs, relative_error)
+    return {c: cut for c, cut in zip(cols, res)}
+
+
+def _bucket_by_cuts(c: Column, cuts: list[float]) -> Column:
+    """Bucket id = how many (deduped, sorted) cutpoints the value has
+    passed — a codegen'd fold over a literal array, no UDF.  NULLs
+    land in bucket 0 (no skip power, same as min-max's all-NULL
+    rule)."""
+    arr = F.array(*[F.lit(float(v)) for v in cuts])
+    x = c.cast("double")
+    return F.coalesce(
+        F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, cut: acc + F.when(x >= cut, 1).otherwise(0),
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 def land_zorder(
     df: DataFrame,
     data_dir: str,
@@ -253,6 +288,9 @@ def land_zorder(
     num_partitions: int | None = None,
     fmt: str = "parquet",
     ranges: dict[str, tuple[float, float]] | None = None,
+    binning: str = "minmax",
+    cuts: dict[str, list[float]] | None = None,
+    relative_error: float = 1e-3,
 ) -> None:
     """Multi-dimensional data-skipping layout (the Z-ordering
     :func:`land_sorted`'s docstring points at; same bargain Delta's
@@ -262,41 +300,69 @@ def land_zorder(
     prune scans filtering on ANY of the dimensions, where a linear
     sort prunes only its leading column.
 
-    Columns are min-max binned to ``2^bits`` buckets.  The per-column
-    (min, max) come from ONE tiny aggregate (a single driver row —
-    bounded by construction) unless supplied via ``ranges`` (pass
-    stable bounds when landing incrementally so every batch bins
-    identically).  Min-max binning is skew-sensitive: a heavy-tailed
-    column wastes key bits on empty buckets — for those, pre-bin with
-    percentile cutpoints (``approxQuantile``) and Z-order the bucket
-    ids instead.
+    Binning (value -> ``[0, 2^bits)`` bucket):
+
+    * ``binning="minmax"`` (default): linear scaling between the
+      per-column (min, max), from ONE tiny aggregate (a single driver
+      row — bounded by construction) unless supplied via ``ranges``
+      (pass stable bounds when landing incrementally so every batch
+      bins identically).  Skew-sensitive: a heavy-tailed column
+      spends almost every bucket on the empty tail, so the occupied
+      buckets — and the footer stats — stop separating rows.
+    * ``binning="quantile"``: buckets are ``approxQuantile``
+      cutpoints (:func:`quantile_cuts`), so they are equal-POPULATION
+      instead of equal-width — full key-bit utilisation under any
+      marginal distribution.  ``cuts`` plays ``ranges``' stable-
+      binning role for incremental landing.  The per-row cost is a
+      fold over the 2^bits-1 cutpoint literals, so quantile binning
+      caps at ``bits <= 8`` (256 buckets ≈ 255 comparisons/row/col —
+      plenty: 2-3 dims at 8 bits already out-resolve parquet's
+      per-row-group granularity).
 
     Cost: one range shuffle on the Z key at landing (identical to
     ``land_sorted``'s), paid once, against footer-only pruning on
     every downstream multi-dimension scan."""
-    if ranges is None:
-        aggs = []
+    if binning not in ("minmax", "quantile"):
+        raise ValueError(f"binning must be minmax|quantile, got {binning!r}")
+    normed: list[Column] = []
+    if binning == "quantile":
+        if bits > 8:
+            raise ValueError(
+                f"quantile binning caps at bits=8 (got {bits}): the bucket "
+                "fold evaluates 2^bits-1 cutpoint literals per row"
+            )
+        if cuts is None:
+            cuts = quantile_cuts(
+                df, zorder_cols, bits=bits, relative_error=relative_error
+            )
         for c in zorder_cols:
-            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
-        row = df.agg(*aggs).collect()[0]
-        ranges = {
-            c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in zorder_cols
-        }
-    top = (1 << bits) - 1
-    normed = []
-    for c in zorder_cols:
-        mn, mx = ranges[c]
-        if mn is None or mx is None:  # all-NULL column: no skip power
-            normed.append(F.lit(0).cast("long"))
-            continue
-        span = float(mx) - float(mn)
-        if span <= 0:
-            normed.append(F.lit(0).cast("long"))
-            continue
-        scaled = F.floor((F.col(c).cast("double") - float(mn)) * (top / span))
-        normed.append(
-            F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), scaled.cast("long")))
-        )
+            # dedup repeated cutpoints (heavy ties) — fewer fold terms,
+            # identical bucket boundaries
+            uniq = sorted(set(cuts[c]))
+            normed.append(_bucket_by_cuts(F.col(c), uniq))
+    else:
+        if ranges is None:
+            aggs = []
+            for c in zorder_cols:
+                aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+            row = df.agg(*aggs).collect()[0]
+            ranges = {
+                c: (row[f"__mn_{c}"], row[f"__mx_{c}"]) for c in zorder_cols
+            }
+        top = (1 << bits) - 1
+        for c in zorder_cols:
+            mn, mx = ranges[c]
+            if mn is None or mx is None:  # all-NULL column: no skip power
+                normed.append(F.lit(0).cast("long"))
+                continue
+            span = float(mx) - float(mn)
+            if span <= 0:
+                normed.append(F.lit(0).cast("long"))
+                continue
+            scaled = F.floor((F.col(c).cast("double") - float(mn)) * (top / span))
+            normed.append(
+                F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), scaled.cast("long")))
+            )
     keyed = df.withColumn("__z", zorder_key(normed, bits=bits))
     ranged = (
         keyed.repartitionByRange(num_partitions, "__z")

@@ -110,6 +110,82 @@ def test_zorder_stable_ranges_for_incremental_landing(spark, tmp_path):
     assert spark.read.parquet(root).count() == 1000
 
 
+def test_quantile_binning_beats_minmax_on_heavy_tail(spark, tmp_path):
+    """Heavy-tailed x (95% of rows in [0, 100), 5% scattered out to
+    ~1e9): min-max binning maps the whole bulk into bucket 0, so the
+    Z key stops separating rows on x and footer stats stop pruning a
+    bulk-region query; equal-population quantile cutpoints keep every
+    bucket occupied and restore the pruning — the VERDICT r5 'next'
+    #8 done-criterion."""
+    n = 40_000
+    df = spark.range(n).select(
+        F.when(
+            F.col("id") % 20 == 0, F.col("id") * 25_000 + 1_000_000
+        ).otherwise(F.col("id") % 100).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(200)).alias("y"),
+    )
+    mm = str(tmp_path / "minmax")
+    qt = str(tmp_path / "quantile")
+    land_zorder(df, mm, ["x", "y"], bits=8, num_partitions=32)
+    land_zorder(df, qt, ["x", "y"], bits=8, num_partitions=32, binning="quantile")
+
+    # data preserved exactly under quantile binning
+    back = spark.read.parquet(qt)
+    assert back.count() == n
+    assert (
+        back.agg(F.sum(F.col("x") * 1_000 + F.col("y"))).collect()
+        == df.agg(F.sum(F.col("x") * 1_000 + F.col("y"))).collect()
+    )
+
+    def stats_for(root, name):
+        cols = pq.ParquetFile(glob.glob(f"{root}/*.parquet")[0]).schema_arrow.names
+        return _rg_stats(root, cols.index(name))
+
+    q = (20, 25)  # a narrow window inside the bulk (~6% of rows)
+    mm_hit = _overlapping(stats_for(mm, "x"), *q)
+    qt_hit = _overlapping(stats_for(qt, "x"), *q)
+    mm_total = len(stats_for(mm, "x"))
+    qt_total = len(stats_for(qt, "x"))
+    # min-max: the bulk all shares bucket 0, so every row group spans it
+    assert mm_hit > (3 * mm_total) // 4
+    # quantile: the same query touches at most half the row groups
+    # (observed 14/32 on this fixture)
+    assert qt_hit <= qt_total // 2
+    assert qt_hit < mm_hit
+
+
+def test_quantile_cuts_stable_for_incremental_landing(spark, tmp_path):
+    """Explicit cuts bin every batch identically (the stable-ranges
+    contract, quantile form), and out-of-envelope values still land in
+    the top bucket instead of erroring."""
+    from spark_cdc_replication_spark.sources.raw import quantile_cuts
+
+    root = str(tmp_path / "incr-q")
+    b1 = spark.range(0, 500).select(
+        (F.col("id") % 100).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    b2 = spark.range(500, 1000).select(
+        (F.col("id") % 100 + 50).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    cuts = quantile_cuts(b1, ["x", "y"], bits=4)
+    assert len(cuts["x"]) == 15
+    land_zorder(b1, root, ["x", "y"], bits=4, num_partitions=2,
+                binning="quantile", cuts=cuts)
+    land_zorder(b2, root, ["x", "y"], bits=4, num_partitions=2,
+                binning="quantile", cuts=cuts)
+    assert spark.read.parquet(root).count() == 1000
+
+
+def test_quantile_binning_rejects_wide_bits(spark, tmp_path):
+    import pytest
+
+    df = spark.range(10).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="bits=8"):
+        land_zorder(df, str(tmp_path / "z"), ["x"], bits=12, binning="quantile")
+    with pytest.raises(ValueError, match="minmax|quantile"):
+        land_zorder(df, str(tmp_path / "z"), ["x"], binning="equiwidth")
+
+
 def test_zorder_key_three_columns_and_overflow_guard(spark):
     import pytest
     from pyspark.sql import functions as F
