@@ -202,6 +202,61 @@ def bm25_topk_from_index(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings (Cormack/Clarke/
+    Büttcher RRF — the standard way to combine keyword and vector
+    retrieval without score calibration).
+
+    Each input holds ``(query_id, id_col, rank)`` rows (rank 1 = best,
+    e.g. the outputs of :func:`bm25_topk` and
+    ``similarity.brute_force_topk``).  Fused score of a candidate is
+    ``Σ_systems 1/(k0 + rank_s)`` over the systems that returned it;
+    candidates missing from a system simply contribute nothing — no
+    imputation, which is what makes RRF robust to incomparable score
+    scales.  Returns ``(query_id, id_col, rrf_score, rank)`` with the
+    fused top-``k`` per query.
+
+    Determinism: each (query, candidate) pair contributes at most one
+    reciprocal per system; the fused sum is rounded to 9 decimals
+    before ranking and ties break on ascending id, so ranking never
+    depends on float summation order across partitions (the summand
+    count is bounded by len(rankings), and 2-3-term float sums of
+    fixed values are order-stable after rounding at 1e-9).
+
+    Scale shape: inputs are already top-K-per-query (bounded:
+    |queries| × K rows per system), so the union + groupBy here moves
+    kilobytes regardless of corpus size — fusion is never the
+    bottleneck; the underlying retrievers are.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = [
+        r.select(
+            "query_id",
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col("rank"))).alias("__r"),
+        )
+        for r in rankings
+    ]
+    unioned = contribs[0]
+    for c in contribs[1:]:
+        unioned = unioned.unionByName(c)
+    fused = unioned.groupBy("query_id", id_col).agg(
+        F.round(F.sum("__r"), 9).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rrf_score", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -29,15 +29,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   the family floor is enforced in-window, so it never rotates out);
 #: * 36 of the 48 queries last green in r4, plus fuzzy_join_parts
 #:   (r5-green but its blocking default changed this round, so it
-#:   re-earns its driver row).  The 12 r4-greens left out
+#:   re-earns its driver row).  The 14 r4-greens left out
 #:   (approx_distinct_bound, approx_percentile_bound,
 #:   asof_forward_tolerance, cdc_coalesce_updates, cdc_name_sanitize,
 #:   cdc_route_ops, cdc_union_dedup, cohort_retention,
 #:   customer_deciles, daily_revenue_trend, funnel_conversion,
-#:   q6_revenue_forecast, user_behavior_topk) stay within the bound
-#:   (6-4=2) and head the r7 must-rotate list; every family they
-#:   touch keeps other in-window representatives;
-#: * the r6-new dedup_clusters_logstar (never-green debuts in-window).
+#:   q2_best_supplier_per_part, q6_revenue_forecast,
+#:   user_behavior_topk) stay within the bound (6-4=2) and head the
+#:   r7 must-rotate list; every family they touch keeps other
+#:   in-window representatives;
+#: * the r6-new dedup_clusters_logstar and similarity_hybrid_rrf
+#:   (never-green debuts in-window).
 #:
 #: This settles into a sustainable 3-round cycle over the ~110-oracle
 #: registry: each round's window = last round's leftovers + the
@@ -86,7 +88,11 @@ GATE_WINDOW: tuple[str, ...] = (
     "q18_large_orders",
     "q1_pricing_summary",
     "q21_waiting_supplier",
-    "q2_best_supplier_per_part",
+    # r6-new hybrid retrieval debut (never-green oracles enter the
+    # window now); displaces q2_best_supplier_per_part (r4-green,
+    # within bound, joins the r7 must-rotate list — the tpch family
+    # keeps q1/q3/q5/q10/q18/q21 in-window)
+    "similarity_hybrid_rrf",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "rollup_revenue",

@@ -1309,6 +1309,108 @@ SELECT query_id, doc_id, score, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword top-20 fused with embedding-cosine
+# top-20 by reciprocal-rank fusion (operators/search.py:rrf_fuse) —
+# the standard RAG retrieval stack expressed as two bounded rankings
+# plus a kilobyte-scale fusion groupBy.  Query ids 0-2 are shared
+# between the term probes (_BM25_QUERIES) and the query vectors
+# (embeddings.vec_id < 3); candidates live in whichever id space each
+# retriever covers, and RRF's no-imputation semantics handle the
+# asymmetry exactly.  Scale: both retrievers are the proven bounded-
+# output paths; fusion unions |queries|×K rows per system — constant-
+# size regardless of corpus.
+# --------------------------------------------------------------------------
+
+def q_similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.search import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    kw = bm25_topk(docs, terms, k=20)
+    qvecs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = brute_force_topk(emb, qvecs, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([kw, vec], id_col="doc_id", k=10).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "doc_id",
+        "rrf_score",
+        "rank",
+    )
+
+
+ORACLE_SIMILARITY_HYBRID_RRF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE length(term) >= 3 GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+qterms(query_id, term) AS (VALUES {{bm25_values}}),
+matched AS (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+),
+dfr AS (SELECT term, count(*) AS df FROM matched GROUP BY term),
+kw_scored AS (
+  SELECT q.query_id, m.doc_id,
+         round(sum(
+           ln(1.0::DOUBLE + (s.n - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE))
+           * (m.tf * (1.2::DOUBLE + 1))
+           / (m.tf + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE * l.dl) / s.avgdl))
+         ), 6) AS score
+  FROM matched m
+  JOIN dfr d USING (term)
+  JOIN qterms q USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+kw_top AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS rank
+    FROM kw_scored
+  ) WHERE rank <= 20
+),
+vec_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND c.vec_id <> q.vec_id
+),
+vec_top AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM vec_scored
+  ) WHERE rank <= 20
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS r FROM kw_top
+  UNION ALL
+  SELECT query_id, doc_id, 1.0::DOUBLE / (60 + rank) AS r FROM vec_top
+),
+fused AS (
+  SELECT query_id, doc_id, round(sum(r), 9) AS rrf_score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= 10
+""".replace("{bm25_values}", _BM25_VALUES)
+
+
+# --------------------------------------------------------------------------
 # Per-label embedding centroids — the vector-aggregation primitive
 # (class prototypes / cluster summaries).  Elements are quantized to
 # integer micro-units (floor(e * 1e6): float->double widening and
@@ -2249,6 +2351,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "embedding_project": q_embedding_project,
     "similarity_knn_label": q_similarity_knn_label,
+    "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_corpus": q_dedup_corpus,
@@ -2304,6 +2407,7 @@ ORACLE = {
     "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
     "embedding_project": ORACLE_EMBEDDING_PROJECT,
     "similarity_knn_label": ORACLE_SIMILARITY_KNN_LABEL,
+    "similarity_hybrid_rrf": ORACLE_SIMILARITY_HYBRID_RRF,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,

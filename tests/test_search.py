@@ -154,3 +154,54 @@ def test_no_term_window_and_query_broadcast(spark):
     # top-k pre-filter, not a window exec).
     assert plan.count("Window [") == 1
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# rrf_fuse
+# --------------------------------------------------------------------------
+
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, "query_id int, doc_id long, rank int")
+
+
+def test_rrf_fuse_semantics(spark):
+    """Fused score is sum of 1/(k0+rank) per system; candidates in only
+    one system get only that term (no imputation); ties break on id."""
+    from spark_cdc_replication_spark.operators.search import rrf_fuse
+
+    kw = _ranking(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    vec = _ranking(spark, [(0, 11, 1), (0, 13, 2)])
+    out = {
+        r.doc_id: (r.rrf_score, r.rank)
+        for r in rrf_fuse([kw, vec], k=10, k0=60).collect()
+    }
+    # 11 appears rank 2 (kw) + rank 1 (vec): 1/62 + 1/61 — top.
+    assert out[11][1] == 1
+    assert out[11][0] == round(1 / 62 + 1 / 61, 9)
+    # 10: kw rank 1 only; 13: vec rank 2 only -> both 1/(60+r) singles.
+    assert out[10][0] == round(1 / 61, 9)
+    assert out[13][0] == round(1 / 62, 9)
+    # 10 and 13 tie on nothing (1/61 > 1/62): order 10 then 12/13 tie at
+    # 1/62+0 vs 1/63?  12 is kw rank 3 -> 1/63, 13 is 1/62.
+    assert [d for d, v in sorted(out.items(), key=lambda kv: kv[1][1])] == [
+        11, 10, 13, 12
+    ]
+
+
+def test_rrf_fuse_equal_score_tiebreak_and_k(spark):
+    from spark_cdc_replication_spark.operators.search import rrf_fuse
+
+    # Two docs with identical single-system ranks -> identical scores;
+    # tie breaks on ascending id, and k truncates.
+    kw = _ranking(spark, [(0, 7, 1), (0, 5, 1)])
+    got = rrf_fuse([kw], k=1, k0=60).collect()
+    assert len(got) == 1 and got[0].doc_id == 5 and got[0].rank == 1
+
+
+def test_rrf_fuse_requires_input():
+    import pytest as _pytest
+
+    from spark_cdc_replication_spark.operators.search import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
