@@ -36,6 +36,7 @@ HEADLINE = [
     "events_hopping_6h_2h",
     "tfidf_top_terms",
     "text_bm25_topk",
+    "similarity_hybrid_rrf",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_semantic",

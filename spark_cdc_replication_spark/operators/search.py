@@ -76,25 +76,59 @@ def token_index(
     qualifying token contribute no rows (and so don't count toward N
     or avgdl, matching the groupBy formulation this replaced).
 
-    Per-row cost is O(distinct_terms × tokens) HOF comparisons — fine
-    for natural documents; pathological single-row megadocs should be
-    chunked upstream (``chunk_documents``) anyway.
+    Term frequencies come from run-length encoding the SORTED token
+    array (run start positions via one linear scan over indices, run
+    length = distance to the next start), so per-row cost is
+    O(tokens · log tokens) — NOT the O(distinct_terms × tokens)
+    count-by-rescan formulation, which benchmarked 9× slower on
+    natural documents (round 6) and degrades quadratically on
+    megadocs.
     """
     toks = F.filter(
         F.split(normalized(text_col), " "),
         lambda t: F.length(t) >= min_token_len,
     )
+    # Each intermediate is its own projection so the sorted array and
+    # the start-position array are materialized ONCE per row — lambda
+    # bodies below only do O(1) element_at reads against attribute
+    # references, never re-evaluate the producing expression.
+    srt = F.col("__srt")
+    n_toks = F.size(srt)
+    # 1-based positions where a run of equal terms starts; guarded so
+    # an empty token array never builds a descending sequence(1, 0).
+    positions = F.when(n_toks > 0, F.sequence(F.lit(1), n_toks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    starts_expr = F.filter(
+        positions,
+        lambda i: (i == 1) | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+    )
+    starts = F.col("__starts")
     entries = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("term"),
-            F.size(F.filter(toks, lambda x: x == t)).cast("long").alias("tf"),
+        starts,
+        lambda st, j: F.struct(
+            F.element_at(srt, st).alias("term"),
+            (
+                F.coalesce(
+                    F.try_element_at(starts, (j + 2).cast("int")), n_toks + 1
+                )
+                - st
+            )
+            .cast("long")
+            .alias("tf"),
         ),
     )
     return (
-        docs.select(
+        docs.select(F.col(id_col), toks.alias("__toks"))
+        .select(
             F.col(id_col),
-            F.size(toks).cast("long").alias("dl"),
+            F.size("__toks").cast("long").alias("dl"),
+            F.array_sort("__toks").alias("__srt"),
+        )
+        .select(F.col(id_col), "dl", "__srt", starts_expr.alias("__starts"))
+        .select(
+            F.col(id_col),
+            "dl",
             F.explode(entries).alias("__e"),
         )
         .select(
