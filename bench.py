@@ -90,6 +90,25 @@ def main() -> None:
     warm_changes(spark, sf_dir)
     warm_indexes(spark, sf_dir)
 
+    # Host-speed calibration: a fixed, data-independent JVM workload
+    # (codegen'd arithmetic over range + a 32-partition shuffle of it),
+    # timed like the queries.  Rounds run on whatever VM the driver
+    # provisioned; round 6 saw unchanged pure-per-row queries drift
+    # uniformly 1.3-2.3x against the round-5 recording purely from
+    # host speed.  Recording the calib time with the run lets any
+    # cross-round comparison divide it out.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # hash() keeps every summand in int32, so 2e8 of them stay far
+        # inside int64 under ANSI arithmetic
+        spark.range(2 * 10**8).selectExpr("sum(cast(hash(id) as bigint))").collect()
+        spark.range(4_000_000).repartition(32, "id").selectExpr(
+            "count(distinct id % 1000000)"
+        ).collect()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 3)
+
     # Warm state is released right after its LAST headline consumer so
     # persisted blocks don't pressure storage memory for the rest of
     # the run (round 3 saw a uniform ~1.25x drift on unchanged queries
@@ -156,11 +175,18 @@ def main() -> None:
             if prev_runs == RUNS
             else f" [METHODOLOGY-SHIFTED: baseline runs={prev_runs}, current runs={RUNS}]"
         )
+        prev_calib = (doc.get("parsed") or doc).get("calib_sec")
+        host = (
+            f" [host calib {calib}s vs baseline {prev_calib}s: "
+            f"{calib / prev_calib:.2f}x — divide drift by this]"
+            if prev_calib
+            else " [baseline has no host calibration; cross-VM drift unquantified]"
+        )
         print(
             f"{label} vs {baseline_path}: like-for-like "
             f"({len(shared)} shared queries) {cur_shared}s vs {prev_shared}s"
             f" (full total this run: {total}s over {len(timings)} queries)"
-            f"{shift}",
+            f"{shift}{host}",
             file=sys.stderr,
         )
         for name, t in timings.items():
@@ -182,6 +208,10 @@ def main() -> None:
                 # each query's recorded time is the min over this many
                 # runs (since r4); single-run rounds have no "runs" key
                 "runs": RUNS,
+                # fixed data-independent JVM workload timed on this
+                # host (since r6) — divide cross-round query ratios by
+                # the calib ratio to remove VM speed differences
+                "calib_sec": calib,
             }
         )
     )
