@@ -18,95 +18,86 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-6 window (every name must carry a full rows+schema+hash
+#: Round-7 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 12 queries whose last driver-green row is r3 — at the
-#:   staleness bound (VERDICT r5 "next" #1, the tripwire test's red);
-#: * `pii_scrub` (green r5 but the ONLY privacy-family oracle, and
+#: * the 14 queries whose last driver-green row is r4 — at the
+#:   staleness bound (VERDICT r6 "next" #1, the tripwire test's red);
+#: * `pii_scrub` (green r6 but the ONLY privacy-family oracle, and
 #:   the family floor is enforced in-window, so it never rotates out);
-#: * 36 of the 48 queries last green in r4, plus fuzzy_join_parts
-#:   (r5-green but its blocking default changed this round, so it
-#:   re-earns its driver row).  The 14 r4-greens left out
-#:   (approx_distinct_bound, approx_percentile_bound,
-#:   asof_forward_tolerance, cdc_coalesce_updates, cdc_name_sanitize,
-#:   cdc_route_ops, cdc_union_dedup, cohort_retention,
-#:   customer_deciles, daily_revenue_trend, funnel_conversion,
-#:   q2_best_supplier_per_part, q6_revenue_forecast,
-#:   user_behavior_topk) stay within the bound (6-4=2) and head the
-#:   r7 must-rotate list; every family they touch keeps other
-#:   in-window representatives;
-#: * the r6-new dedup_clusters_logstar and similarity_hybrid_rrf
-#:   (never-green debuts in-window).
+#: * 35 of the 48 queries last green in r5.  The 13 r5-greens left
+#:   out (customer_retention_setops, profile_orders,
+#:   q11_important_part_value, q12_ship_priority_dist,
+#:   q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+#:   q16_brand_supplier_count, q17_small_quantity_revenue,
+#:   q19_bracket_revenue, q20_dominant_suppliers,
+#:   q22_sales_opportunity, yoy_customer_diff) stay within the bound
+#:   (7-5=2) and head the r8 must-rotate list; the tpch family keeps
+#:   q2/q4/q6/q7/q8/q9 in-window and the other 13 touch no family
+#:   whose floor they alone hold.
 #:
-#: This settles into a sustainable 3-round cycle over the ~110-oracle
-#: registry: each round's window = last round's leftovers + the
-#: round-before-last's greens + any never-green debuts.
+#: The steady 3-round cycle over the ~112-oracle registry: each
+#: round's window = last round's leftovers + the round-before-last's
+#: greens + any never-green debuts.  dedup_semantic and text_bm25_topk
+#: are among the 35 by rotation AND because their execution paths
+#: change this round (cell sub-splitting / persisted-index serving) —
+#: they re-earn driver rows on the new code.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r3 (12)
-    "chunk_documents",
-    "clean_corpus",
-    "dedup_embedding_cosine",
-    "dedup_shared_shingles",
-    "embedding_label_centroids",
-    "multimodal_resize",
-    "sample_quality_weighted",
-    "split_assign",
-    "text_fingerprints",
-    "text_lang_stats",
-    "tfidf_top_terms",
-    "top_words",
+    # at the staleness bound — last driver-green r4 (14)
+    "approx_distinct_bound",
+    "approx_percentile_bound",
+    "asof_forward_tolerance",
+    "cdc_coalesce_updates",
+    "cdc_name_sanitize",
+    "cdc_route_ops",
+    "cdc_union_dedup",
+    "cohort_retention",
+    "customer_deciles",
+    "daily_revenue_trend",
+    "funnel_conversion",
+    "q2_best_supplier_per_part",
+    "q6_revenue_forecast",
+    "user_behavior_topk",
     # privacy family floor (sole oracle in family)
     "pii_scrub",
-    # last driver-green r4 (37 of 48)
-    "asof_purchase_view",
-    "cdc_antijoin_survivors",
-    "cdc_increment_append",
-    "cdc_json_flatten",
-    "cdc_last_writer_wins",
-    "cdc_merge_incremental",
-    "cdc_raw_partition_stats",
-    "cdc_snapshot_merge",
-    "corpus_shuffle",
-    "cube_revenue",
-    "decontaminate_corpus",
-    "dedup_clusters",
-    # r6-new debut (never-green oracles must enter the window now);
-    # displaces q6_revenue_forecast (r4-green, within bound, r7 list)
-    "dedup_clusters_logstar",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "embedding_quantize",
-    "events_session_window",
-    "events_sessionize",
-    "events_tumbling_6h",
-    "multimodal_features",
-    "pivot_status_revenue",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q21_waiting_supplier",
-    # r6-new hybrid retrieval debut (never-green oracles enter the
-    # window now); displaces q2_best_supplier_per_part (r4-green,
-    # within bound, joins the r7 must-rotate list — the tpch family
-    # keeps q1/q3/q5/q10/q18/q21 in-window)
-    "similarity_hybrid_rrf",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rollup_revenue",
-    "sample_mixture",
-    "similarity_topk",
-    "text_contamination",
-    "text_repetition",
-    "text_stats",
-    "text_unigram_logprob",
-    "top_orders_per_customer",
-    # changed semantics this round (multi-key blocking default) —
-    # re-earns its driver row now; displaces user_behavior_topk
-    # (r4-green, still within bound, heads the r7 rotation)
-    "fuzzy_join_parts",
+    # last driver-green r5 (35 of 48)
+    "cdc_snapshot_asof",
+    "corpus_stats",
+    "decontaminate_fuzzy",
+    "dedup_corpus",
+    "dedup_minhash_verified",
+    "dedup_semantic",
+    "dedup_simhash_verified",
+    "embedding_project",
+    "events_anomaly_days",
+    "events_hopping_6h_2h",
+    "multimodal_frames",
+    "pack_sequences",
+    "prepare_corpus",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_signup_views",
+    "rollup_incremental",
+    "sample_k_per_source",
+    "sample_quality_bands",
+    "sample_stratified",
+    "sample_token_budget",
+    "similarity_ivf_all",
+    "similarity_ivf_int8_all",
+    "similarity_knn_label",
+    "similarity_lsh_all",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_filter_corpus",
+    "text_language_id",
+    "text_line_dedup",
+    "text_quality_score",
+    "top_words_salted",
+    "validate_orders",
 )
 
 
