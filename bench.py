@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_semantic",
+    "dedup_semantic_ivf",
     "dedup_corpus",
     "decontaminate_corpus",
     "prepare_corpus",

@@ -677,6 +677,44 @@ def _auto_num_centroids(n: int, target_cell_size: int = _TARGET_CELL_SIZE) -> in
     return max(_MIN_CENTROIDS, -(-int(n) // int(target_cell_size)))
 
 
+def _subsplit_oversized_cells(
+    blocked: DataFrame,
+    block: str,
+    vec_col: str,
+    max_cell_size: int,
+) -> tuple[DataFrame, list[str]]:
+    """Salt any blocking cell larger than ``max_cell_size`` into
+    ``ceil(|cell| / max_cell_size)`` hash sub-cells so the pairwise
+    verify cost Σ|cell|² is bounded by ~n·max_cell_size REGARDLESS of
+    where the blocking came from (a caller-supplied ``cluster_col``
+    with fixed cardinality is otherwise quadratic in n: the r6 sf1
+    probe measured 77× wall at 10× data on exactly that shape).
+
+    The salt is a hash of the VECTOR, not the id: exactly-equal
+    vectors always share a sub-cell, so the "exact duplicates are
+    never missed" contract survives sub-splitting — recall loss
+    applies only to near-duplicate pairs that straddle a sub-cell
+    boundary, the same documented approximation as cluster-boundary
+    misses.  Corollary: a cell made of one giant exact-duplicate mass
+    stays together by design (run :func:`exact_dedup` first if that
+    shape exists in the corpus).
+
+    One window count over the block key — the same key the pair join
+    shuffles on anyway, and no driver-side collect, so no new scaling
+    bottleneck.
+    """
+    from pyspark.sql import Window
+
+    cell_n = F.count(F.lit(1)).over(Window.partitionBy(block))
+    nsub = F.greatest(
+        F.ceil(cell_n / F.lit(max_cell_size)).cast("long"), F.lit(1).cast("long")
+    )
+    vec_hash = F.conv(
+        F.substring(F.md5(F.col(vec_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return blocked.withColumn("__sub", vec_hash % nsub), [block, "__sub"]
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -685,6 +723,7 @@ def semantic_dedup(
     cluster_col: str | None = None,
     num_centroids: int | None = None,
     target_cell_size: int = _TARGET_CELL_SIZE,
+    max_cell_size: int | None = None,
     lloyd_iters: int = 2,
     centroids: list[list[float]] | None = None,
     min_cosine: float = 0.95,
@@ -717,10 +756,21 @@ def semantic_dedup(
     grows (a fixed k would be n²/k, effectively quadratic; SemDeDup
     itself uses ~11k clusters at web scale).  Pass ``num_centroids``
     or prebuilt ``centroids`` to pin k explicitly (reproducing a
-    persisted index skips the count entirely).  The removal set is one
-    id column, broadcast for the final anti-join unless
-    ``broadcast_removal=False`` (same escape hatch + bound argument as
-    :func:`dedup_corpus`).
+    persisted index skips the count entirely).
+
+    ``max_cell_size`` (default: ``target_cell_size``) is the hard
+    backstop for blocking the auto-k count cannot control — a
+    caller-supplied ``cluster_col`` whose cardinality does not grow
+    with n, pinned ``num_centroids``, or a skewed trained cell: any
+    cell above it is salted into hash sub-cells by a vector hash (see
+    :func:`_subsplit_oversized_cells`), bounding Σ|cell|² ≈
+    n·max_cell_size while preserving the exact-duplicate guarantee.
+    Cells at or below the cap are pairwise-verified exactly, so
+    results are unchanged wherever the cap does not fire.
+
+    The removal set is one id column, broadcast for the final
+    anti-join unless ``broadcast_removal=False`` (same escape hatch +
+    bound argument as :func:`dedup_corpus`).
     """
     if cluster_col is not None:
         blocked, block = df, cluster_col
@@ -737,8 +787,13 @@ def semantic_dedup(
             )
         blocked, block = df.withColumn("__cell", _cell_assign_udf(cent)(vec_col)), "__cell"
 
+    cap = target_cell_size if max_cell_size is None else max_cell_size
+    if cap < 1:
+        raise ValueError(f"max_cell_size must be >= 1, got {cap}")
+    blocked, block_cols = _subsplit_oversized_cells(blocked, block, vec_col, cap)
+
     pairs = embedding_cosine_dups(
-        blocked, [block], vec_col=vec_col, id_col=id_col,
+        blocked, block_cols, vec_col=vec_col, id_col=id_col,
         min_cosine=min_cosine, impl=impl,
     )
     removal = pairs.select(F.col("id_b").alias(id_col)).distinct()

@@ -225,3 +225,57 @@ def test_survivors_keep_all_columns_and_broadcast_plan(spark):
     assert out.columns == df.columns
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_subsplit_caps_oversized_cells(spark):
+    """max_cell_size salts cells above the cap into vector-hash
+    sub-cells (operators/dedup.py::_subsplit_oversized_cells): the
+    pairwise verify is bounded, exact duplicates still always land in
+    one sub-cell (vector hash, not id hash), and survivors form a
+    SUPERSET of the uncapped survivors (the cap can only drop
+    near-dup pairs, never invent removals)."""
+    vecs = _vectors(21, 60)
+    df = _df(spark, vecs).withColumn("blk", F.lit(0))  # one giant cell
+
+    uncapped = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, cluster_col="blk", min_cosine=0.5
+        ).select("vec_id").collect()
+    }
+    capped = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, cluster_col="blk", min_cosine=0.5, max_cell_size=10
+        ).select("vec_id").collect()
+    }
+    assert capped >= uncapped
+    # exact duplicates (vecs[5]==vecs[1], vecs[11]==vecs[2]) share a
+    # vector hash, so the higher id is removed even under sub-splitting
+    assert 5 not in capped and 11 not in capped
+    assert 1 in capped and 2 in capped
+    # deterministic: same inputs, same survivors
+    again = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, cluster_col="blk", min_cosine=0.5, max_cell_size=10
+        ).select("vec_id").collect()
+    }
+    assert again == capped
+
+
+def test_subsplit_is_inert_below_the_cap(spark):
+    """Cells at or below max_cell_size must be verified exactly —
+    identical output with and without the cap in play (this is what
+    keeps the sf0.01 driver oracle exact: its largest label cell is
+    59 rows, below the workload's cap of 128)."""
+    vecs = _vectors(22, 30)
+    df = _df(spark, vecs).withColumn("blk", (F.col("vec_id") % 3).cast("int"))
+    loose = semantic_dedup(df, cluster_col="blk", min_cosine=0.4, max_cell_size=1000)
+    tight = semantic_dedup(df, cluster_col="blk", min_cosine=0.4, max_cell_size=10)
+    exact_at_cap = semantic_dedup(df, cluster_col="blk", min_cosine=0.4, max_cell_size=10)
+    got_loose = {r.vec_id for r in loose.select("vec_id").collect()}
+    # 30 rows over 3 blocks -> 10 per cell == cap: no split fires
+    got_at_cap = {r.vec_id for r in exact_at_cap.select("vec_id").collect()}
+    assert got_at_cap == got_loose
+    assert {r.vec_id for r in tight.select("vec_id").collect()} == got_loose
