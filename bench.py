@@ -166,7 +166,6 @@ def main() -> None:
         shared = sorted(k for k in timings if k in prev)
         cur_shared = round(sum(timings[k] for k in shared), 3)
         prev_shared = round(sum(prev[k] for k in shared), 3)
-        label = "REGRESSION" if cur_shared > prev_shared else "IMPROVED"
         # Min-of-RUNS timing landed in round 4; comparisons against
         # rounds recorded under single-run timing conflate methodology
         # with plan changes (ADVICE r4) — say so explicitly.
@@ -176,25 +175,39 @@ def main() -> None:
             if prev_runs == RUNS
             else f" [METHODOLOGY-SHIFTED: baseline runs={prev_runs}, current runs={RUNS}]"
         )
+        # Host-speed normalization (VERDICT r6 "What's wrong" #4): both
+        # rounds carry calib_sec since r6, so scale the BASELINE times
+        # by calib/prev_calib before judging — round 6 printed ~uniform
+        # false regressions because the flag used raw ratios while the
+        # footnote knew the VM was 2x slower.  Raw numbers stay printed
+        # alongside; a missing prev calib falls back to raw-only.
         prev_calib = (doc.get("parsed") or doc).get("calib_sec")
+        host_scale = (calib / prev_calib) if prev_calib else 1.0
         host = (
             f" [host calib {calib}s vs baseline {prev_calib}s: "
-            f"{calib / prev_calib:.2f}x — divide drift by this]"
+            f"{host_scale:.2f}x — baseline times scaled by this for the flags]"
             if prev_calib
-            else " [baseline has no host calibration; cross-VM drift unquantified]"
+            else " [baseline has no host calibration; flags use RAW ratios]"
         )
+        prev_shared_cal = round(prev_shared * host_scale, 3)
+        label = "REGRESSION" if cur_shared > prev_shared_cal else "IMPROVED"
         print(
             f"{label} vs {baseline_path}: like-for-like "
-            f"({len(shared)} shared queries) {cur_shared}s vs {prev_shared}s"
+            f"({len(shared)} shared queries) {cur_shared}s vs {prev_shared}s raw"
+            f" / {prev_shared_cal}s host-calibrated"
             f" (full total this run: {total}s over {len(timings)} queries)"
             f"{shift}{host}",
             file=sys.stderr,
         )
         for name, t in timings.items():
             p = prev.get(name)
-            if p and t >= 1.3 * p and t - p >= 1.0:
+            if not p:
+                continue
+            p_cal = p * host_scale
+            if t >= 1.3 * p_cal and t - p_cal >= 1.0:
                 print(
-                    f"  REGRESSED {name}: {t}s vs {p}s ({t / p:.1f}x)",
+                    f"  REGRESSED {name}: {t}s vs {p}s raw ({t / p:.1f}x), "
+                    f"{p_cal:.3f}s calibrated ({t / p_cal:.1f}x)",
                     file=sys.stderr,
                 )
 

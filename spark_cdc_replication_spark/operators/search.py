@@ -99,9 +99,18 @@ def token_index(
     positions = F.when(n_toks > 0, F.sequence(F.lit(1), n_toks)).otherwise(
         F.array().cast("array<int>")
     )
+    # Run starts = positions whose left neighbor differs.  The left
+    # index is NULLed at position 1 (element_at with a NULL index is
+    # NULL, never an error — unlike index 0, which raises
+    # INVALID_INDEX_OF_ZERO even under try_element_at), and the
+    # null-safe comparison turns that NULL into "differs", so
+    # correctness never depends on boolean short-circuit evaluation
+    # order (ADVICE r6).
     starts_expr = F.filter(
         positions,
-        lambda i: (i == 1) | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+        lambda i: ~F.element_at(srt, i).eqNullSafe(
+            F.try_element_at(srt, F.when(i > 1, i - 1))
+        ),
     )
     starts = F.col("__starts")
     entries = F.transform(
@@ -257,10 +266,16 @@ def rrf_fuse(
 
     Determinism: each (query, candidate) pair contributes at most one
     reciprocal per system; the fused sum is rounded to 9 decimals
-    before ranking and ties break on ascending id, so ranking never
-    depends on float summation order across partitions (the summand
-    count is bounded by len(rankings), and 2-3-term float sums of
-    fixed values are order-stable after rounding at 1e-9).
+    before ranking and ties break on ascending id.  With TWO systems
+    (the keyword+vector case every caller here uses) the sum is a
+    single IEEE addition — exactly commutative, so ranking is fully
+    order-independent.  With 3+ systems partial-aggregation
+    associativity can still flip the last ulp across a 0.5e-9
+    rounding boundary (ADVICE r6): the rounding makes that
+    vanishingly rare, not impossible — callers fusing 3+ systems who
+    need bit-stable output should pre-sort contributions per key
+    (``F.aggregate(F.array_sort(F.collect_list(...)), ...)``) at the
+    cost of an extra array materialization.
 
     Scale shape: inputs are already top-K-per-query (bounded:
     |queries| × K rows per system), so the union + groupBy here moves

@@ -69,12 +69,19 @@ def _replica_select(table: str, keys: list[str], src: str, i: int) -> str:
         if c in keys:
             exprs.append(f"{c} + {i * OFFSET} AS {c}")
         elif table == "documents" and c == "text" and i > 0:
-            # Rotate by i words: near-dup, not byte-identical.
+            # Rotate by 1 + ((i-1) % (n_words-1)) words: always a
+            # NON-identity rotation for any doc with >= 2 words, so no
+            # replica degenerates to a byte-identical copy (ADVICE r6:
+            # a flat rotate-by-i is the identity whenever n_words <= i
+            # — DuckDB's [i+1:] slice is empty and [:i] is the whole
+            # list).  One-word docs stay verbatim (flagged exact dups
+            # by construction; nothing to rotate).
+            w = "string_split(text, ' ')"
+            rot = f"(1 + (({i} - 1) % (len({w}) - 1)))"
             exprs.append(
-                "array_to_string("
-                f"  list_concat(string_split(text, ' ')[{i + 1}:],"
-                f"              string_split(text, ' ')[:{i}]),"
-                "  ' ') AS text"
+                f"CASE WHEN len({w}) > 1 THEN array_to_string("
+                f"  list_concat({w}[{rot} + 1:], {w}[:{rot}]), ' ')"
+                "  ELSE text END AS text"
             )
         elif table == "embeddings" and c == "embedding" and i > 0:
             # Deterministic tiny perturbation keyed by (replica, vec_id,
