@@ -217,6 +217,120 @@ def repetition_stats(
     )
 
 
+#: Gopher's required-stopword set (Rae et al. 2021 §A1.1): a document
+#: must contain at least ``min_required_stopwords`` DISTINCT members to
+#: pass the "stop word" rule — a cheap natural-language-ness check that
+#: kills keyword-stuffed and tabular pages.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+    required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+    append: bool = False,
+) -> DataFrame:
+    """Gopher hard-cutoff document rules (Rae et al. 2021, §A1.1 —
+    the filter set Dolma/RefinedWeb-style pipelines apply verbatim),
+    distinct from :func:`quality_score`'s soft composite: each rule is
+    an independent boolean FLAG, so downstream can audit *why* a
+    document failed (the standard "filter report" shape) instead of
+    learning one opaque score.  Output per doc: ``n_words`` plus one
+    boolean per rule and ``gopher_pass`` (their conjunction).
+
+    Rules (defaults are the published Gopher constants):
+
+    * ``wc_ok`` — word count in [``min_words``, ``max_words``];
+    * ``mwl_ok`` — mean word length in [``min_mean_word_len``,
+      ``max_mean_word_len``];
+    * ``symbol_ok`` — (# + ellipsis) occurrences / words <=
+      ``max_symbol_word_ratio``;
+    * ``bullet_ok`` / ``ellipsis_ok`` — fraction of lines starting
+      with a bullet (resp. ending with an ellipsis) within bounds;
+    * ``alpha_ok`` — fraction of words containing >= 1 alphabetic
+      char >= ``min_alpha_word_frac``;
+    * ``stop_ok`` — >= ``min_required_stopwords`` DISTINCT members of
+      ``required_stopwords`` present (case-insensitive; default
+      :data:`GOPHER_REQUIRED_STOPWORDS`).
+
+    Shape: ZERO shuffle — every rule is doc-local, one codegen'd
+    scan+project like :func:`repetition_stats`; ``append=True`` keeps
+    every input column so the flags chain into one projection.  All
+    ratio comparisons divide exact integer counts (IEEE-identical in
+    Spark and DuckDB), so each flag is exactly oracle-checkable.
+
+    DuckDB twins (see ``workloads/llmdata.py::ORACLE_TEXT_GOPHER_FLAGS``):
+    words = ``string_split_regex(trim(text), '\\s+')``; lines =
+    ``string_split(text, chr(10))``; bullet =
+    ``regexp_matches(line, '^\\s*[-*•]')``; ellipsis =
+    ``regexp_matches(line, '(\\.\\.\\.|…)\\s*$')``; distinct
+    stopwords = ``len(list_intersect(lower_words, [...]))``.
+    """
+    w = words(text_col)
+    lw = F.transform(w, F.lower)
+    lines = F.split(F.col(text_col), "\n")
+    n_words = token_count(text_col)
+    n_words_nz = F.nullif(n_words, F.lit(0))
+    n_lines = F.nullif(F.size(lines), F.lit(0))
+    mean_wl = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / n_words_nz
+    n_symbols = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\.|…"), F.lit(0))
+    )
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / n_words_nz
+    )
+    n_req_stops = F.size(
+        F.array_intersect(lw, F.array(*[F.lit(s) for s in required_stopwords]))
+    )
+    flags = [
+        n_words.alias("n_words"),
+        ((n_words >= min_words) & (n_words <= max_words)).alias("wc_ok"),
+        F.coalesce(
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+            F.lit(False),
+        ).alias("mwl_ok"),
+        F.coalesce(
+            n_symbols / n_words_nz <= max_symbol_word_ratio, F.lit(False)
+        ).alias("symbol_ok"),
+        F.coalesce(bullet_frac <= max_bullet_line_frac, F.lit(False)).alias(
+            "bullet_ok"
+        ),
+        F.coalesce(ellipsis_frac <= max_ellipsis_line_frac, F.lit(False)).alias(
+            "ellipsis_ok"
+        ),
+        F.coalesce(alpha_frac >= min_alpha_word_frac, F.lit(False)).alias(
+            "alpha_ok"
+        ),
+        (n_req_stops >= min_required_stopwords).alias("stop_ok"),
+    ]
+    pass_all = flags[1]
+    for fcol in flags[2:]:
+        pass_all = pass_all & fcol
+    out_cols = [*flags, pass_all.alias("gopher_pass")]
+    if append:
+        return df.select("*", *out_cols)
+    return df.select(F.col(id_col), *out_cols)
+
+
 def contamination_check(
     df: DataFrame,
     benchmark: DataFrame,

@@ -687,6 +687,63 @@ FROM feats
 """
 
 
+def q_text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher hard-cutoff rule flags (Rae et al. 2021 §A1.1) per
+    document — the audit-friendly complement to the soft
+    ``text_quality_score``: one boolean per rule plus the conjunction.
+    The published constants are kept except ``required_stopwords``:
+    the synthetic corpus draws from a tech-word vocabulary where only
+    'the'/'a' of Gopher's set occur at all, so requiring both of
+    those two exercises a real pass/fail mix instead of a constant
+    column (operator default stays the published 8-word set)."""
+    from ..operators.textanalysis import gopher_rules
+
+    return gopher_rules(
+        load_table(spark, sf_dir, "documents"),
+        required_stopwords=("the", "a"),
+    )
+
+
+_GOPHER_RULES_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_words,
+    list_sum(list_transform({_WORDS_SQL}, w -> length(w)))::DOUBLE
+      / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS mwl,
+    len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE
+      / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS sym_ratio,
+    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+      / nullif(len(string_split(text, chr(10))), 0) AS bullet_frac,
+    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+      / nullif(len(string_split(text, chr(10))), 0) AS ellipsis_frac,
+    len(list_filter({_WORDS_SQL}, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+      / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS alpha_frac,
+    len(list_intersect(list_transform({_WORDS_SQL}, w -> lower(w)), [{{stops}}])) AS n_req_stops
+  FROM documents
+)
+SELECT doc_id, n_words,
+  (n_words >= {{min_words}} AND n_words <= {{max_words}}) AS wc_ok,
+  coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE) AS mwl_ok,
+  coalesce(sym_ratio <= 0.1, FALSE) AS symbol_ok,
+  coalesce(bullet_frac <= 0.9, FALSE) AS bullet_ok,
+  coalesce(ellipsis_frac <= 0.3, FALSE) AS ellipsis_ok,
+  coalesce(alpha_frac >= 0.8, FALSE) AS alpha_ok,
+  (n_req_stops >= 2) AS stop_ok,
+  ((n_words >= {{min_words}} AND n_words <= {{max_words}})
+   AND coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE)
+   AND coalesce(sym_ratio <= 0.1, FALSE)
+   AND coalesce(bullet_frac <= 0.9, FALSE)
+   AND coalesce(ellipsis_frac <= 0.3, FALSE)
+   AND coalesce(alpha_frac >= 0.8, FALSE)
+   AND (n_req_stops >= 2)) AS gopher_pass
+FROM feats
+"""
+
+ORACLE_TEXT_GOPHER_FLAGS = _GOPHER_RULES_SQL.format(
+    stops="'the', 'a'", min_words=50, max_words=100000
+)
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
@@ -2417,6 +2474,7 @@ QUERIES = {
     "similarity_ivf_int8_all": q_similarity_ivf_int8_all,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
+    "text_gopher_flags": q_text_gopher_flags,
     "text_language_id": q_language_id,
     "text_fingerprints": q_fingerprints,
     "text_lang_stats": q_lang_stats,
@@ -2475,6 +2533,7 @@ ORACLE = {
     "similarity_ivf_int8_all": ORACLE_SIMILARITY_IVF_INT8_ALL,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
+    "text_gopher_flags": ORACLE_TEXT_GOPHER_FLAGS,
     "text_language_id": _build_language_id_oracle(),
     "text_fingerprints": ORACLE_FINGERPRINTS,
     "text_lang_stats": ORACLE_LANG_STATS,

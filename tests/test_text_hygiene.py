@@ -399,3 +399,51 @@ def test_prepare_corpus_without_bench_is_filter_plus_dedup(spark):
         (r.doc_id, r.text) for r in chained.collect()
     )
     assert {r.doc_id for r in fused.collect()} == {1, 4}
+
+
+def test_gopher_rules_flags(spark):
+    """Gopher hard-cutoff rules (operators/textanalysis.py::
+    gopher_rules): each rule is an independent boolean, the
+    conjunction is gopher_pass, and every rule can fail alone."""
+    from spark_cdc_replication_spark.operators.textanalysis import gopher_rules
+
+    good = "the cat sat with all of them and that should be fine " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                     # passes everything
+            (2, "too short to pass the word count rule"),  # wc fails
+            (3, ("a " * 60).strip()),                      # mean word len < 3
+            (4, good + " ###### " * 12),                   # symbol ratio
+            (5, "\n".join(["- bullet line the and of"] * 8 + ["plain"])
+                + " " + good),                             # bullet frac > 0.9? no: 8/10 lines -> passes
+            (6, "\n".join([(good[:40] + "...")] * 5)),     # every line ends ...
+            (7, ("12345 67890 " * 30) + "the and"),        # alpha frac fails
+            (8, "zz yy xx ww vv uu tt ss rr qq " * 10),    # no required stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs, min_words=20).collect()}
+    assert got[1].gopher_pass
+    assert not got[2].wc_ok and got[2].mwl_ok
+    assert not got[3].mwl_ok
+    assert not got[4].symbol_ok and got[4].wc_ok
+    assert got[5].bullet_ok and got[5].gopher_pass is not None
+    assert not got[6].ellipsis_ok
+    assert not got[7].alpha_ok and got[7].wc_ok
+    assert not got[8].stop_ok and not got[8].gopher_pass
+    # the conjunction is exactly the AND of the individual flags
+    for r in got.values():
+        assert r.gopher_pass == (
+            r.wc_ok and r.mwl_ok and r.symbol_ok and r.bullet_ok
+            and r.ellipsis_ok and r.alpha_ok and r.stop_ok
+        )
+
+
+def test_gopher_rules_zero_shuffle_plan(spark):
+    """The whole rule set must stay one codegen'd scan+project —
+    doc-local signals may never pay an exchange."""
+    from spark_cdc_replication_spark.operators.textanalysis import gopher_rules
+
+    docs = spark.createDataFrame([(1, "the a b")], "doc_id long, text string")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
