@@ -67,6 +67,61 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    SimCSE data-prep step): per anchor query, the top-``k`` most
+    cosine-similar corpus vectors whose ``label_col`` DIFFERS from the
+    anchor's — the negatives the current embedding space confuses
+    with the anchor, worth many random negatives per gradient step.
+
+    Output: ``(query_id, neighbor_id, cosine, rank)``, rank 1..k,
+    deterministic tie-break on neighbor id.  Exact by contract (the
+    certification baseline, like :func:`brute_force_topk`, and the
+    same plan shape: queries broadcast, corpus scanned once and never
+    shuffled, only ``|queries| x |corpus|`` (id, score) rows enter the
+    ranking window).  For unbounded anchor sets at 100 TB, mine from
+    an IVF probe (:func:`ivf_topk`) and post-filter labels instead —
+    the recall-bounded path, same trade as ``similarity_*`` topk.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cv"),
+    ).withColumn("__cn", l2_norm("__cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm("__qv"))
+    # Label inequality is NULL-hostile on purpose: a NULL-labeled row
+    # (unknown class) is never a provable negative, so it can't mine.
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__cl") != F.col("__ql"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def _lsh_buckets_udf(planes_tables: list[list[list[float]]]):
     """Arrow-vectorized bucket codes for ALL hash tables in one pass.
 

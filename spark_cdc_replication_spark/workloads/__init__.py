@@ -27,18 +27,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   staleness bound (VERDICT r6 "next" #1, the tripwire test's red);
 #: * `pii_scrub` (green r6 but the ONLY privacy-family oracle, and
 #:   the family floor is enforced in-window, so it never rotates out);
-#: * `text_gopher_flags` — the r7 debut (never-green oracles must be
-#:   in-window: a new oracle earns its first driver row next round);
-#: * 34 of the 48 queries last green in r5.  The 14 r5-greens left
+#: * `text_gopher_flags` and `similarity_hard_negatives` — the r7
+#:   debuts (never-green oracles must be in-window: a new oracle earns
+#:   its first driver row next round);
+#: * 33 of the 48 queries last green in r5.  The 15 r5-greens left
 #:   out (customer_retention_setops, profile_orders,
 #:   q11_important_part_value, q12_ship_priority_dist,
 #:   q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
 #:   q16_brand_supplier_count, q17_small_quantity_revenue,
 #:   q19_bracket_revenue, q20_dominant_suppliers,
-#:   q22_sales_opportunity, q7_volume_shipping, yoy_customer_diff)
-#:   stay within the bound (7-5=2) and head the r8 must-rotate list;
-#:   the tpch family keeps q2/q4/q6/q8/q9 in-window and the other 14
-#:   touch no family whose floor they alone hold.
+#:   q22_sales_opportunity, q7_volume_shipping, similarity_lsh_all,
+#:   yoy_customer_diff) stay within the bound (7-5=2) and head the r8
+#:   must-rotate list; the tpch family keeps q2/q4/q6/q8/q9 in-window,
+#:   the similarity family keeps ivf_all/int8_all/knn_label + the
+#:   debut, and the other 15 touch no family whose floor they alone
+#:   hold.
 #:
 #: The steady 3-round cycle over the ~112-oracle registry: each
 #: round's window = last round's leftovers + the round-before-last's
@@ -87,10 +90,10 @@ GATE_WINDOW: tuple[str, ...] = (
     "sample_quality_bands",
     "sample_stratified",
     "sample_token_budget",
+    "similarity_hard_negatives",
     "similarity_ivf_all",
     "similarity_ivf_int8_all",
     "similarity_knn_label",
-    "similarity_lsh_all",
     "text_bigram_logprob",
     "text_bm25_topk",
     "text_filter_corpus",

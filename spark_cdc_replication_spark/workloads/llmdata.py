@@ -420,6 +420,37 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for the first 10 anchors, the top-10 most
+    cosine-similar embeddings with a DIFFERENT label (exact, rank-only
+    output like similarity_topk so the cross-engine hash never rides
+    on float formatting)."""
+    from ..operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negatives(emb, anchors, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+ORACLE_SIMILARITY_HARD_NEGATIVES = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.label <> q.label
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (rows-only: approximate by
     design; recall vs brute force asserted in tests/)."""
@@ -2475,6 +2506,7 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_ivf": q_dedup_semantic_ivf,
     "similarity_topk": q_similarity_topk,
+    "similarity_hard_negatives": q_similarity_hard_negatives,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_lsh_all": q_similarity_lsh_all,
     "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -2537,6 +2569,7 @@ ORACLE = {
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
+    "similarity_hard_negatives": ORACLE_SIMILARITY_HARD_NEGATIVES,
     "similarity_lsh_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_int8_all": ORACLE_SIMILARITY_IVF_INT8_ALL,

@@ -338,3 +338,35 @@ def test_logstar_nonconvergence_is_loud(spark):
         out = dup_clusters_logstar(pairs, max_rounds=1, on_nonconverged="warn").collect()
     assert any("did not converge" in str(w.message) for w in caught)
     assert out
+
+
+def test_hard_negatives_excludes_same_label_and_nulls(spark):
+    """operators/similarity.py::hard_negatives: only DIFFERENT-label
+    corpus rows may rank, NULL labels never mine (inequality is
+    NULL-hostile by contract), ranking is exact-cosine with id
+    tie-break, and the corpus side is never shuffled (queries
+    broadcast)."""
+    from spark_cdc_replication_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.14], "a"),    # most similar to 0 but same label
+        (2, [0.9, 0.44], "b"),     # nearest valid negative
+        (3, [0.0, 1.0], "b"),      # far negative
+        (4, [0.95, 0.31], None),   # NULL label: excluded
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    anchors = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    got = hard_negatives(emb, anchors, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in got] == [(2, 1), (3, 2)]
+    assert all(r.query_id == 0 for r in got)
+    # scale shape: broadcast queries, no corpus exchange before scoring
+    plan = (
+        hard_negatives(emb, anchors, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
