@@ -132,3 +132,69 @@ def validate(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def drift_report(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Categorical distribution drift between two cohorts of the same
+    column — the monitoring op every production data pipeline runs
+    when a new corpus snapshot / ingest day lands: did the composition
+    shift?
+
+    Output: one row per observed category with both cohorts' counts,
+    shares, and the per-bucket PSI term
+    ``(share_a - share_b) * ln(share_a / share_b)`` (Population
+    Stability Index; sum the column for the scalar — the classic
+    alert thresholds are PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    shifted).  Shares are additive-smoothed with ``smooth`` pseudo
+    counts over the UNION of observed categories, so a category
+    present in only one cohort contributes a finite term instead of
+    ±inf — the standard Laplace fix.
+
+    Deliberately PER-BUCKET (no final sum): every value is one
+    division / one ln of exact integer counts, so the whole report is
+    engine-exact and oracle-hash-checkable — no cross-row float
+    summation whose order could differ between engines.
+
+    Scale shape: one map-side-partial groupBy per cohort on the
+    single column (counts only cross the network — bytes per distinct
+    category), a full outer join of the two tiny count relations, and
+    the totals ride a single-row cross join each.  Nothing scales
+    with row count but the two scans.
+    """
+    ca = a.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    cb = b.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    joined = ca.join(cb, "category", "full_outer").select(
+        "category",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    # Totals and category count as single-row broadcast joins; shares
+    # are smoothed over the union of categories so both columns sum
+    # to 1 and no share is ever zero.
+    tot = joined.agg(
+        F.sum("n_a").alias("__ta"),
+        F.sum("n_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    sa = (F.col("n_a") + F.lit(smooth)) / (F.col("__ta") + F.lit(smooth) * F.col("__k"))
+    sb = (F.col("n_b") + F.lit(smooth)) / (F.col("__tb") + F.lit(smooth) * F.col("__k"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_a",
+            "n_b",
+            F.round(sa, 6).alias("share_a"),
+            F.round(sb, 6).alias("share_b"),
+            F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"),
+        )
+    )

@@ -27,12 +27,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   staleness bound (VERDICT r6 "next" #1, the tripwire test's red);
 #: * `pii_scrub` (green r6 but the ONLY privacy-family oracle, and
 #:   the family floor is enforced in-window, so it never rotates out);
-#: * `text_gopher_flags` and `similarity_hard_negatives` — the r7
-#:   debuts (never-green oracles must be in-window: a new oracle earns
-#:   its first driver row next round);
-#: * 33 of the 48 queries last green in r5.  The 15 r5-greens left
-#:   out (customer_retention_setops, profile_orders,
-#:   q11_important_part_value, q12_ship_priority_dist,
+#: * `text_gopher_flags`, `similarity_hard_negatives`, and
+#:   `events_drift_psi` — the r7 debuts (never-green oracles must be
+#:   in-window: a new oracle earns its first driver row next round);
+#: * 32 of the 48 queries last green in r5.  The 16 r5-greens left
+#:   out (customer_retention_setops, events_hopping_6h_2h,
+#:   profile_orders, q11_important_part_value, q12_ship_priority_dist,
 #:   q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
 #:   q16_brand_supplier_count, q17_small_quantity_revenue,
 #:   q19_bracket_revenue, q20_dominant_suppliers,
@@ -40,8 +40,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   yoy_customer_diff) stay within the bound (7-5=2) and head the r8
 #:   must-rotate list; the tpch family keeps q2/q4/q6/q8/q9 in-window,
 #:   the similarity family keeps ivf_all/int8_all/knn_label + the
-#:   debut, and the other 15 touch no family whose floor they alone
-#:   hold.
+#:   debut, the events family keeps anomaly_days + the debut, and the
+#:   other 16 touch no family whose floor they alone hold.
 #:
 #: The steady 3-round cycle over the ~112-oracle registry: each
 #: round's window = last round's leftovers + the round-before-last's
@@ -77,7 +77,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "dedup_simhash_verified",
     "embedding_project",
     "events_anomaly_days",
-    "events_hopping_6h_2h",
+    "events_drift_psi",
     "multimodal_frames",
     "pack_sequences",
     "prepare_corpus",

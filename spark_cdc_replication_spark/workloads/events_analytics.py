@@ -574,11 +574,54 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ORACLE_USER_BEHAVIOR_TOPK = _behavior_sql()
 
 
+
+
+def q_events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (PSI) between two deterministic
+    cohorts of the event stream — even vs odd ``user_id`` — over
+    ``event_type``: the ingest-day composition check every production
+    pipeline alerts on.  Per-bucket PSI terms (no cross-row float
+    summation), exactly oracle-hash-checkable."""
+    from ..operators.validate import drift_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_report(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "event_type",
+    )
+
+
+ORACLE_EVENTS_DRIFT_PSI = """
+WITH ca AS (
+  SELECT event_type AS category, count(*) AS n_a FROM events
+  WHERE user_id % 2 = 0 GROUP BY 1
+),
+cb AS (
+  SELECT event_type AS category, count(*) AS n_b FROM events
+  WHERE user_id % 2 = 1 GROUP BY 1
+),
+j AS (
+  SELECT coalesce(ca.category, cb.category) AS category,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category
+),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j)
+SELECT category, n_a, n_b,
+  round((n_a + 0.5) / (ta + 0.5 * k), 6) AS share_a,
+  round((n_b + 0.5) / (tb + 0.5 * k), 6) AS share_b,
+  round(((n_a + 0.5) / (ta + 0.5 * k) - (n_b + 0.5) / (tb + 0.5 * k))
+        * ln(((n_a + 0.5) / (ta + 0.5 * k)) / ((n_b + 0.5) / (tb + 0.5 * k))), 6)
+    AS psi_term
+FROM j CROSS JOIN t
+"""
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
     "events_hopping_6h_2h": q_hopping,
     "events_anomaly_days": q_events_anomaly_days,
+    "events_drift_psi": q_events_drift_psi,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_forward_tolerance": q_asof_forward_tolerance,
     "range_join_signup_views": q_range_join_signup_views,
@@ -595,6 +638,7 @@ ORACLE = {
     "events_tumbling_6h": ORACLE_TUMBLING,
     "events_hopping_6h_2h": ORACLE_HOPPING,
     "events_anomaly_days": ORACLE_EVENTS_ANOMALY_DAYS,
+    "events_drift_psi": ORACLE_EVENTS_DRIFT_PSI,
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
     "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,
     "range_join_signup_views": ORACLE_RANGE_JOIN_SIGNUP_VIEWS,

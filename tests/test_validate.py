@@ -61,3 +61,33 @@ def test_validate_composes_and_requires_rules(spark):
     assert got == {"amount_nonneg": 1, "unique(id)": 1, "fk(dim_id)": 1}
     with pytest.raises(ValueError):
         validate(_facts(spark))
+
+
+def test_drift_report_psi_terms(spark):
+    """operators/validate.py::drift_report: shares are Laplace-smoothed
+    over the category union (single-cohort categories finite), both
+    share columns sum to ~1, psi_term sign tracks direction, and a
+    shifted cohort's |PSI| dwarfs an identical one's."""
+    from spark_cdc_replication_spark.operators.validate import drift_report
+
+    a = spark.createDataFrame(
+        [(i, "x" if i < 80 else "y") for i in range(100)], "id long, c string"
+    )
+    b_same = spark.createDataFrame(
+        [(i, "x" if i < 80 else "y") for i in range(100)], "id long, c string"
+    )
+    b_shift = spark.createDataFrame(
+        [(i, "x" if i < 20 else ("y" if i < 90 else "z")) for i in range(100)],
+        "id long, c string",
+    )
+    same = {r.category: r for r in drift_report(a, b_same, "c").collect()}
+    assert set(same) == {"x", "y"}
+    assert all(abs(r.psi_term) < 1e-9 for r in same.values())
+    shift = {r.category: r for r in drift_report(a, b_shift, "c").collect()}
+    assert set(shift) == {"x", "y", "z"}
+    # z exists only in cohort b: smoothing keeps its term finite
+    assert shift["z"].n_a == 0 and shift["z"].psi_term > 0
+    assert shift["x"].psi_term > 0.5  # 80% -> 20% is a big shift
+    for rows in (same, shift):
+        assert abs(sum(r.share_a for r in rows.values()) - 1.0) < 1e-4
+        assert abs(sum(r.share_b for r in rows.values()) - 1.0) < 1e-4
