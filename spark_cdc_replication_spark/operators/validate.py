@@ -167,15 +167,33 @@ def drift_report(
     with row count but the two scans.
     """
     ca = a.groupBy(F.col(col).alias("category")).agg(
-        F.count(F.lit(1)).alias("n_a")
+        F.count(F.lit(1)).alias("n")
     )
     cb = b.groupBy(F.col(col).alias("category")).agg(
-        F.count(F.lit(1)).alias("n_b")
+        F.count(F.lit(1)).alias("n")
     )
-    joined = ca.join(cb, "category", "full_outer").select(
-        "category",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    return drift_from_counts(ca, cb, smooth=smooth)
+
+
+def drift_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """:func:`drift_report`'s math over pre-aggregated count relations
+    — ``(category, n)`` each.  This is the streaming-twin entry point
+    (``streaming/drift_stream.py`` maintains the observed counts
+    additively and re-derives the report per epoch), split out so
+    batch and stream provably share one implementation.
+    """
+    joined = (
+        ca.select("category", F.col("n").alias("n_a"))
+        .join(cb.select("category", F.col("n").alias("n_b")), "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
     )
     # Totals and category count as single-row broadcast joins; shares
     # are smoothed over the union of categories so both columns sum

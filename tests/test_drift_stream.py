@@ -1,0 +1,92 @@
+"""Streaming drift monitor (streaming/drift_stream.py): after any
+prefix of epochs the maintained report must equal the BATCH
+drift_report of (reference, union of streamed batches) — one shared
+implementation — and the epoch protocol must survive restart with
+more data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_cdc_replication_spark.operators.validate import drift_report
+from spark_cdc_replication_spark.streaming.drift_stream import (
+    drift_stream,
+    read_drift_report,
+)
+
+SCHEMA = "id long, c string"
+
+REFERENCE = [(i, "x" if i < 70 else "y") for i in range(100)]
+BATCH1 = [(i, "x" if i < 10 else "y") for i in range(30)]
+BATCH2 = [(100 + i, "z" if i < 5 else "x") for i in range(20)]
+
+
+def _report_key(rows):
+    return {
+        (r.category, r.n_a, r.n_b, r.share_a, r.share_b, r.psi_term)
+        for r in rows
+    }
+
+
+def _run(spark, src, dirs):
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    ref_counts = (
+        spark.createDataFrame(REFERENCE, SCHEMA)
+        .groupBy(F.col("c").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = drift_stream(
+        stream, ref_counts, "c", dirs["counts"], dirs["report"], dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+
+
+def test_streamed_drift_equals_batch_report(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dirs = {k: str(tmp_path / k) for k in ("counts", "report", "ckpt")}
+    for b in (BATCH1, BATCH2):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, dirs)
+
+    got = _report_key(read_drift_report(spark, dirs["counts"], dirs["report"]).collect())
+    want = _report_key(
+        drift_report(
+            spark.createDataFrame(REFERENCE, SCHEMA),
+            spark.createDataFrame(BATCH1 + BATCH2, SCHEMA),
+            "c",
+        ).collect()
+    )
+    assert got == want
+    # the stream-only category z is present and finite
+    assert any(cat == "z" for cat, *_ in got)
+
+
+def test_drift_stream_restart_extends_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dirs = {k: str(tmp_path / k) for k in ("counts", "report", "ckpt")}
+    spark.createDataFrame(BATCH1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, dirs)
+    first = _report_key(
+        read_drift_report(spark, dirs["counts"], dirs["report"]).collect()
+    )
+    assert first == _report_key(
+        drift_report(
+            spark.createDataFrame(REFERENCE, SCHEMA),
+            spark.createDataFrame(BATCH1, SCHEMA),
+            "c",
+        ).collect()
+    )
+    # restart with one more file: counts must extend, not reset
+    spark.createDataFrame(BATCH2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, dirs)
+    got = _report_key(read_drift_report(spark, dirs["counts"], dirs["report"]).collect())
+    want = _report_key(
+        drift_report(
+            spark.createDataFrame(REFERENCE, SCHEMA),
+            spark.createDataFrame(BATCH1 + BATCH2, SCHEMA),
+            "c",
+        ).collect()
+    )
+    assert got == want
