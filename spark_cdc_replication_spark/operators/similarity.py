@@ -122,6 +122,63 @@ def hard_negatives(
     )
 
 
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    overfetch: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`hard_negatives` on the index-serving scale path: probe
+    the IVF inverted file for ``k * overfetch`` candidates per anchor
+    (:func:`ivf_topk`), join candidate labels, drop same-label and
+    NULL-label rows, re-rank to ``k``.
+
+    Approximate twice over — IVF cell selectivity AND the overfetch
+    may under-fill after the label filter — so this is a rows-only
+    operator with a pytest recall floor vs the exact miner (the
+    ``similarity_hybrid_rrf_ivf`` pattern).  At 100 TB the exact
+    variant scans the corpus per anchor batch; this touches
+    ``~|corpus| * nprobe / num_centroids`` candidates and the label
+    join moves only ``|anchors| * k * overfetch`` id rows against the
+    corpus's (id, label) projection.
+    """
+    cand = ivf_topk(
+        corpus,
+        queries.select(query_id_col, vec_col),
+        centroids,
+        k=k * overfetch,
+        nprobe=nprobe,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        assigned=assigned,
+    )
+    nl = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__cl")
+    )
+    ql = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    kept = (
+        cand.join(nl, "neighbor_id")
+        .join(F.broadcast(ql), "query_id")
+        .filter(F.col("__cl") != F.col("__ql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _lsh_buckets_udf(planes_tables: list[list[list[float]]]):
     """Arrow-vectorized bucket codes for ALL hash tables in one pass.
 

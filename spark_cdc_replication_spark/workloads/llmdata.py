@@ -451,6 +451,23 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
 """
 
 
+def q_similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining on the index-serving scale path (rows-only:
+    approximate by design; recall vs the exact miner pinned in
+    tests/test_dedup_similarity.py)."""
+    from ..operators.similarity import hard_negatives_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = _ivf_index(spark, sf_dir, emb)
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negatives_ivf(
+        emb, anchors, cents, k=10, nprobe=4, assigned=assigned
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (rows-only: approximate by
     design; recall vs brute force asserted in tests/)."""
@@ -2507,6 +2524,7 @@ QUERIES = {
     "dedup_semantic_ivf": q_dedup_semantic_ivf,
     "similarity_topk": q_similarity_topk,
     "similarity_hard_negatives": q_similarity_hard_negatives,
+    "similarity_hard_negatives_ivf": q_similarity_hard_negatives_ivf,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_lsh_all": q_similarity_lsh_all,
     "similarity_ivf_topk": q_similarity_ivf_topk,
