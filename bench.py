@@ -51,6 +51,10 @@ HEADLINE = [
     "text_language_id",
     "text_unigram_logprob",
     "text_bigram_logprob",
+    "text_gopher_flags",
+    "events_drift_psi",
+    "similarity_hard_negatives",
+    "similarity_hard_negatives_ivf",
     "sample_mixture",
     "sample_token_budget",
     "embedding_quantize",
