@@ -342,6 +342,53 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def split_temporal(
+    df: DataFrame,
+    ts_col: str,
+    train_end: str,
+    test_start: str | None = None,
+    embargo: str | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split — the assignment every
+    time-series / recsys / market-data pipeline needs instead of a
+    hash split (:func:`split_assign` leaks future information into
+    training whenever rows are temporally correlated): ``train`` is
+    strictly before ``train_end``, ``test`` at or after ``test_start``,
+    and rows between the two are labeled ``embargo`` — the purge gap
+    (de Prado's purged split) that keeps any label/feature window
+    spanning the boundary out of BOTH sets.
+
+    Give either ``test_start`` (explicit timestamp literal) or
+    ``embargo`` (an INTERVAL string like ``'1 day'`` added to
+    ``train_end``); with neither, ``test_start = train_end`` and no
+    row is embargoed.  Cutoffs are caller-supplied literals by design
+    — derived cutoffs (e.g. a quantile of ``ts``) would make the split
+    move as data lands, the exact instability :func:`split_assign`'s
+    hash addressing exists to prevent.
+
+    NULL timestamps get a NULL split (unknown time cannot be proven
+    leak-free); filter or coalesce upstream if they must train.
+    Shape: one codegen'd projection, zero shuffle, zero actions.
+    """
+    ts = F.col(ts_col)
+    lo = F.lit(train_end).cast("timestamp")
+    if test_start is not None and embargo is not None:
+        raise ValueError("give test_start OR embargo, not both")
+    if test_start is not None:
+        hi = F.lit(test_start).cast("timestamp")
+    elif embargo is not None:
+        hi = lo + F.expr(f"INTERVAL {embargo}")
+    else:
+        hi = lo
+    label = (
+        F.when(ts < lo, F.lit("train"))
+        .when(ts >= hi, F.lit("test"))
+        .when(ts.isNotNull(), F.lit("embargo"))
+    )
+    return df.withColumn(out_col, label)
+
+
 def pack_offsets(
     df: DataFrame,
     token_col: str,

@@ -27,21 +27,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   staleness bound (VERDICT r6 "next" #1, the tripwire test's red);
 #: * `pii_scrub` (green r6 but the ONLY privacy-family oracle, and
 #:   the family floor is enforced in-window, so it never rotates out);
-#: * `text_gopher_flags`, `similarity_hard_negatives`, and
-#:   `events_drift_psi` — the r7 debuts (never-green oracles must be
-#:   in-window: a new oracle earns its first driver row next round);
-#: * 32 of the 48 queries last green in r5.  The 16 r5-greens left
+#: * `text_gopher_flags`, `similarity_hard_negatives`,
+#:   `events_drift_psi`, and `split_temporal` — the r7 debuts
+#:   (never-green oracles must be in-window: a new oracle earns its
+#:   first driver row next round);
+#: * 31 of the 48 queries last green in r5.  The 17 r5-greens left
 #:   out (customer_retention_setops, events_hopping_6h_2h,
 #:   profile_orders, q11_important_part_value, q12_ship_priority_dist,
 #:   q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
 #:   q16_brand_supplier_count, q17_small_quantity_revenue,
 #:   q19_bracket_revenue, q20_dominant_suppliers,
-#:   q22_sales_opportunity, q7_volume_shipping, similarity_lsh_all,
-#:   yoy_customer_diff) stay within the bound (7-5=2) and head the r8
-#:   must-rotate list; the tpch family keeps q2/q4/q6/q8/q9 in-window,
-#:   the similarity family keeps ivf_all/int8_all/knn_label + the
-#:   debut, the events family keeps anomaly_days + the debut, and the
-#:   other 16 touch no family whose floor they alone hold.
+#:   q22_sales_opportunity, q7_volume_shipping, sample_k_per_source,
+#:   similarity_lsh_all, yoy_customer_diff) stay within the bound
+#:   (7-5=2) and head the r8 must-rotate list; the tpch family keeps
+#:   q2/q4/q6/q8/q9 in-window, the similarity family keeps
+#:   ivf_all/int8_all/knn_label + the debut, the events family keeps
+#:   anomaly_days + the debut, the sampling family keeps
+#:   quality_bands/stratified/token_budget/mixture-adjacent entries +
+#:   the split debut, and the other 17 touch no family whose floor
+#:   they alone hold.
 #:
 #: The steady 3-round cycle over the ~112-oracle registry: each
 #: round's window = last round's leftovers + the round-before-last's
@@ -86,12 +90,12 @@ GATE_WINDOW: tuple[str, ...] = (
     "q9_product_profit",
     "range_join_signup_views",
     "rollup_incremental",
-    "sample_k_per_source",
     "sample_quality_bands",
     "sample_stratified",
     "sample_token_budget",
     "similarity_hard_negatives",
     "similarity_ivf_all",
+    "split_temporal",
     "similarity_ivf_int8_all",
     "similarity_knn_label",
     "text_bigram_logprob",

@@ -616,12 +616,36 @@ SELECT category, n_a, n_b,
 FROM j CROSS JOIN t
 """
 
+
+
+def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split of the event stream: train strictly
+    before Jan 22, a 1-day purge gap (de Prado embargo), test from
+    Jan 23 — per-row assignment so the oracle hash pins every row's
+    fate, not just the counts."""
+    from ..operators.sampling import split_temporal
+
+    ev = load_table(spark, sf_dir, "events")
+    out = split_temporal(ev, "ts", train_end="2024-01-22 00:00:00", embargo="1 day")
+    return out.select("event_id", "split")
+
+
+ORACLE_SPLIT_TEMPORAL = """
+SELECT event_id,
+  CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+       WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-23 00:00:00' THEN 'test'
+       WHEN ts IS NOT NULL THEN 'embargo'
+  END AS split
+FROM events
+"""
+
 QUERIES = {
     "events_sessionize": q_sessionize,
     "events_tumbling_6h": q_tumbling,
     "events_hopping_6h_2h": q_hopping,
     "events_anomaly_days": q_events_anomaly_days,
     "events_drift_psi": q_events_drift_psi,
+    "split_temporal": q_split_temporal,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_forward_tolerance": q_asof_forward_tolerance,
     "range_join_signup_views": q_range_join_signup_views,
@@ -639,6 +663,7 @@ ORACLE = {
     "events_hopping_6h_2h": ORACLE_HOPPING,
     "events_anomaly_days": ORACLE_EVENTS_ANOMALY_DAYS,
     "events_drift_psi": ORACLE_EVENTS_DRIFT_PSI,
+    "split_temporal": ORACLE_SPLIT_TEMPORAL,
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
     "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,
     "range_join_signup_views": ORACLE_RANGE_JOIN_SIGNUP_VIEWS,

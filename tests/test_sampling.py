@@ -362,3 +362,53 @@ def test_quality_band_sample_rejects_bad_cuts(spark):
         quality_band_sample(df, "score", cuts=[1.0, 0.0], rates=[0.1, 0.2, 0.3])
     with pytest.raises(ValueError, match="len"):
         quality_band_sample(df, "score", cuts=[0.0], rates=[0.1])
+
+
+def test_split_temporal_embargo_semantics(spark):
+    """operators/sampling.py::split_temporal: strict train < cutoff,
+    test >= cutoff + embargo, the gap labeled embargo, NULL ts -> NULL
+    split; explicit test_start equivalent to the interval form; both
+    cutoff args together rejected."""
+    import datetime as dt
+
+    import pytest
+
+    from spark_cdc_replication_spark.operators.sampling import split_temporal
+
+    rows = [
+        (1, dt.datetime(2024, 1, 10)),
+        (2, dt.datetime(2024, 1, 21, 23, 59, 59)),
+        (3, dt.datetime(2024, 1, 22)),            # == cutoff: embargo
+        (4, dt.datetime(2024, 1, 22, 12)),
+        (5, dt.datetime(2024, 1, 23)),            # == cutoff+1d: test
+        (6, dt.datetime(2024, 1, 29)),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r.id: r.split
+        for r in split_temporal(
+            df, "ts", train_end="2024-01-22 00:00:00", embargo="1 day"
+        ).collect()
+    }
+    assert got == {
+        1: "train", 2: "train", 3: "embargo", 4: "embargo",
+        5: "test", 6: "test", 7: None,
+    }
+    explicit = {
+        r.id: r.split
+        for r in split_temporal(
+            df, "ts",
+            train_end="2024-01-22 00:00:00",
+            test_start="2024-01-23 00:00:00",
+        ).collect()
+    }
+    assert explicit == got
+    # no embargo: the boundary row goes straight to test
+    tight = {
+        r.id: r.split
+        for r in split_temporal(df, "ts", train_end="2024-01-22 00:00:00").collect()
+    }
+    assert tight[3] == "test" and tight[2] == "train"
+    with pytest.raises(ValueError, match="not both"):
+        split_temporal(df, "ts", "2024-01-22", test_start="x", embargo="1 day")

@@ -41,7 +41,13 @@ FAMILIES: dict[str, tuple[str, ...]] = {
     "similarity": ("similarity_",),
     "text analysis": ("text_",),
     "multimodal": ("multimodal_",),
-    "sampling/packing": ("sample_", "split_assign", "pack_sequences", "corpus_shuffle"),
+    "sampling/packing": (
+        "sample_",
+        "split_assign",
+        "split_temporal",
+        "pack_sequences",
+        "corpus_shuffle",
+    ),
     "privacy": ("pii_",),
     "contamination/repetition": (
         "text_contamination",
