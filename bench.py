@@ -121,7 +121,12 @@ def main() -> None:
     release_after = {
         "cdc_increment_append": release_changes,
         "dedup_minhash_lsh": release_sigs,
-        "similarity_ivf_int8": release_indexes,
+        # the LAST _IVF_INDEX consumer is now the IVF hard-negative
+        # miner (r7) — releasing after similarity_ivf_int8 would evict
+        # the index mid-bench, silently retrain it inside the miner's
+        # timed region, and leave the rebuilt blocks persisted for
+        # every later headline query (code review r7).
+        "similarity_hard_negatives_ivf": release_indexes,
     }
 
     # Each query is timed as min-of-RUNS so a one-off GC pause / session

@@ -699,20 +699,34 @@ def _subsplit_oversized_cells(
     stays together by design (run :func:`exact_dedup` first if that
     shape exists in the corpus).
 
-    One window count over the block key — the same key the pair join
-    shuffles on anyway, and no driver-side collect, so no new scaling
-    bottleneck.
+    Cost: cell sizes come from a COUNTS-ONLY ``groupBy(block).count()``
+    (map-side partials — bytes per cell cross the network, never the
+    vectors) broadcast-joined back onto the rows, so the corpus body is
+    not shuffled here at all; the one body shuffle remains the pair
+    join's own partitioning on ``[block, __sub]``.  (The first cut used
+    ``count().over(Window.partitionBy(block))``, which exchanges every
+    row INCLUDING the embedding column on a key the pair join can't
+    reuse — caught by code review r7.)  No driver-side collect either
+    way, so no new scaling bottleneck.
     """
-    from pyspark.sql import Window
-
-    cell_n = F.count(F.lit(1)).over(Window.partitionBy(block))
+    sizes = blocked.groupBy(F.col(block).alias("__blk")).agg(
+        F.count(F.lit(1)).alias("__cell_n")
+    )
     nsub = F.greatest(
-        F.ceil(cell_n / F.lit(max_cell_size)).cast("long"), F.lit(1).cast("long")
+        F.ceil(F.col("__cell_n") / F.lit(max_cell_size)).cast("long"),
+        F.lit(1).cast("long"),
     )
     vec_hash = F.conv(
         F.substring(F.md5(F.col(vec_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
-    return blocked.withColumn("__sub", vec_hash % nsub), [block, "__sub"]
+    out = (
+        blocked.join(
+            F.broadcast(sizes), F.col(block).eqNullSafe(F.col("__blk"))
+        )
+        .withColumn("__sub", vec_hash % nsub)
+        .drop("__blk", "__cell_n")
+    )
+    return out, [block, "__sub"]
 
 
 def semantic_dedup(

@@ -370,14 +370,38 @@ def split_temporal(
     NULL timestamps get a NULL split (unknown time cannot be proven
     leak-free); filter or coalesce upstream if they must train.
     Shape: one codegen'd projection, zero shuffle, zero actions.
+
+    Cutoff literals are validated DRIVER-SIDE and fail fast: under
+    non-ANSI Spark a garbage literal casts to NULL, both comparisons
+    go NULL, and every row silently lands in ``embargo`` — a split
+    that trains on nothing instead of raising (code review r7).  An
+    out-of-order ``test_start < train_end`` is rejected for the same
+    reason: rows in ``[test_start, train_end)`` would label ``train``
+    while being at/after the test boundary — the leakage this
+    operator exists to prevent.
     """
+    import datetime as _dt
+
+    def _parse(name: str, val: str) -> _dt.datetime:
+        try:
+            return _dt.datetime.fromisoformat(val)
+        except ValueError as exc:
+            raise ValueError(f"{name} is not a valid timestamp: {val!r}") from exc
+
+    lo_dt = _parse("train_end", train_end)
     ts = F.col(ts_col)
     lo = F.lit(train_end).cast("timestamp")
     if test_start is not None and embargo is not None:
         raise ValueError("give test_start OR embargo, not both")
     if test_start is not None:
+        if _parse("test_start", test_start) < lo_dt:
+            raise ValueError(
+                f"test_start {test_start!r} is before train_end {train_end!r}"
+            )
         hi = F.lit(test_start).cast("timestamp")
     elif embargo is not None:
+        if embargo.lstrip().startswith("-"):
+            raise ValueError(f"embargo must be a nonnegative interval: {embargo!r}")
         hi = lo + F.expr(f"INTERVAL {embargo}")
     else:
         hi = lo

@@ -185,15 +185,22 @@ def drift_from_counts(
     (``streaming/drift_stream.py`` maintains the observed counts
     additively and re-derives the report per epoch), split out so
     batch and stream provably share one implementation.
+
+    The join is NULL-SAFE on category: a NULL category (rows with an
+    unknown value) is one real bucket that must pair up across
+    cohorts — a plain equi-key full outer would leave the two NULL
+    rows unmatched, double-counting ``__k`` and reporting spurious
+    drift on identical cohorts (caught by code review r7; the
+    SQL twin uses ``IS NOT DISTINCT FROM``).
     """
-    joined = (
-        ca.select("category", F.col("n").alias("n_a"))
-        .join(cb.select("category", F.col("n").alias("n_b")), "category", "full_outer")
-        .select(
-            "category",
-            F.coalesce("n_a", F.lit(0)).alias("n_a"),
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-        )
+    left = ca.select("category", F.col("n").alias("n_a"))
+    right = cb.select(F.col("category").alias("__rc"), F.col("n").alias("n_b"))
+    joined = left.join(
+        right, left["category"].eqNullSafe(right["__rc"]), "full_outer"
+    ).select(
+        F.coalesce(left["category"], F.col("__rc")).alias("category"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
     )
     # Totals and category count as single-row broadcast joins; shares
     # are smoothed over the union of categories so both columns sum

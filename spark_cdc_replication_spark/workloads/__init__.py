@@ -71,7 +71,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "user_behavior_topk",
     # privacy family floor (sole oracle in family)
     "pii_scrub",
-    # last driver-green r5 (35 of 48)
+    # 31 last driver-green in r5 + the 4 never-green r7 debuts
+    # (events_drift_psi, similarity_hard_negatives, split_temporal,
+    # text_gopher_flags), interleaved alphabetically
     "cdc_snapshot_asof",
     "corpus_stats",
     "decontaminate_fuzzy",

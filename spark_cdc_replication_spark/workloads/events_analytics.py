@@ -604,7 +604,7 @@ cb AS (
 j AS (
   SELECT coalesce(ca.category, cb.category) AS category,
          coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
-  FROM ca FULL OUTER JOIN cb ON ca.category = cb.category
+  FROM ca FULL OUTER JOIN cb ON ca.category IS NOT DISTINCT FROM cb.category
 ),
 t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM j)
 SELECT category, n_a, n_b,

@@ -554,14 +554,26 @@ def _token_index_store(spark: SparkSession, sf_dir: str) -> tuple[str, tuple]:
 
     from ..operators.search import index_stats, token_index
 
+    import glob
+
     ident, version = _table_key(spark, sf_dir, "documents")
     hit = _TOKEN_INDEX.get(ident)
     if hit is not None and hit[0] != version:
         shutil.rmtree(hit[1], ignore_errors=True)  # corpus was rewritten
         hit = None
     if hit is None:
-        tag = hashlib.md5(repr((ident[1:], version)).encode()).hexdigest()[:16]
-        path = os.path.join(tempfile.gettempdir(), f"spark_graft_tokidx_{tag}")
+        # Two-part tag: identity then version, so a fresh PROCESS (whose
+        # in-memory _TOKEN_INDEX is empty) can still find and remove a
+        # prior version's directory for the same corpus — without the
+        # sweep, every fixture rewrite orphaned one full index dir in
+        # the tempdir forever (code review r7).
+        ident_tag = hashlib.md5(repr(ident[1:]).encode()).hexdigest()[:12]
+        ver_tag = hashlib.md5(repr(version).encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_tokidx_{ident_tag}")
+        path = f"{base}_{ver_tag}"
+        for stale in glob.glob(f"{base}_*"):
+            if stale != path:
+                shutil.rmtree(stale, ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         token_index(docs).write.partitionBy("bucket").mode("overwrite").parquet(path)
         stats = index_stats(spark.read.parquet(path))

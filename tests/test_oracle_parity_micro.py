@@ -74,9 +74,12 @@ def test_gopher_oracle_parity_on_planted_branches(spark):
 
 
 DRIFT_EVENTS = [
-    # cohort a (even user_id) only: "gamma"; cohort b only: "delta"
-    (0, "alpha"), (2, "alpha"), (4, "beta"), (6, "gamma"),
+    # cohort a (even user_id) only: "gamma"; cohort b only: "delta";
+    # NULL category in BOTH cohorts — must pair up as ONE bucket
+    # (null-safe join), not two spurious half-empty rows
+    (0, "alpha"), (2, "alpha"), (4, "beta"), (6, "gamma"), (8, None),
     (1, "alpha"), (3, "beta"), (5, "beta"), (7, "delta"), (9, "delta"),
+    (11, None),
 ]
 
 
@@ -103,4 +106,8 @@ def test_drift_oracle_parity_on_single_cohort_categories(spark):
     got_aligned = {tuple(t[i] for i in order) for t in got}
     assert got_aligned == want
     cats = {t[want_cols.index("category")] for t in want}
-    assert {"gamma", "delta"} <= cats  # the single-cohort branches ran
+    assert {"gamma", "delta", None} <= cats  # single-cohort + NULL branches ran
+    # NULL category is exactly ONE matched bucket with both counts
+    ci, ai, bi = (want_cols.index(c) for c in ("category", "n_a", "n_b"))
+    null_rows = [t for t in got_aligned if t[ci] is None]
+    assert len(null_rows) == 1 and (null_rows[0][ai], null_rows[0][bi]) == (1, 1)

@@ -412,3 +412,23 @@ def test_split_temporal_embargo_semantics(spark):
     assert tight[3] == "test" and tight[2] == "train"
     with pytest.raises(ValueError, match="not both"):
         split_temporal(df, "ts", "2024-01-22", test_start="x", embargo="1 day")
+
+
+def test_split_temporal_rejects_bad_cutoffs(spark):
+    """Garbage or out-of-order cutoffs must raise driver-side, never
+    silently embargo the whole dataset (code review r7)."""
+    import datetime as dt
+
+    import pytest
+
+    from spark_cdc_replication_spark.operators.sampling import split_temporal
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 10))], "id long, ts timestamp")
+    with pytest.raises(ValueError, match="not a valid timestamp"):
+        split_temporal(df, "ts", train_end="2024-13-01")
+    with pytest.raises(ValueError, match="not a valid timestamp"):
+        split_temporal(df, "ts", train_end="2024-01-22", test_start="soon")
+    with pytest.raises(ValueError, match="before train_end"):
+        split_temporal(df, "ts", train_end="2024-01-22", test_start="2024-01-21")
+    with pytest.raises(ValueError, match="nonnegative"):
+        split_temporal(df, "ts", train_end="2024-01-22", embargo="-1 day")
