@@ -90,3 +90,25 @@ def test_drift_stream_restart_extends_counts(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_drift_stream_duplicate_delivery_is_noop(spark, tmp_path):
+    """Wiping the checkpoint redelivers every batch id from 0; the
+    epoch guard (prev >= batch_id) must skip them all — counts and
+    report unchanged, no double-counting of redelivered rows."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    dirs = {k: str(tmp_path / k) for k in ("counts", "report", "ckpt")}
+    for b in (BATCH1, BATCH2):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, dirs)
+    first = _report_key(
+        read_drift_report(spark, dirs["counts"], dirs["report"]).collect()
+    )
+    shutil.rmtree(dirs["ckpt"])  # full at-least-once replay of batches 0..n
+    _run(spark, src, dirs)
+    again = _report_key(
+        read_drift_report(spark, dirs["counts"], dirs["report"]).collect()
+    )
+    assert again == first
