@@ -384,9 +384,17 @@ def split_temporal(
 
     def _parse(name: str, val: str) -> _dt.datetime:
         try:
-            return _dt.datetime.fromisoformat(val)
+            dt = _dt.datetime.fromisoformat(val)
         except ValueError as exc:
             raise ValueError(f"{name} is not a valid timestamp: {val!r}") from exc
+        # Normalize to a naive UTC instant so an aware literal can be
+        # ORDERED against a naive one: mixed naive/aware raised
+        # TypeError out of the < below instead of the contract's
+        # ValueError (ADVICE r7).  This only gates the driver-side
+        # sanity ordering; Spark parses the original literals.
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return dt
 
     lo_dt = _parse("train_end", train_end)
     ts = F.col(ts_col)

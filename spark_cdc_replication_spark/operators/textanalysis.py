@@ -301,9 +301,14 @@ def gopher_rules(
     n_req_stops = F.size(
         F.array_intersect(lw, F.array(*[F.lit(s) for s in required_stopwords]))
     )
+    # EVERY flag (and so gopher_pass) is strictly boolean: a NULL text
+    # previously left wc_ok/stop_ok (alone) NULL — a three-valued flag
+    # surface only for NULL docs (ADVICE r7).  A NULL document fails.
     flags = [
         n_words.alias("n_words"),
-        ((n_words >= min_words) & (n_words <= max_words)).alias("wc_ok"),
+        F.coalesce(
+            (n_words >= min_words) & (n_words <= max_words), F.lit(False)
+        ).alias("wc_ok"),
         F.coalesce(
             (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
             F.lit(False),
@@ -320,7 +325,9 @@ def gopher_rules(
         F.coalesce(alpha_frac >= min_alpha_word_frac, F.lit(False)).alias(
             "alpha_ok"
         ),
-        (n_req_stops >= min_required_stopwords).alias("stop_ok"),
+        F.coalesce(
+            n_req_stops >= min_required_stopwords, F.lit(False)
+        ).alias("stop_ok"),
     ]
     pass_all = flags[1]
     for fcol in flags[2:]:

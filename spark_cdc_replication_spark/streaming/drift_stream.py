@@ -20,7 +20,13 @@ A stream of rows maintains TWO artifacts per epoch:
 Epoch commit protocol — identical to ``rollup_stream``'s (counts
 first, report second, reader takes the largest epoch present in BOTH,
 replay overwrites both): exactly-once artifacts under
-``foreachBatch``'s at-least-once contract.
+``foreachBatch``'s at-least-once contract.  Each epoch additionally
+stores the batch's OWN category counts as a fingerprint
+(``counts_dir/batch=<id>``, invisible to the epoch reader): a replayed
+batch id whose content differs from what was committed — a wiped
+checkpoint re-packing source files under old ids — RAISES instead of
+silently dropping the new rows (ADVICE r7); a bit-identical replay
+remains a no-op.
 
 Scale: the only state is the category-count relation (bytes per
 distinct category); the report is the same size.  Nothing here scales
@@ -74,11 +80,46 @@ def drift_stream(
     def commit(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         prev = latest_epoch(counts_dir, report_dir)
-        if prev is not None and prev >= batch_id:
-            return  # duplicate delivery of an already-committed epoch
         batch_counts = batch.groupBy(F.col(col).alias("category")).agg(
             F.count(F.lit(1)).alias("n")
         )
+        fp_path = os.path.join(counts_dir, f"batch={batch_id}")
+        if prev is not None and prev >= batch_id:
+            # Duplicate delivery of an already-committed epoch id.  The
+            # id alone does NOT prove the content matches: after a
+            # checkpoint wipe the source may re-pack files into
+            # different batches under the same ids (ADVICE r7), and
+            # silently skipping would drop the new rows.  Compare
+            # against the per-epoch batch fingerprint (the batch's OWN
+            # category counts, bytes per category) and only then no-op.
+            try:
+                stored = {
+                    (r["category"], r["n"])
+                    for r in spark.read.parquet(fp_path).collect()
+                }
+            except Exception as exc:
+                raise RuntimeError(
+                    f"drift_stream: replayed batch {batch_id} has no stored "
+                    f"fingerprint under {counts_dir} — checkpoint was wiped "
+                    "with a different source packing; start a fresh "
+                    "counts/report/checkpoint trio instead"
+                ) from exc
+            current = {(r["category"], r["n"]) for r in batch_counts.collect()}
+            if current != stored:
+                raise RuntimeError(
+                    f"drift_stream: replayed batch {batch_id} carries "
+                    f"different data than the committed epoch (stored "
+                    f"{sorted(stored, key=repr)} != replayed "
+                    f"{sorted(current, key=repr)}); the epoch guard is only "
+                    "safe while the checkpoint is preserved — start a fresh "
+                    "counts/report/checkpoint trio"
+                )
+            return  # bit-identical replay: a true no-op
+        # Fingerprint FIRST: it's only consulted for ids <= the committed
+        # frontier, so an uncommitted epoch's fingerprint is harmless and
+        # a crash between fingerprint and counts just overwrites on replay.
+        batch_counts.write.mode("overwrite").parquet(fp_path)
+        batch_counts = spark.read.parquet(fp_path)
         if prev is None:
             counts = batch_counts
         else:

@@ -782,20 +782,20 @@ WITH feats AS (
   FROM documents
 )
 SELECT doc_id, n_words,
-  (n_words >= {{min_words}} AND n_words <= {{max_words}}) AS wc_ok,
+  coalesce(n_words >= {{min_words}} AND n_words <= {{max_words}}, FALSE) AS wc_ok,
   coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE) AS mwl_ok,
   coalesce(sym_ratio <= 0.1, FALSE) AS symbol_ok,
   coalesce(bullet_frac <= 0.9, FALSE) AS bullet_ok,
   coalesce(ellipsis_frac <= 0.3, FALSE) AS ellipsis_ok,
   coalesce(alpha_frac >= 0.8, FALSE) AS alpha_ok,
-  (n_req_stops >= 2) AS stop_ok,
-  ((n_words >= {{min_words}} AND n_words <= {{max_words}})
+  coalesce(n_req_stops >= 2, FALSE) AS stop_ok,
+  (coalesce(n_words >= {{min_words}} AND n_words <= {{max_words}}, FALSE)
    AND coalesce(mwl >= 3.0 AND mwl <= 10.0, FALSE)
    AND coalesce(sym_ratio <= 0.1, FALSE)
    AND coalesce(bullet_frac <= 0.9, FALSE)
    AND coalesce(ellipsis_frac <= 0.3, FALSE)
    AND coalesce(alpha_frac >= 0.8, FALSE)
-   AND (n_req_stops >= 2)) AS gopher_pass
+   AND coalesce(n_req_stops >= 2, FALSE)) AS gopher_pass
 FROM feats
 """
 

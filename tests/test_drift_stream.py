@@ -112,3 +112,42 @@ def test_drift_stream_duplicate_delivery_is_noop(spark, tmp_path):
         read_drift_report(spark, dirs["counts"], dirs["report"]).collect()
     )
     assert again == first
+
+
+def test_drift_stream_replay_with_different_packing_raises(spark, tmp_path):
+    """A wiped checkpoint that re-packs the source into different
+    batches under already-committed ids must RAISE (batch fingerprint
+    mismatch), not silently skip the new rows (ADVICE r7): here the
+    first run commits epochs 0..1 one file each; the replay groups
+    BOTH files plus a new one into batch 0, whose content no longer
+    matches epoch 0's fingerprint."""
+    import shutil
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    dirs = {k: str(tmp_path / k) for k in ("counts", "report", "ckpt")}
+    for b in (BATCH1, BATCH2):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, dirs)
+    shutil.rmtree(dirs["ckpt"])
+    spark.createDataFrame(
+        [(200, "w")], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    # no maxFilesPerTrigger: availableNow packs all 3 files into batch 0
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    ref_counts = (
+        spark.createDataFrame(REFERENCE, SCHEMA)
+        .groupBy(F.col("c").alias("category"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = drift_stream(
+        stream, ref_counts, "c", dirs["counts"], dirs["report"], dirs["ckpt"]
+    )
+    try:
+        q.awaitTermination(120)
+        raised = q.exception() is not None
+    except (StreamingQueryException, Py4JJavaError):
+        raised = True
+    assert raised, "replay with different batch packing must fail, not no-op"
