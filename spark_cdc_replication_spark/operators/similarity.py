@@ -159,6 +159,9 @@ def hard_negatives_ivf(
         id_col=id_col,
         query_id_col=query_id_col,
         assigned=assigned,
+        # full precision: the re-rank below must order exactly as the
+        # exact miner would (6-dp rounding could flip a near-tie)
+        round_cosine=False,
     )
     nl = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__cl")
@@ -175,7 +178,7 @@ def hard_negatives_ivf(
     return (
         kept.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 
@@ -442,6 +445,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     assigned: DataFrame | None = None,
+    round_cosine: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors live in the single
     nearest-centroid bucket; each query probes its ``nprobe`` nearest
@@ -458,6 +462,13 @@ def ivf_topk(
     Pass ``assigned`` (from :func:`ivf_assign`, typically persisted) to
     reuse the corpus cell assignment across query batches — the real
     index-use pattern; otherwise the assignment rides the query.
+
+    ``round_cosine=False`` keeps full-precision scores in the output —
+    for callers that RE-RANK the candidates (:func:`hard_negatives_ivf`):
+    re-ranking on 6-dp-rounded scores could order a near-tie by the
+    id tie-break where the true ordering differs, breaking the exact
+    degenerate-config bound.  Ranking inside this function always uses
+    the unrounded score either way.
     """
     # Corpus -> one cell each.  This is the index-build hot path (every
     # corpus vector scores against every centroid): one Arrow-batched
@@ -494,10 +505,13 @@ def ivf_topk(
         cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    out_cosine = (
+        F.round("cosine", 6).alias("cosine") if round_cosine else F.col("cosine")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+        .select("query_id", "neighbor_id", out_cosine, "rank")
     )
 
 

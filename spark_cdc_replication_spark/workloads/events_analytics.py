@@ -618,6 +618,102 @@ FROM j CROSS JOIN t
 
 
 
+#: Committed drift-monitor artifacts per events-table identity — the
+#: ``_TOKEN_INDEX`` persisted-serve lifecycle (workloads/llmdata.py):
+#: the availableNow streaming run happens ONCE per corpus version
+#: outside any consumer, and the gate query only READS the committed
+#: report, proving the counts-first/report-second epoch protocol
+#: end-to-end under the driver's hash (VERDICT r7 next #7).
+_DRIFT_STORE: dict[tuple, tuple] = {}
+
+
+def _drift_report_store(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from glob import glob
+
+    from ..streaming.drift_stream import drift_stream
+    from .llmdata import _table_key
+
+    ident, version = _table_key(spark, sf_dir, "events")
+    hit = _DRIFT_STORE.get(ident)
+    if hit is not None and hit[0] != version:
+        shutil.rmtree(hit[1], ignore_errors=True)  # events were rewritten
+        hit = None
+    if hit is None:
+        # Two-part identity_version dir tag + stale-sibling sweep, the
+        # token-index pattern: a fresh process can still evict a prior
+        # version's directory for the same corpus.
+        ident_tag = hashlib.md5(repr(ident[1:]).encode()).hexdigest()[:12]
+        ver_tag = hashlib.md5(repr(version).encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_drift_{ident_tag}")
+        root = f"{base}_{ver_tag}"
+        for stale in glob(f"{base}_*"):
+            if stale != root:
+                shutil.rmtree(stale, ignore_errors=True)
+        # Rebuild from a clean slate: a half-built root (e.g. a failed
+        # prior run's checkpoint pointing at a dead source) must not
+        # leak into this run — the fingerprint guard would rightly
+        # refuse a mismatched replay.
+        shutil.rmtree(root, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")  # sets the nanos conf
+        ref_counts = (
+            ev.filter(F.col("user_id") % 2 == 0)
+            .groupBy(F.col("event_type").alias("category"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # The file-stream source takes a DIRECTORY (landing zone); the
+        # fixture is a single parquet file, so stage it (unmodified)
+        # under the artifact root — exactly how files arrive at a
+        # production monitor's watch dir.
+        src = os.path.join(sf_dir, "events.parquet")
+        if os.path.isfile(src):
+            land = os.path.join(root, "src")
+            os.makedirs(land, exist_ok=True)
+            shutil.copy(src, os.path.join(land, "events.parquet"))
+            src = land
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .select("user_id", "event_type")
+            .filter(F.col("user_id") % 2 == 1)
+        )
+        q = drift_stream(
+            stream,
+            ref_counts,
+            "event_type",
+            os.path.join(root, "counts"),
+            os.path.join(root, "report"),
+            os.path.join(root, "ckpt"),
+        )
+        q.awaitTermination(300)
+        hit = (version, root)
+        _DRIFT_STORE[ident] = hit
+    return hit[1]
+
+
+def q_events_drift_psi_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_drift_psi`` SERVED from the streaming monitor's
+    committed artifact instead of recomputed: an ``availableNow``
+    ``drift_stream`` run ingests the odd-user cohort against the
+    even-user reference counts, and this query reads the latest
+    committed epoch's report (``read_drift_report``) — the
+    ``text_bm25_topk`` persisted-serve pattern applied to the drift
+    monitor, driver-hash-checked against the same PSI oracle as the
+    batch query.  Proves counts-first/report-second epoch commit +
+    additive count IVM end-to-end, not just batch≡stream in pytest."""
+    import os
+
+    from ..streaming.drift_stream import read_drift_report
+
+    root = _drift_report_store(spark, sf_dir)
+    return read_drift_report(
+        spark, os.path.join(root, "counts"), os.path.join(root, "report")
+    )
+
+
 def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe temporal split of the event stream: train strictly
     before Jan 22, a 1-day purge gap (de Prado embargo), test from
@@ -645,6 +741,7 @@ QUERIES = {
     "events_hopping_6h_2h": q_hopping,
     "events_anomaly_days": q_events_anomaly_days,
     "events_drift_psi": q_events_drift_psi,
+    "events_drift_psi_served": q_events_drift_psi_served,
     "split_temporal": q_split_temporal,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_forward_tolerance": q_asof_forward_tolerance,
@@ -663,6 +760,7 @@ ORACLE = {
     "events_hopping_6h_2h": ORACLE_HOPPING,
     "events_anomaly_days": ORACLE_EVENTS_ANOMALY_DAYS,
     "events_drift_psi": ORACLE_EVENTS_DRIFT_PSI,
+    "events_drift_psi_served": ORACLE_EVENTS_DRIFT_PSI,
     "split_temporal": ORACLE_SPLIT_TEMPORAL,
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
     "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,

@@ -468,6 +468,36 @@ def q_similarity_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_similarity_hard_negatives_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the IVF hard-negative plumbing (the
+    ``similarity_ivf_all`` pattern, VERDICT r7 next #6): probing every
+    cell (``nprobe = num_centroids``) AND overfetching the whole corpus
+    (``k * overfetch >= |corpus|``) makes the candidate stage lossless,
+    so the probe + label join + NULL-hostile label filter + re-rank
+    must reproduce the EXACT miner — driver-checked against the
+    ``similarity_hard_negatives`` oracle.  What stays approximate in
+    the real config (cell selectivity, post-filter under-fill) is
+    covered by the rows-only entry + its pytest recall floor."""
+    from ..operators.similarity import hard_negatives_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = _ivf_index(spark, sf_dir, emb)
+    n = emb.count()  # scalar: sizes the lossless overfetch
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    out = hard_negatives_ivf(
+        emb,
+        anchors,
+        cents,
+        k=10,
+        nprobe=len(cents),
+        overfetch=-(-n // 10),
+        assigned=assigned,
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-10 (rows-only: approximate by
     design; recall vs brute force asserted in tests/)."""
@@ -2537,6 +2567,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "similarity_hard_negatives": q_similarity_hard_negatives,
     "similarity_hard_negatives_ivf": q_similarity_hard_negatives_ivf,
+    "similarity_hard_negatives_ivf_all": q_similarity_hard_negatives_ivf_all,
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_lsh_all": q_similarity_lsh_all,
     "similarity_ivf_topk": q_similarity_ivf_topk,
@@ -2600,6 +2631,7 @@ ORACLE = {
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
     "similarity_hard_negatives": ORACLE_SIMILARITY_HARD_NEGATIVES,
+    "similarity_hard_negatives_ivf_all": ORACLE_SIMILARITY_HARD_NEGATIVES,
     "similarity_lsh_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_int8_all": ORACLE_SIMILARITY_IVF_INT8_ALL,

@@ -395,3 +395,27 @@ def test_hard_negatives_ivf_recall_vs_exact(spark, sf_dir):
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_hard_negatives_ivf_degenerate_config_is_exact(spark, sf_dir):
+    """The hash-green bound behind ``similarity_hard_negatives_ivf_all``
+    (VERDICT r7 next #6): probing every cell AND overfetching past the
+    corpus size makes the candidate stage lossless, so the IVF miner
+    must equal the exact miner row-for-row INCLUDING ranks — any loss
+    in the probe, label join, NULL-label filter, or (unrounded)
+    re-rank shows up here; only cell selectivity is left to the
+    recall test above."""
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        q_similarity_hard_negatives,
+        q_similarity_hard_negatives_ivf_all,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in q_similarity_hard_negatives(spark, sf_dir).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in q_similarity_hard_negatives_ivf_all(spark, sf_dir).collect()
+    }
+    assert got == exact

@@ -151,3 +151,19 @@ def test_drift_stream_replay_with_different_packing_raises(spark, tmp_path):
     except (StreamingQueryException, Py4JJavaError):
         raised = True
     assert raised, "replay with different batch packing must fail, not no-op"
+
+
+def test_drift_served_query_matches_batch_recompute(spark, sf_dir):
+    """workloads/events_analytics.py::q_events_drift_psi_served — the
+    gate query that READS the streaming monitor's committed artifact —
+    must equal the batch drift_report recompute row-for-row: the
+    availableNow ingest of the odd cohort + additive count IVM + epoch
+    commit land exactly the batch answer (VERDICT r7 next #7)."""
+    from spark_cdc_replication_spark.workloads.events_analytics import (
+        q_events_drift_psi,
+        q_events_drift_psi_served,
+    )
+
+    batch = _report_key(q_events_drift_psi(spark, sf_dir).collect())
+    served = _report_key(q_events_drift_psi_served(spark, sf_dir).collect())
+    assert served == batch
