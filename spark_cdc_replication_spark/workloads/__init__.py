@@ -18,97 +18,98 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-7 window (every name must carry a full rows+schema+hash
+#: Round-8 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 14 queries whose last driver-green row is r4 — at the
-#:   staleness bound (VERDICT r6 "next" #1, the tripwire test's red);
-#: * `pii_scrub` (green r6 but the ONLY privacy-family oracle, and
+#: * the 17 queries whose last driver-green row is r5 — at the
+#:   staleness bound (VERDICT r7 "next" #1, the tripwire test's red);
+#: * `pii_scrub` (green r7 but the ONLY privacy-family oracle, and
 #:   the family floor is enforced in-window, so it never rotates out);
-#: * `text_gopher_flags`, `similarity_hard_negatives`,
-#:   `events_drift_psi`, and `split_temporal` — the r7 debuts
-#:   (never-green oracles must be in-window: a new oracle earns its
-#:   first driver row next round);
-#: * 31 of the 48 queries last green in r5.  The 17 r5-greens left
-#:   out (customer_retention_setops, events_hopping_6h_2h,
-#:   profile_orders, q11_important_part_value, q12_ship_priority_dist,
-#:   q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
-#:   q16_brand_supplier_count, q17_small_quantity_revenue,
-#:   q19_bracket_revenue, q20_dominant_suppliers,
-#:   q22_sales_opportunity, q7_volume_shipping, sample_k_per_source,
-#:   similarity_lsh_all, yoy_customer_diff) stay within the bound
-#:   (7-5=2) and head the r8 must-rotate list; the tpch family keeps
-#:   q2/q4/q6/q8/q9 in-window, the similarity family keeps
-#:   ivf_all/int8_all/knn_label + the debut, the events family keeps
-#:   anomaly_days + the debut, the sampling family keeps
-#:   quality_bands/stratified/token_budget/mixture-adjacent entries +
-#:   the split debut, and the other 17 touch no family whose floor
-#:   they alone hold.
+#: * `similarity_hard_negatives_ivf_all` and `events_drift_psi_served`
+#:   — the r8 debuts (never-green oracles must be in-window: a new
+#:   oracle earns its first driver row next round);
+#: * `text_gopher_flags` (green r7, would stay in bound) because its
+#:   SEMANTICS change this round — wc_ok/stop_ok become strictly
+#:   boolean for NULL docs (ADVICE r7) — so it re-earns a driver row
+#:   on the new flag surface, the dedup_semantic/text_bm25_topk r7
+#:   precedent;
+#: * 29 of the 49 queries last green in r6, chosen to hold every
+#:   family floor the groups above don't already cover (olap:
+#:   cube/pivot_revenue; asof: asof_purchase_view; multimodal:
+#:   features/resize; contamination: text_contamination +
+#:   decontaminate_corpus; hygiene: clean_corpus; cdc/dedup/text:
+#:   plenty).  The 20 r6-greens left out (embedding_quantize,
+#:   q18_large_orders, q1_pricing_summary, q21_waiting_supplier,
+#:   q3_shipping_priority, q5_local_supplier_volume, rollup_revenue,
+#:   sample_mixture, sample_quality_weighted, similarity_hybrid_rrf,
+#:   similarity_topk, split_assign, text_fingerprints,
+#:   text_lang_stats, text_repetition, text_stats,
+#:   text_unigram_logprob, tfidf_top_terms, top_orders_per_customer,
+#:   top_words) stay within the bound (8-6=2) and head the r9
+#:   must-rotate list.
 #:
-#: The steady 3-round cycle over the ~112-oracle registry: each
-#: round's window = last round's leftovers + the round-before-last's
-#: greens + any never-green debuts.  dedup_semantic and text_bm25_topk
-#: are among the 35 by rotation AND because their execution paths
-#: change this round (cell sub-splitting / persisted-index serving) —
-#: they re-earn driver rows on the new code.
+#: The steady 3-round cycle over the ~118-oracle registry: each
+#: round's window = the r-3 leftovers (mandatory) + as many r-2
+#: greens as fit + any never-green debuts + semantics-changed
+#: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r4 (14)
-    "approx_distinct_bound",
-    "approx_percentile_bound",
-    "asof_forward_tolerance",
-    "cdc_coalesce_updates",
-    "cdc_name_sanitize",
-    "cdc_route_ops",
-    "cdc_union_dedup",
-    "cohort_retention",
-    "customer_deciles",
-    "daily_revenue_trend",
-    "funnel_conversion",
-    "q2_best_supplier_per_part",
-    "q6_revenue_forecast",
-    "user_behavior_topk",
+    # at the staleness bound — last driver-green r5 (17)
+    "customer_retention_setops",
+    "events_hopping_6h_2h",
+    "profile_orders",
+    "q11_important_part_value",
+    "q12_ship_priority_dist",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_dominant_suppliers",
+    "q22_sales_opportunity",
+    "q7_volume_shipping",
+    "sample_k_per_source",
+    "similarity_lsh_all",
+    "yoy_customer_diff",
     # privacy family floor (sole oracle in family)
     "pii_scrub",
-    # 31 last driver-green in r5 + the 4 never-green r7 debuts
-    # (events_drift_psi, similarity_hard_negatives, split_temporal,
-    # text_gopher_flags), interleaved alphabetically
-    "cdc_snapshot_asof",
-    "corpus_stats",
-    "decontaminate_fuzzy",
-    "dedup_corpus",
-    "dedup_minhash_verified",
-    "dedup_semantic",
-    "dedup_simhash_verified",
-    "embedding_project",
-    "events_anomaly_days",
-    "events_drift_psi",
-    "multimodal_frames",
-    "pack_sequences",
-    "prepare_corpus",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_signup_views",
-    "rollup_incremental",
-    "sample_quality_bands",
-    "sample_stratified",
-    "sample_token_budget",
-    "similarity_hard_negatives",
-    "similarity_ivf_all",
-    "split_temporal",
-    "similarity_ivf_int8_all",
-    "similarity_knn_label",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "text_filter_corpus",
+    # the 2 never-green r8 debuts
+    "events_drift_psi_served",
+    "similarity_hard_negatives_ivf_all",
+    # semantics changed this round (ADVICE r7 strict-boolean flags)
     "text_gopher_flags",
-    "text_language_id",
-    "text_line_dedup",
-    "text_quality_score",
-    "top_words_salted",
-    "validate_orders",
+    # 29 last driver-green in r6, alphabetical
+    "asof_purchase_view",
+    "cdc_antijoin_survivors",
+    "cdc_increment_append",
+    "cdc_json_flatten",
+    "cdc_last_writer_wins",
+    "cdc_merge_incremental",
+    "cdc_raw_partition_stats",
+    "cdc_snapshot_merge",
+    "chunk_documents",
+    "clean_corpus",
+    "corpus_shuffle",
+    "cube_revenue",
+    "decontaminate_corpus",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_shared_shingles",
+    "embedding_label_centroids",
+    "events_session_window",
+    "events_sessionize",
+    "events_tumbling_6h",
+    "fuzzy_join_parts",
+    "multimodal_features",
+    "multimodal_resize",
+    "pivot_status_revenue",
+    "q10_returned_revenue",
+    "text_contamination",
 )
 
 
