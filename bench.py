@@ -208,6 +208,7 @@ def main() -> None:
             f"{shift}{host}",
             file=sys.stderr,
         )
+        creeps = []
         for name, t in timings.items():
             p = prev.get(name)
             if not p:
@@ -217,6 +218,27 @@ def main() -> None:
                 print(
                     f"  REGRESSED {name}: {t}s vs {p}s raw ({t / p:.1f}x), "
                     f"{p_cal:.3f}s calibrated ({t / p_cal:.1f}x)",
+                    file=sys.stderr,
+                )
+            elif t >= 1.3 * p_cal and t - p_cal >= 0.15:
+                creeps.append((name, t, p, p_cal))
+        # Sub-threshold creep table (VERDICT r7 "next" #3): the
+        # REGRESSED rule's >=1.0s absolute guard made sub-second creep
+        # invisible forever on a bench whose median query is ~0.7s —
+        # r7's cdc_increment_append 1.37x / cdc_snapshot_asof 1.33x
+        # drifts printed nothing.  Anything >=1.3x calibrated with
+        # >=0.15s delta is worth a line even when it can't be a flag.
+        if creeps:
+            print(
+                f"  sub-threshold creep (>=1.3x calibrated, >=0.15s, "
+                f"<1.0s delta): {len(creeps)} queries",
+                file=sys.stderr,
+            )
+            for name, t, p, p_cal in creeps:
+                print(
+                    f"    CREEP {name}: {t}s vs {p}s raw ({t / p:.1f}x), "
+                    f"{p_cal:.3f}s calibrated ({t / p_cal:.2f}x, "
+                    f"+{t - p_cal:.2f}s)",
                     file=sys.stderr,
                 )
 
