@@ -154,20 +154,44 @@ def main() -> None:
 
     # Per-query regression report vs the previous round's recording
     # (stderr only — stdout stays the single driver-contract JSON line).
+    # Baseline selection is SF-AWARE: recording the first sf1 point
+    # (BENCH_r08_sf1.json) made the naive latest-by-name rule compare
+    # sf1 wall times against an sf0.1 recording — 19 spurious REGRESSED
+    # flags — and would have fed the sf1 file to the next sf0.1 run as
+    # its baseline.  Only a recording at the SAME sf is comparable.
     here = os.path.dirname(os.path.abspath(__file__))
-    latest = sorted(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    def _recorded_sf(path: str):
+        try:
+            with open(os.path.join(here, path)) as fh:
+                d = json.load(fh)
+            return (d.get("parsed") or d).get("sf")
+        except (OSError, ValueError, AttributeError):
+            return None
+
+    candidates = sorted(
         f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json")
     )
+    same_sf = [f for f in candidates if _recorded_sf(f) == sf_val]
     baseline_path = os.environ.get(
-        "SPARK_GRAFT_BASELINE", latest[-1] if latest else "BENCH_r01.json"
+        "SPARK_GRAFT_BASELINE", same_sf[-1] if same_sf else None
     )
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), baseline_path)) as fh:
-            doc = json.load(fh)
-        # driver recording wraps our JSON line under "parsed"
-        prev = (doc.get("parsed") or doc).get("queries", {})
-    except (OSError, ValueError, AttributeError):
-        prev = {}
+    prev = {}
+    if baseline_path is None:
+        print(
+            f"no prior recording at sf={sf_val} "
+            f"({len(candidates)} BENCH files, other sf) — flags skipped",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            with open(os.path.join(here, baseline_path)) as fh:
+                doc = json.load(fh)
+            # driver recording wraps our JSON line under "parsed"
+            prev = (doc.get("parsed") or doc).get("queries", {})
+        except (OSError, ValueError, AttributeError):
+            prev = {}
     if prev:
         # Like-for-like: totals over the INTERSECTION of query sets only
         # (summing this round's full total against a smaller previous
