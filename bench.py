@@ -38,6 +38,7 @@ HEADLINE = [
     "text_bm25_topk",
     "similarity_hybrid_rrf",
     "dedup_exact",
+    "dedup_containment",
     "dedup_minhash_lsh",
     "dedup_semantic",
     "dedup_semantic_ivf",
@@ -55,6 +56,7 @@ HEADLINE = [
     "events_drift_psi",
     "similarity_hard_negatives",
     "similarity_hard_negatives_ivf",
+    "pii_prevalence",
     "sample_mixture",
     "sample_token_budget",
     "embedding_quantize",

@@ -63,6 +63,33 @@ def exact_dedup(
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
+#: Upper bound on words per document for the sliding-window slices in
+#: the shingle builders (slice needs a positive literal length; a full
+#: int32 max overflows the struct-field codegen — measured all-NULL
+#: fields).  2^20 words ≈ a 5 MB document; raise if a corpus has more.
+_MAX_WORDS = 1 << 20
+
+
+def _shingle_windows(n: int):
+    """The sliding word-``n``-window as a filtered ``arrays_zip`` of
+    ``n`` shifted slices of ``__w`` — structs ``(0..n-1)`` of the words
+    of each complete window.
+
+    This formulation references ``__w`` exactly ``n`` times per ROW.
+    The former ``transform(sequence(1, k), i -> element_at(__w, i+j))``
+    referenced it per GRAM: the "__w in its own projection" defense in
+    this file's r3 notes does NOT hold once a downstream ``explode``
+    exists — Catalyst inlines the tokenize into every ``element_at``
+    AND duplicates the whole array expression into the generate's
+    implicit ``size > 0`` filter, re-running normalize+split O(len)
+    times per document.  Measured on the sf0.1 corpus: 18.2 s for one
+    shingle pass vs 0.5 s fully materialized; this window build runs
+    3.3 s and is provably element-identical (pinned in
+    tests/test_dedup_similarity.py)."""
+    zipped = F.arrays_zip(*[F.slice("__w", i + 1, _MAX_WORDS) for i in range(n)])
+    return F.filter(zipped, lambda s: s[str(n - 1)].isNotNull())
+
+
 def _shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int, out_col: str = "__sh"
 ) -> DataFrame:
@@ -72,21 +99,12 @@ def _shingle_sets(
     no-string-concat rule).  Jaccard over these hash sets equals
     Jaccard over the string sets except under an xxhash64 collision
     inside one document pair (~|shingles|^2 / 2^64 — negligible).
-
-    The tokenized array is materialized in its OWN projection before
-    the per-shingle lambda references it: inlined, Catalyst re-runs
-    the whole normalize+split per ``element_at`` — O(len^2) per doc
-    (measured 2.3x slower end to end; the same inlining hazard fixed
-    in ``embeddings.quantize_int8``)."""
+    Window build: :func:`_shingle_windows` (the O(len²)-inlining-safe
+    formulation)."""
     toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
-    k = F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0))
-    harr = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.xxhash64(*[F.element_at("__w", i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    harr = F.transform(
+        _shingle_windows(n), lambda s: F.xxhash64(*[s[str(i)] for i in range(n)])
+    )
     return toks.select(F.col(id_col), F.array_distinct(harr).alias(out_col))
 
 
@@ -94,21 +112,16 @@ def _shingle_string_sets(
     df: DataFrame, text_col: str, id_col: str, n: int, out_col: str = "__sh"
 ) -> DataFrame:
     """``(id, out_col: array<string>)`` — distinct word-n-gram shingle
-    STRINGS, with the same materialize-the-words-array projection
-    discipline as :func:`_shingle_sets` (the inline formulation re-runs
-    normalize+split per element — measured 1.7x on contamination_check).
+    STRINGS, built on the same :func:`_shingle_windows` formulation as
+    :func:`_shingle_sets` (constant tokenize references per row).
     Prefer :func:`_shingle_sets` for pair verification (set intersection
     cost); string sets exist for explode-join consumers whose measured
     profile favors them (see ``contamination_check``)."""
     toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
-    k = F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0))
-    arr = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice("__w", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    arr = F.transform(
+        _shingle_windows(n),
+        lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+    )
     return toks.select(F.col(id_col), F.array_distinct(arr).alias(out_col))
 
 
@@ -542,6 +555,73 @@ def ngram_jaccard_pairs(
     )
     jac = shingle_jaccard("sh_a", "sh_b").alias("jaccard")
     return joined.select("id_a", "id_b", jac).filter(F.col("jaccard") >= min_jaccard)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: directional word-``n``-gram
+    containment ``C(a -> b) = |grams(a) ∩ grams(b)| / |grams(a)|`` —
+    the quote/doc-in-doc modality Jaccard misses (a 100-word excerpt
+    inside a 10k-word article has Jaccard ~0.01 but containment ~1.0;
+    Broder's original resemblance/containment pair).  Standard corpus
+    curation step for stripping quoted-inside duplicates and
+    boilerplate-wrapped copies.
+
+    Output: ``(id_a, id_b, containment)`` for ordered pairs with
+    ``containment >= min_containment`` and ``id_a != id_b`` —
+    ``id_a`` is the (potentially) contained document.
+
+    ``max_doc_freq`` is the scale knob: grams appearing in more than
+    that many documents are dropped from BOTH numerator and
+    denominator before pairing (containment over the informative-gram
+    space).  The hot-gram set is tiny by construction (at most
+    ``total occurrences / cap`` grams can exceed the cap), so it
+    broadcasts as an anti-join and bounds the inverted-index self-join
+    at ``cap²`` pairs per gram — without it a stop-gram shared by k
+    documents emits k² join rows.  A document whose grams are ALL hot
+    leaves the report (empty denominator).
+
+    Shape: ONE tokenize pass (xxhash64 word-shingles — no string
+    concat, the 6x lesson of :func:`_hashed_shingles`; the oracle's
+    string grams are equal modulo a ~|grams|²/2⁶⁴ collision, the
+    ``dedup_ngram_jaccard`` precedent), exploded and aggregated into
+    a POSTINGS LIST ``(gram, [doc ids])`` — one shuffle of (long,
+    long) rows.  Both the denominator (per-doc kept-gram counts) and
+    the numerator (per-gram ordered id pairs, ≤ cap² each) then
+    derive from that one aggregate, so Spark's ReusedExchange serves
+    the postings shuffle to both branches instead of re-tokenizing
+    the corpus per consumer.  Only ids cross the network after the
+    first shuffle.
+    """
+    sh = _shingle_sets(df, text_col, id_col, n)
+    grams = sh.select(F.col(id_col), F.explode("__sh").alias("__g"))
+    postings = grams.groupBy("__g").agg(F.collect_set(id_col).alias("__ids"))
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("__ids") <= max_doc_freq)
+    sizes = (
+        postings.select(F.explode("__ids").alias("id_a"))
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("__n_a"))
+    )
+    inter = (
+        postings.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    cont = F.col("__shared") / F.col("__n_a")
+    return (
+        inter.join(sizes, "id_a")
+        .filter(cont >= min_containment)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -54,6 +54,52 @@ def pii_stats(
     return df.select(F.col(id_col), *counts, F.md5(redacted).alias("redacted_fp"))
 
 
+def pii_prevalence(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level PII audit report: one row per ``PII_PATTERNS``
+    entry with how many documents contain >= 1 hit and the total hit
+    count — the compliance summary a redaction pass publishes (is PII
+    0.1% of documents or 40%?), complementing :func:`pii_stats`'s
+    per-document detail.
+
+    Output: ``(pii_type, docs_with_hits, total_hits)``, one row per
+    pattern, deterministic order-independent content.
+
+    Shape: the same single codegen'd scan as :func:`pii_stats` (every
+    regex count is row-local), then one map-side-partial aggregate —
+    exactly ``2 x |patterns|`` longs cross the network per input
+    partition, and the pattern-per-row unpivot happens on the final
+    1-row relation.  Nothing scales with corpus size but the scan.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"__n_{name}"
+        )
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    per_doc = df.select(*counts)
+    aggs = []
+    for name in PII_PATTERNS:
+        c = F.col(f"__n_{name}")
+        aggs.append(
+            F.sum(F.when(c > 0, 1).otherwise(0)).cast("long").alias(f"__docs_{name}")
+        )
+        aggs.append(F.sum(c).cast("long").alias(f"__hits_{name}"))
+    totals = per_doc.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pii_type"),
+                F.coalesce(F.col(f"__docs_{name}"), F.lit(0)).alias("docs_with_hits"),
+                F.coalesce(F.col(f"__hits_{name}"), F.lit(0)).alias("total_hits"),
+            )
+            for name in PII_PATTERNS
+        ]
+    )
+    return totals.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
 def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace every ``PII_PATTERNS`` match in ``text_col`` in place —
     the write-path twin of :func:`pii_stats` for producing the cleaned

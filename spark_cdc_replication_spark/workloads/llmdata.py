@@ -1175,6 +1175,126 @@ FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment dedup (the quote/doc-in-doc
+    modality — Broder containment, which Jaccard misses): the corpus
+    plus a planted 200-char excerpt of every 10th document must
+    report each excerpt as contained in its source.  Hot grams
+    (doc-frequency > 20) are excluded on both sides via the broadcast
+    anti-join scale knob; threshold 0.6 keeps excerpts whose trailing
+    cut word breaks a few boundary grams."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = (
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.substring("text", 1, 200).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(quotes)
+    return containment_pairs(
+        corpus, n=3, min_containment=0.6, max_doc_freq=20
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, substring(text, 1, 200) AS text
+  FROM documents WHERE doc_id % 10 = 3
+),
+sh AS (
+  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS w FROM corpus)
+),
+grams AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 20),
+kept AS (SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(shared::DOUBLE / s.n, 6) AS containment
+FROM inter JOIN sizes s ON s.doc_id = inter.id_a
+WHERE shared::DOUBLE / s.n >= 0.6
+"""
+
+
+def q_pii_prevalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII audit (the compliance summary over the same
+    deterministically planted corpus as ``pii_scrub``): per pattern
+    type, how many documents carry >= 1 hit and the total hits —
+    counts-only aggregate, so the whole report is engine-exact."""
+    from ..operators.privacy import pii_prevalence
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    (F.col("doc_id") % 100).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_prevalence(planted)
+
+
+ORACLE_PII_PREVALENCE = """
+WITH planted AS (
+  SELECT doc_id, concat(text,
+    CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN concat(' host 192.168.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
+    CASE WHEN doc_id % 13 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END
+  ) AS text
+  FROM documents
+),
+per_doc AS (
+  SELECT
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
+    len(regexp_extract_all(text, '\\+\\d{1,3}-\\d{3}-\\d{4}')) AS n_phone
+  FROM planted
+)
+SELECT 'email' AS pii_type,
+       CAST(count(CASE WHEN n_email > 0 THEN 1 END) AS BIGINT) AS docs_with_hits,
+       CAST(sum(n_email) AS BIGINT) AS total_hits FROM per_doc
+UNION ALL
+SELECT 'ipv4', CAST(count(CASE WHEN n_ipv4 > 0 THEN 1 END) AS BIGINT),
+       CAST(sum(n_ipv4) AS BIGINT) FROM per_doc
+UNION ALL
+SELECT 'phone', CAST(count(CASE WHEN n_phone > 0 THEN 1 END) AS BIGINT),
+       CAST(sum(n_phone) AS BIGINT) FROM per_doc
+"""
+
+
 def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus thinning: each document kept with
     probability equal to its quality score — the composition of the
@@ -2561,6 +2681,7 @@ QUERIES = {
     "dedup_simhash_verified": q_dedup_simhash_verified,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_shared_shingles": q_dedup_shared_shingles,
+    "dedup_containment": q_dedup_containment,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_semantic": q_dedup_semantic,
     "dedup_semantic_ivf": q_dedup_semantic_ivf,
@@ -2599,6 +2720,7 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "text_contamination": q_text_contamination,
     "pii_scrub": q_pii_scrub,
+    "pii_prevalence": q_pii_prevalence,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
     "sample_token_budget": q_sample_token_budget,
@@ -2627,6 +2749,7 @@ ORACLE = {
     "dedup_simhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_shared_shingles": ORACLE_DEDUP_SHARED_SHINGLES,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_embedding_cosine": ORACLE_DEDUP_EMBEDDING_COSINE,
     "dedup_semantic": ORACLE_DEDUP_SEMANTIC,
     "similarity_topk": ORACLE_SIMILARITY_TOPK,
@@ -2659,6 +2782,7 @@ ORACLE = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_contamination": ORACLE_TEXT_CONTAMINATION,
     "pii_scrub": ORACLE_PII_SCRUB,
+    "pii_prevalence": ORACLE_PII_PREVALENCE,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,

@@ -419,3 +419,98 @@ def test_hard_negatives_ivf_degenerate_config_is_exact(spark, sf_dir):
         for r in q_similarity_hard_negatives_ivf_all(spark, sf_dir).collect()
     }
     assert got == exact
+
+
+def test_shingle_windows_matches_naive_formulation(spark):
+    """operators/dedup.py::_shingle_windows — the arrays_zip-of-slices
+    window build (constant tokenize references per row; the r8 fix for
+    the O(len²) inlining that made one shingle pass 18 s on the sf0.1
+    corpus) must be element-identical to the naive per-gram
+    element_at formulation, including short docs (< n words) and
+    empty/whitespace text."""
+    from spark_cdc_replication_spark.functions.text import normalized, words
+    from spark_cdc_replication_spark.operators.dedup import _shingle_sets
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "two words"),
+        (3, "exactly three words"),
+        (4, ""),
+        (5, "   "),
+        (6, "repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, h)
+        for r in _shingle_sets(df, "text", "doc_id", 3).collect()
+        for h in r["__sh"]
+    }
+    n = 3
+    toks = df.select("doc_id", words(normalized("text")).alias("__w"))
+    k = F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0))
+    naive = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.xxhash64(*[F.element_at("__w", i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    want = {
+        (r.doc_id, h)
+        for r in toks.select(
+            "doc_id", F.array_distinct(naive).alias("s")
+        ).collect()
+        for h in r.s
+    }
+    assert got == want and got  # non-empty and identical
+
+
+def test_containment_pairs_directional_and_capped(spark):
+    """operators/dedup.py::containment_pairs — a short excerpt inside
+    a long document reports high containment excerpt->source (the
+    modality Jaccard misses) but NOT source->excerpt; the
+    max_doc_freq cap drops pairs whose only evidence is a stop-gram
+    shared corpus-wide."""
+    from spark_cdc_replication_spark.operators.dedup import containment_pairs
+
+    body = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20))  # strict prefix
+    stop = "lorem ipsum dolor sit"
+    rows = [
+        (1, body),
+        (2, quote),
+        # docs 3..9 share ONLY the stop phrase with each other
+        *[(i, f"{stop} unique{i} tail{i} end{i}") for i in range(3, 10)],
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, n=3, min_containment=0.8, max_doc_freq=None)
+    got = {(r.id_a, r.id_b): r.containment for r in out.collect()}
+    assert got[(2, 1)] == 1.0  # every quote gram is in the body
+    assert (1, 2) not in got  # 60-word body is NOT contained in the quote
+    # jaccard for the same pair is low: 18 shared / 58 union ~ 0.31
+    # (the asymmetric modality is the point)
+    # stop-phrase-only pairs appear uncapped (2 shared grams / tiny docs
+    # can cross thresholds) but the df cap removes the shared evidence:
+    capped = containment_pairs(df, n=3, min_containment=0.3, max_doc_freq=5)
+    cpairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert not [p for p in cpairs if p[0] >= 3 and p[1] >= 3], (
+        "stop-gram (df=7 > cap) must not pair the tail docs"
+    )
+    assert (2, 1) in cpairs  # rare-gram evidence survives the cap
+
+
+def test_pii_prevalence_counts(spark):
+    """operators/privacy.py::pii_prevalence — corpus-level audit rows:
+    docs_with_hits counts documents (not hits), total_hits sums all
+    matches, zero-hit patterns report 0/0."""
+    from spark_cdc_replication_spark.operators.privacy import pii_prevalence
+
+    rows = [
+        (1, "mail a@b.com and c@d.org here"),  # 2 emails
+        (2, "mail e@f.io"),  # 1 email
+        (3, "server 10.0.0.1 up"),  # 1 ip
+        (4, "nothing sensitive"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.pii_type: (r.docs_with_hits, r.total_hits) for r in pii_prevalence(df).collect()}
+    assert got == {"email": (2, 3), "ipv4": (1, 1), "phone": (0, 0)}
