@@ -128,6 +128,66 @@ def mixture_sample(
     )
 
 
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened re-mixing (α-sampling — the multilingual /
+    UniMax data-balancing step): target proportions are derived from
+    the corpus itself as ``n_s^alpha``, so dominant strata are
+    downsampled toward the smaller ones instead of the caller naming
+    absolute weights (:func:`mixture_sample`'s contract).  ``alpha=1``
+    keeps the natural mix (no-op rates), ``alpha=0`` equalizes strata;
+    the usual flattening range is 0.2-0.7.
+
+    Downsample-only, like :func:`mixture_sample`: the scale factor
+    ``T = min_s(n_s / n_s^alpha) = min_s n_s^(1-alpha)`` pins the
+    smallest stratum at keep-everything, and stratum ``s`` keeps
+    ``rate_s = n_s^alpha * T / n_s`` via the deterministic md5-hash
+    Bernoulli (stable across runs/partitionings/engines, nested in
+    rate).  Rows with a NULL stratum are dropped (no provable weight).
+
+    ``alpha=0.5`` computes weights with ``sqrt`` — IEEE-754
+    correctly-rounded in every engine, so the derived integer cuts are
+    engine-exact and the op is oracle-hash-checkable; other alphas go
+    through ``pow`` (within 1 ulp, same caveat as any cross-engine
+    float comparison).
+
+    Shape: identical to :func:`mixture_sample` — one bounded
+    count aggregate, the one-row-per-stratum cut table broadcast back
+    onto the scan; the fact table is never shuffled.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    # NULL strata are dropped BEFORE the count aggregate, not just by
+    # the final join: a NULL group's n would otherwise enter the
+    # min() scale factor and silently shrink every real stratum's rate.
+    df = df.filter(F.col(strata_col).isNotNull())
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    nn = F.col("__n").cast("double")
+    if alpha == 0.5:
+        w = F.sqrt(nn)
+    elif alpha == 0.0:
+        w = F.lit(1.0)
+    elif alpha == 1.0:
+        w = nn
+    else:
+        w = F.pow(nn, F.lit(float(alpha)))
+    weighted = counts.select(strata_col, "__n", w.alias("__w"))
+    t = weighted.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    cuts = weighted.join(F.broadcast(t)).select(
+        strata_col,
+        F.floor(F.col("__w") * F.col("__t") / F.col("__n") * _BUCKETS).alias("__cut"),
+    )
+    return (
+        df.join(F.broadcast(cuts), strata_col)
+        .filter(hash_bucket(key_col) < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: Column,

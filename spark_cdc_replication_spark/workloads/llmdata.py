@@ -2009,6 +2009,49 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 """
 
 
+def q_sample_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture at alpha=0.5 (UniMax-style
+    balancing with corpus-DERIVED weights, vs ``sample_mixture``'s
+    caller-named ones).  The fixture's ``source`` strata are uniform
+    (flattening would be a no-op), so the query re-strata by a
+    deterministic skewed domain tag — 60% web / 30% books / 10% code
+    by doc_id — and flattens that: code (smallest) keeps everything,
+    web keeps ~sqrt(n_code/n_web).  sqrt is IEEE-correctly-rounded in
+    both engines, so the derived integer cuts (and thus the exact
+    survivor set) hash-match."""
+    from ..operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 6, "web")
+        .when(F.col("doc_id") % 10 < 9, "books")
+        .otherwise("code")
+        .alias("domain"),
+    )
+    out = temperature_mixture(tagged, alpha=0.5, strata_col="domain")
+    return out.select("doc_id", "domain")
+
+
+ORACLE_SAMPLE_MIXTURE_TEMPERATURE = """
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS domain
+  FROM documents
+),
+counts AS (SELECT domain, count(*) AS n FROM tagged GROUP BY 1),
+w AS (SELECT domain, n, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
+t AS (SELECT min(n / w) AS t FROM w),
+cuts AS (SELECT domain, floor(w * t.t / n * 10000) AS cut FROM w, t)
+SELECT d.doc_id, d.domain
+FROM tagged d JOIN cuts USING (domain)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      < cut
+"""
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget sampling (the unit real mixtures are
     specified in): keep each source's hash-ordered document prefix
@@ -2723,6 +2766,7 @@ QUERIES = {
     "pii_prevalence": q_pii_prevalence,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
+    "sample_mixture_temperature": q_sample_mixture_temperature,
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -2785,6 +2829,7 @@ ORACLE = {
     "pii_prevalence": ORACLE_PII_PREVALENCE,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
+    "sample_mixture_temperature": ORACLE_SAMPLE_MIXTURE_TEMPERATURE,
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
     "text_bigram_logprob": ORACLE_TEXT_BIGRAM_LOGPROB,

@@ -432,3 +432,36 @@ def test_split_temporal_rejects_bad_cutoffs(spark):
         split_temporal(df, "ts", train_end="2024-01-22", test_start="2024-01-21")
     with pytest.raises(ValueError, match="nonnegative"):
         split_temporal(df, "ts", train_end="2024-01-22", embargo="-1 day")
+
+
+def test_temperature_mixture_flattens_and_is_deterministic(spark):
+    """operators/sampling.py::temperature_mixture — alpha=0.5 keeps
+    the smallest stratum (~)fully and downsamples a 4x stratum to
+    ~sqrt(1/4)=0.5 of itself; alpha=1 is exactly a no-op on non-NULL
+    strata (the cut math is float-exact at w=n); NULL strata drop;
+    the survivor set is a pure function of the keys."""
+    import pytest
+
+    from spark_cdc_replication_spark.operators.sampling import temperature_mixture
+
+    rows = (
+        [(i, "a") for i in range(400)]
+        + [(1000 + i, "b") for i in range(100)]
+        + [(2000 + i, None) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, alpha=0.5)
+    kept = {(r.doc_id, r.source) for r in out.collect()}
+    b_kept = [k for k in kept if k[1] == "b"]
+    a_kept = [k for k in kept if k[1] == "a"]
+    assert len(b_kept) >= 99  # min stratum: only a 9999/10000 cut edge may trim
+    assert 160 <= len(a_kept) <= 240  # ~400 * sqrt(100/400) = 200
+    assert not [k for k in kept if k[1] is None]
+    # deterministic: same keys -> same survivors
+    again = {(r.doc_id, r.source) for r in temperature_mixture(df, alpha=0.5).collect()}
+    assert again == kept
+    # alpha=1: natural mix is untouched (w=n makes every cut exactly 10000)
+    full = {(r.doc_id, r.source) for r in temperature_mixture(df, alpha=1.0).collect()}
+    assert full == {(i, s) for i, s in rows if s is not None}
+    with pytest.raises(ValueError):
+        temperature_mixture(df, alpha=1.5)
