@@ -130,25 +130,23 @@ def _hashed_shingles(
 ) -> DataFrame:
     """``(id, __h0)``: one xxhash64 per word-n-gram occurrence.
 
-    Computed PER ROW: ``transform(sequence(1, k), i ->
-    xxhash64(element_at(w, i), ..., element_at(w, i+n-1)))`` then
-    explode the resulting long array.  No string concatenation (the
-    ``concat_ws(slice(...))`` formulation measured ~6x slower) and —
-    unlike a posexplode + window-``lead`` formulation — ZERO shuffle:
-    at 100 TB the window variant shuffles every token by doc id before
-    hashing; this one never moves a token off its input partition.
-    Duplicate shingles are kept: downstream MIN aggregation is
-    idempotent.
+    Computed PER ROW via :func:`_shingle_windows` (the filtered
+    arrays_zip-of-slices build — constant tokenize references per row;
+    the former ``transform(sequence(1, k), i -> xxhash64(element_at(w,
+    i), …))`` re-ran normalize+split per element_at once the explode's
+    implicit filter duplicated the expression — the same O(len²)
+    inlining fixed for the set builders in r8), then explode the long
+    array.  No string concatenation (the ``concat_ws(slice(...))``
+    formulation measured ~6x slower) and — unlike a posexplode +
+    window-``lead`` formulation — ZERO shuffle: at 100 TB the window
+    variant shuffles every token by doc id before hashing; this one
+    never moves a token off its input partition.  Duplicate shingles
+    are kept: downstream MIN aggregation is idempotent.
     """
     toks = df.select(F.col(id_col), words(normalized(text_col)).alias("__w"))
-    k = F.greatest(F.size("__w") - F.lit(n - 1), F.lit(0))
-    harr = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.xxhash64(*[F.element_at("__w", i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    harr = F.transform(
+        _shingle_windows(n), lambda s: F.xxhash64(*[s[str(i)] for i in range(n)])
+    )
     return toks.select(F.col(id_col), F.explode(harr).alias("__h0"))
 
 

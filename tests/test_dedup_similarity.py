@@ -463,6 +463,18 @@ def test_shingle_windows_matches_naive_formulation(spark):
         for h in r.s
     }
     assert got == want and got  # non-empty and identical
+    # the per-OCCURRENCE builder (_hashed_shingles, minhash's input)
+    # shares _shingle_windows: multiset equality, duplicates kept
+    from spark_cdc_replication_spark.operators.dedup import _hashed_shingles
+
+    occ = _hashed_shingles(df, "text", "doc_id", 3)
+    occ_naive = toks.select(
+        "doc_id", F.explode(naive).alias("__h0")
+    )
+    assert (
+        occ.exceptAll(occ_naive).count() == 0
+        and occ_naive.exceptAll(occ).count() == 0
+    )
 
 
 def test_containment_pairs_directional_and_capped(spark):
