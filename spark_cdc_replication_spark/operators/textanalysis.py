@@ -630,31 +630,101 @@ def filter_corpus(
     documents): quality score, language, length, and intra-document
     repetition thresholds applied in one call.
 
-    Shape: every feature — quality, language, AND the repetition
-    signals (doc-local by definition, computed row-wise since the
-    ``repetition_stats`` zero-shuffle rewrite) — chains into ONE
-    projection over one scan (``append=True`` discipline): no
-    explode, no aggregate, no id join.  The composed filter is one
-    codegen'd scan+project+filter — embarrassingly parallel at any
-    corpus size.  All thresholds land in one predicate; survivors
-    keep their storage layout.
+    Shape: one scan, no shuffle, no id join — and since r8 the three
+    token arrays every feature consumes (raw words, normalized words,
+    and the SORTED per-row bigram array) are materialized ONCE per row
+    behind a Generate barrier (``explode(array(struct(...)))``):
+    chained ``append=True`` projections let Catalyst inline the
+    tokenizer into every downstream reference — language-ID's argmax
+    alone re-references its per-language scores ~3x per language, so
+    the composed predicate re-ran normalize+split ~20x per row
+    (measured 26 s for the sf1 filter stage vs 14 s behind the
+    barrier, identical survivors; a Project cannot collapse into a
+    Generate, so the arrays are computed exactly once).  All
+    thresholds land in one predicate over attribute reads; survivors
+    keep their storage layout.  Feature VALUES are pinned to the
+    standalone operators by ``test_text_hygiene.py`` equivalence and
+    by the composed oracles (text_filter_corpus / clean_corpus /
+    prepare_corpus recompute every definition from first principles).
     """
-    feats = repetition_stats(
-        language_id(
-            quality_score(df, text_col=text_col, id_col=id_col, append=True),
-            text_col=text_col,
-            id_col=id_col,
-            append=True,
+    from ..functions.text import count_matching, punct_ratio, STOPWORDS
+
+    wr_expr = words(text_col)
+    wn_expr = words(normalized(text_col))
+    k = F.greatest(F.size(wn_expr) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(wn_expr, F.lit(1), k),
+        F.slice(wn_expr, F.lit(2), k),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    g = df.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    wr_expr.alias("wr"),
+                    wn_expr.alias("wn"),
+                    F.array_sort(bigrams).alias("bg"),
+                )
+            )
+        ).alias("__t"),
+    )
+    wr, wn, bg = F.col("__t.wr"), F.col("__t.wn"), F.col("__t.bg")
+
+    # quality_score's composite, verbatim formulas over the attributes
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(wr)
+    )
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(
+        F.coalesce(punct_ratio(text_col), F.lit(0.0)) * 5.0, F.lit(1.0)
+    )
+    sw_ratio = count_matching(wr, STOPWORDS) / F.nullif(n_tok, F.lit(0))
+    stop_ok = F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 4.0, F.lit(1.0))
+    quality = F.round((len_score + punct_ok + stop_ok) / 3.0, 6)
+
+    # language_id's argmax with the same alphabetical tie-break
+    n = F.nullif(F.size(wn), F.lit(0))
+    scores = {
+        lang: count_matching(wn, markers) / n
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*[F.coalesce(s, F.lit(0.0)) for s in scores.values()])
+    pred = F.lit("und")
+    for lang in reversed(sorted(LANG_MARKERS)):
+        pred = F.when(
+            (best > 0) & (F.coalesce(scores[lang], F.lit(0.0)) == best),
+            F.lit(lang),
+        ).otherwise(pred)
+
+    # repetition_stats' run-length max over the (pre-sorted) bigrams
+    def new_run(acc, x):
+        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+
+    scan = F.aggregate(
+        bg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
-        text_col=text_col,
-        id_col=id_col,
-        append=True,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            new_run(acc, x).alias("run"),
+            F.greatest(acc["best"], new_run(acc, x)).alias("best"),
+        ),
     )
+    n_words = F.size(wn)
+    distinct_frac = F.round(
+        F.size(F.array_distinct(wn)) / F.nullif(F.size(wn), F.lit(0)), 6
+    )
+    top_bigram = F.round(scan["best"] / F.nullif(F.size(bg), F.lit(0)), 6)
+
     keep = (
-        (F.col("quality") >= min_quality)
-        & F.col("pred_lang").isin(list(langs))
-        & (F.col("n_words") >= min_words)
-        & (F.col("distinct_word_frac") >= min_distinct_word_frac)
-        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
+        (quality >= min_quality)
+        & pred.isin(list(langs))
+        & (n_words >= min_words)
+        & (distinct_frac >= min_distinct_word_frac)
+        & (F.coalesce(top_bigram, F.lit(0.0)) <= max_top_bigram_frac)
     )
-    return feats.filter(keep).select(*df.columns)
+    return g.filter(keep).select(*df.columns)

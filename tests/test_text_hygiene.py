@@ -447,3 +447,46 @@ def test_gopher_rules_zero_shuffle_plan(spark):
     docs = spark.createDataFrame([(1, "the a b")], "doc_id long, text string")
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_filter_corpus_matches_chained_feature_operators(spark):
+    """The r8 Generate-barrier rewrite of filter_corpus (tokenize
+    arrays materialized once per row) must keep the EXACT survivor
+    set of the chained append-projection formulation it replaced —
+    same formulas, same NULL semantics, different physical shape."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        filter_corpus,
+        language_id,
+        quality_score,
+        repetition_stats,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then runs far "
+            "away to the deep green forest where it finds a quiet stream and "
+            "drinks the cool water before resting under an old oak tree"),
+        (2, "word " * 60),                      # repetitious: low distinct frac
+        (3, "le chat est sur la table et il dort bien " * 5),  # french
+        (4, "short text"),                       # under min_words
+        (5, None),                               # NULL text
+        (6, ""),                                 # empty
+        (7, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_quality=0.2, langs=("en",), min_words=15,
+              min_distinct_word_frac=0.3, max_top_bigram_frac=0.5)
+    got = {r.doc_id for r in filter_corpus(df, **kw).collect()}
+    feats = repetition_stats(
+        language_id(quality_score(df, append=True), append=True), append=True
+    )
+    keep = (
+        (F.col("quality") >= kw["min_quality"])
+        & F.col("pred_lang").isin(list(kw["langs"]))
+        & (F.col("n_words") >= kw["min_words"])
+        & (F.col("distinct_word_frac") >= kw["min_distinct_word_frac"])
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= kw["max_top_bigram_frac"])
+    )
+    want = {r.doc_id for r in feats.filter(keep).select("doc_id").collect()}
+    assert got == want and got  # non-empty and identical
