@@ -102,3 +102,60 @@ def test_decontaminate_matches_all_pairs_model(spark, train_texts, bench_texts):
     out = decontaminate(train, bench, min_est_jaccard=0.99, min_jaccard=0.999)
     got = {r.doc_id for r in out.collect()}
     assert got == model_clean(train_texts, bench_texts)
+
+
+def _py_containment(texts, n=3, min_containment=0.0, max_doc_freq=None):
+    """Plain-Python specification of containment_pairs: distinct word
+    n-gram sets per doc, optional doc-frequency cap applied to BOTH
+    sides, directional |A∩B|/|A| for every ordered pair."""
+    import collections
+
+    grams = {}
+    for i, t in enumerate(texts):
+        w = t.split()
+        grams[i] = {tuple(w[j : j + n]) for j in range(len(w) - n + 1)}
+    if max_doc_freq is not None:
+        df_count = collections.Counter(g for gs in grams.values() for g in gs)
+        grams = {
+            i: {g for g in gs if df_count[g] <= max_doc_freq}
+            for i, gs in grams.items()
+        }
+    out = {}
+    for a, ga in grams.items():
+        if not ga:
+            continue
+        for b, gb in grams.items():
+            if a == b:
+                continue
+            shared = len(ga & gb)
+            c = shared / len(ga)
+            if shared and c >= min_containment:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+@given(docs=doc_strategy, cap=st.one_of(st.none(), st.integers(1, 6)))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_pairs_matches_python_model(spark, docs, cap):
+    """operators/dedup.py::containment_pairs equals the all-pairs
+    Python specification exactly — pairs, direction, df-cap semantics,
+    and the 6-decimal containment value — on arbitrary small corpora
+    from a tiny vocabulary (so shared/hot grams actually occur).
+    Threshold 0 so every evidenced pair must surface."""
+    from spark_cdc_replication_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            df, n=3, min_containment=0.0, max_doc_freq=cap
+        ).collect()
+    }
+    want = _py_containment(docs, n=3, min_containment=0.0, max_doc_freq=cap)
+    assert got == want
