@@ -175,6 +175,78 @@ def drift_report(
     return drift_from_counts(ca, cb, smooth=smooth)
 
 
+def drift_report_grouped(
+    a: DataFrame,
+    b: DataFrame,
+    col: str,
+    group_cols: list[str],
+    smooth: float = 0.5,
+) -> DataFrame:
+    """:func:`drift_report` computed INDEPENDENTLY per group — the
+    production "PSI per ingest day / per source" monitor: within each
+    group, shares and the category count ``k`` are group-local, so a
+    day whose composition matches the reference day scores ~0
+    regardless of what other days did.
+
+    Output: ``group_cols + (category, n_a, n_b, share_a, share_b,
+    psi_term)``; sum ``psi_term`` within a group for that group's PSI.
+    Same per-bucket engine-exact contract as :func:`drift_report` (one
+    division / ln of exact integer counts — no cross-row float sums).
+
+    Shape: two map-side-partial count aggregates on
+    ``group_cols + [col]`` (counts only cross the network), one
+    null-safe full outer join of the two count relations, and the
+    per-group totals ride a second counts-only aggregate joined back
+    on the group key — AQE-governed; the totals relation is
+    group-cardinality-bounded, not row-bounded, so nothing here scales
+    with corpus size except the two scans.
+    """
+    keys = [*group_cols, "category"]
+    left = a.groupBy(
+        *group_cols, F.col(col).alias("category")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    right = b.groupBy(
+        *[F.col(g).alias(f"__r_{g}") for g in group_cols],
+        F.col(col).alias("__rc"),
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    cond = left["category"].eqNullSafe(right["__rc"])
+    for g in group_cols:
+        cond = cond & left[g].eqNullSafe(right[f"__r_{g}"])
+    joined = left.join(right, cond, "full_outer").select(
+        *[
+            F.coalesce(left[g], right[f"__r_{g}"]).alias(g)
+            for g in group_cols
+        ],
+        F.coalesce(left["category"], right["__rc"]).alias("category"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    # totals keys renamed before the join-back: `tot` derives from
+    # `joined`, so same-named columns would be an ambiguous self-join
+    tot = joined.groupBy(
+        *[F.col(g).alias(f"__t_{g}") for g in group_cols]
+    ).agg(
+        F.sum("n_a").alias("__ta"),
+        F.sum("n_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    tcond = None
+    for g in group_cols:
+        c = F.col(g).eqNullSafe(F.col(f"__t_{g}"))
+        tcond = c if tcond is None else (tcond & c)
+    sa = (F.col("n_a") + F.lit(smooth)) / (F.col("__ta") + F.lit(smooth) * F.col("__k"))
+    sb = (F.col("n_b") + F.lit(smooth)) / (F.col("__tb") + F.lit(smooth) * F.col("__k"))
+    return joined.join(tot, tcond).select(
+        *group_cols,
+        "category",
+        "n_a",
+        "n_b",
+        F.round(sa, 6).alias("share_a"),
+        F.round(sb, 6).alias("share_b"),
+        F.round((sa - sb) * F.log(sa / sb), 6).alias("psi_term"),
+    )
+
+
 def drift_from_counts(
     ca: DataFrame,
     cb: DataFrame,

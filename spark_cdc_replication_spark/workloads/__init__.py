@@ -27,27 +27,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   staleness bound (VERDICT r7 "next" #1, the tripwire test's red);
 #: * `pii_scrub` (green r7 but the ONLY privacy-family oracle, and
 #:   the family floor is enforced in-window, so it never rotates out);
-#: * the five r8 debuts (never-green oracles must be in-window: a new
+#: * the six r8 debuts (never-green oracles must be in-window: a new
 #:   oracle earns its first driver row next round):
 #:   `similarity_hard_negatives_ivf_all`, `events_drift_psi_served`,
 #:   `dedup_containment` (directional n-gram containment — the
 #:   quote/doc-in-doc modality), `pii_prevalence` (corpus-level
 #:   PII audit — the privacy family's SECOND oracle, so `pii_scrub`
-#:   finally has a rotation partner), and
+#:   finally has a rotation partner),
 #:   `sample_mixture_temperature` (UniMax-style alpha-flattening
-#:   with corpus-derived weights);
+#:   with corpus-derived weights), and `events_drift_psi_daily`
+#:   (per-ingest-day PSI — the grouped monitor shape);
 #: * `text_gopher_flags` (green r7, would stay in bound) because its
 #:   SEMANTICS change this round — wc_ok/stop_ok become strictly
 #:   boolean for NULL docs (ADVICE r7) — so it re-earns a driver row
 #:   on the new flag surface, the dedup_semantic/text_bm25_topk r7
 #:   precedent;
-#: * 26 of the 49 queries last green in r6, chosen to hold every
+#: * 25 of the 49 queries last green in r6, chosen to hold every
 #:   family floor the groups above don't already cover (olap:
 #:   pivot_status_revenue; asof: asof_purchase_view; multimodal:
 #:   features/resize; contamination: text_contamination +
 #:   decontaminate_corpus; hygiene: clean_corpus; cdc/dedup/text:
-#:   plenty).  The 23 r6-greens left out (chunk_documents,
-#:   cube_revenue, embedding_label_centroids, embedding_quantize,
+#:   plenty).  The 24 r6-greens left out (chunk_documents,
+#:   corpus_shuffle, cube_revenue, embedding_label_centroids,
+#:   embedding_quantize,
 #:   q18_large_orders, q1_pricing_summary, q21_waiting_supplier,
 #:   q3_shipping_priority, q5_local_supplier_volume, rollup_revenue,
 #:   sample_mixture, sample_quality_weighted, similarity_hybrid_rrf,
@@ -82,15 +84,16 @@ GATE_WINDOW: tuple[str, ...] = (
     "yoy_customer_diff",
     # privacy family floor (sole oracle in family)
     "pii_scrub",
-    # the 5 never-green r8 debuts
+    # the 6 never-green r8 debuts
     "dedup_containment",
+    "events_drift_psi_daily",
     "events_drift_psi_served",
     "pii_prevalence",
     "sample_mixture_temperature",
     "similarity_hard_negatives_ivf_all",
     # semantics changed this round (ADVICE r7 strict-boolean flags)
     "text_gopher_flags",
-    # 26 last driver-green in r6, alphabetical
+    # 25 last driver-green in r6, alphabetical
     "asof_purchase_view",
     "cdc_antijoin_survivors",
     "cdc_increment_append",
@@ -100,7 +103,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "cdc_raw_partition_stats",
     "cdc_snapshot_merge",
     "clean_corpus",
-    "corpus_shuffle",
     "decontaminate_corpus",
     "dedup_clusters",
     "dedup_clusters_logstar",

@@ -714,6 +714,58 @@ def q_events_drift_psi_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_drift_psi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_drift_psi`` sliced per ingest DAY — the monitor shape
+    production actually alerts on ("which day drifted?"): PSI terms
+    between the even- and odd-user cohorts of ``event_type``, computed
+    independently within each day (group-local shares and category
+    count), via ``drift_report_grouped``."""
+    from ..operators.validate import drift_report_grouped
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return drift_report_grouped(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "event_type",
+        ["day"],
+    )
+
+
+ORACLE_EVENTS_DRIFT_PSI_DAILY = """
+WITH ev AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id, event_type
+  FROM events
+),
+ca AS (
+  SELECT day, event_type AS category, count(*) AS n_a FROM ev
+  WHERE user_id % 2 = 0 GROUP BY 1, 2
+),
+cb AS (
+  SELECT day, event_type AS category, count(*) AS n_b FROM ev
+  WHERE user_id % 2 = 1 GROUP BY 1, 2
+),
+j AS (
+  SELECT coalesce(ca.day, cb.day) AS day,
+         coalesce(ca.category, cb.category) AS category,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL OUTER JOIN cb
+    ON ca.category IS NOT DISTINCT FROM cb.category
+   AND ca.day IS NOT DISTINCT FROM cb.day
+),
+t AS (SELECT day, sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k
+      FROM j GROUP BY 1)
+SELECT j.day, category, n_a, n_b,
+  round((n_a + 0.5) / (ta + 0.5 * k), 6) AS share_a,
+  round((n_b + 0.5) / (tb + 0.5 * k), 6) AS share_b,
+  round(((n_a + 0.5) / (ta + 0.5 * k) - (n_b + 0.5) / (tb + 0.5 * k))
+        * ln(((n_a + 0.5) / (ta + 0.5 * k)) / ((n_b + 0.5) / (tb + 0.5 * k))), 6)
+    AS psi_term
+FROM j JOIN t ON j.day IS NOT DISTINCT FROM t.day
+"""
+
+
 def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe temporal split of the event stream: train strictly
     before Jan 22, a 1-day purge gap (de Prado embargo), test from
@@ -742,6 +794,7 @@ QUERIES = {
     "events_anomaly_days": q_events_anomaly_days,
     "events_drift_psi": q_events_drift_psi,
     "events_drift_psi_served": q_events_drift_psi_served,
+    "events_drift_psi_daily": q_events_drift_psi_daily,
     "split_temporal": q_split_temporal,
     "asof_purchase_view": q_asof_purchase_view,
     "asof_forward_tolerance": q_asof_forward_tolerance,
@@ -761,6 +814,7 @@ ORACLE = {
     "events_anomaly_days": ORACLE_EVENTS_ANOMALY_DAYS,
     "events_drift_psi": ORACLE_EVENTS_DRIFT_PSI,
     "events_drift_psi_served": ORACLE_EVENTS_DRIFT_PSI,
+    "events_drift_psi_daily": ORACLE_EVENTS_DRIFT_PSI_DAILY,
     "split_temporal": ORACLE_SPLIT_TEMPORAL,
     "asof_purchase_view": ORACLE_ASOF_PURCHASE_VIEW,
     "asof_forward_tolerance": ORACLE_ASOF_FORWARD_TOLERANCE,

@@ -91,3 +91,42 @@ def test_drift_report_psi_terms(spark):
     for rows in (same, shift):
         assert abs(sum(r.share_a for r in rows.values()) - 1.0) < 1e-4
         assert abs(sum(r.share_b for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_drift_report_grouped_equals_per_group_reports(spark):
+    """operators/validate.py::drift_report_grouped — each group's rows
+    must equal drift_report() run on that group's cohorts alone
+    (group-local shares, totals, and category count k), including a
+    NULL group key and a category present in only one cohort."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc_replication_spark.operators.validate import (
+        drift_report,
+        drift_report_grouped,
+    )
+
+    rows_a = (
+        [("d1", "x")] * 7 + [("d1", "y")] * 3
+        + [("d2", "x")] * 2 + [("d2", "z")] * 8
+        + [(None, "x")] * 4
+    )
+    rows_b = (
+        [("d1", "x")] * 2 + [("d1", "w")] * 5
+        + [("d2", "z")] * 1
+        + [(None, "x")] * 1 + [(None, "y")] * 2
+    )
+    a = spark.createDataFrame(rows_a, "g string, c string")
+    b = spark.createDataFrame(rows_b, "g string, c string")
+    got = drift_report_grouped(a, b, "c", ["g"]).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.g, set()).add(
+            (r.category, r.n_a, r.n_b, r.share_a, r.share_b, r.psi_term)
+        )
+    for g in ["d1", "d2", None]:
+        cond = F.col("g").isNull() if g is None else (F.col("g") == g)
+        want = {
+            (r.category, r.n_a, r.n_b, r.share_a, r.share_b, r.psi_term)
+            for r in drift_report(a.filter(cond), b.filter(cond), "c").collect()
+        }
+        assert by_group.get(g) == want, f"group {g!r} diverges"
