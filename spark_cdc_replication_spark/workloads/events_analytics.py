@@ -688,7 +688,13 @@ def _drift_report_store(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(root, "report"),
             os.path.join(root, "ckpt"),
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # never cache (or serve) a half-built artifact root
+            q.stop()
+            shutil.rmtree(root, ignore_errors=True)
+            raise TimeoutError(
+                "drift artifact build did not finish within 300s"
+            )
         hit = (version, root)
         _DRIFT_STORE[ident] = hit
     return hit[1]
