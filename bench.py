@@ -48,6 +48,9 @@ HEADLINE = [
     "similarity_topk",
     "similarity_ivf_topk",
     "similarity_ivf_int8",
+    # PQ must precede similarity_hard_negatives_ivf: release_indexes
+    # fires there and now also evicts the PQ code table
+    "similarity_pq_topk",
     "text_stats",
     "text_language_id",
     "text_unigram_logprob",

@@ -515,6 +515,288 @@ def ivf_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (the FAISS PQ / ADC analogue)
+# --------------------------------------------------------------------------
+#
+# The third compression tier of the ANN family: IVF-Flat keeps float
+# vectors (1x), IVF-SQ8 keeps int8 codes (4x smaller), PQ keeps
+# ``num_subspaces`` sub-codebook ids per vector — 8 bytes for a 64-dim
+# corpus at the default (8 subspaces x 256-entry codebooks), a 32x
+# smaller resident index than float32, which is what makes a 100 TB
+# embedding corpus servable from executor memory at all.  Scoring is
+# asymmetric distance computation (ADC): each query precomputes one
+# ``num_subspaces x codes_per_subspace`` lookup table of sub-dot-
+# products, and every candidate scores with ``num_subspaces`` table
+# lookups instead of a ``dim``-wide dot product.
+
+
+def _pq_normalize(mat: "np.ndarray") -> "np.ndarray":
+    norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    return mat / norms
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized PQ encoder: ``array<int>`` of one codebook id
+    per subspace.  Vectors are L2-normalized first (cosine semantics:
+    ADC over normalized subvectors sums to the cosine the float path
+    computes), then each subvector takes its L2-nearest codebook entry
+    via one ``(batch x dsub) @ (dsub x ksub)`` matmul per subspace —
+    argmin on ``|c|^2 - 2 x.c`` (the ``|x|^2`` term is constant per
+    row), ties to the lowest code id so encoding is deterministic."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    sq = [(-0.5) * (b * b).sum(axis=1) for b in books]  # ksub, per subspace
+
+    @F.pandas_udf("array<int>")
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = _pq_normalize(np.vstack(emb.to_numpy()).astype(np.float64))
+        codes = np.empty((len(mat), len(books)), dtype=np.int32)
+        for m, (book, msq) in enumerate(zip(books, sq)):
+            sub = mat[:, m * dsub : (m + 1) * dsub]
+            # argmax(x.c - |c|^2/2) == argmin |x - c|^2; stable argmax
+            # keeps the lowest code id on ties
+            codes[:, m] = np.argmax(sub @ book.T + msq, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lloyd_iters: int = 2,
+) -> list[list[list[float]]]:
+    """Deterministic PQ training, the :func:`ivf_centroids` recipe per
+    subspace: seed each subspace's codebook with the
+    ``codes_per_subspace`` lowest-id vectors' normalized subvectors,
+    then refine with ``lloyd_iters`` Lloyd iterations run as DataFrame
+    passes — (1) encode via the Arrow matmul UDF (one corpus scan,
+    shuffle-free), (2) per-(subspace, code, dim) mean via ``posexplode``
+    + hash aggregate, so map-side partial aggregation shuffles only
+    ``subspaces x codes x dim x num_partitions`` partial rows and the
+    driver collects exactly ``subspaces x codes x dim`` finals (1024
+    values at 8x16x8) — never vectors.  Empty codes keep their previous
+    entry.  Index build cost at 100 TB: ``lloyd_iters + 1`` corpus
+    scans, same as IVF."""
+    dim_row = corpus.select(F.size(vec_col)).first()
+    dim = int(dim_row[0])
+    assert dim % num_subspaces == 0, (dim, num_subspaces)
+    dsub = dim // num_subspaces
+
+    seed_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(codes_per_subspace).collect()
+    )
+    seeds = _pq_normalize(np.asarray([list(r[1]) for r in seed_rows], dtype=np.float64))
+    books = [
+        seeds[:, m * dsub : (m + 1) * dsub].tolist() for m in range(num_subspaces)
+    ]
+
+    vn = F.transform(
+        F.col("__v"), lambda x: x.cast("double") / F.greatest(l2_norm("__v"), F.lit(1e-300))
+    )
+    for _ in range(lloyd_iters):
+        enc = (
+            corpus.select(F.col(vec_col).alias("__v"))
+            .select(F.col("__v"), vn.alias("__vn"))
+            .withColumn("__code", _pq_encode_udf(books)("__v"))
+        )
+        parts = (
+            enc.select("__code", F.posexplode("__vn").alias("pos", "x"))
+            .select(
+                F.floor(F.col("pos") / dsub).cast("int").alias("m"),
+                F.element_at(
+                    "__code", (F.floor(F.col("pos") / dsub) + 1).cast("int")
+                ).alias("code"),
+                F.col("pos"),
+                F.col("x"),
+            )
+            .groupBy("m", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        for r in parts:
+            new[r["m"]][r["code"]][r["pos"] - r["m"] * dsub] = float(r["s"]) / float(
+                r["n"]
+            )
+        books = new
+    return books
+
+
+def pq_codebooks_exact(
+    corpus: DataFrame,
+    num_subspaces: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Degenerate CERTIFICATION codebooks: every distinct normalized
+    subvector in the corpus becomes its own codebook entry, so encoding
+    reconstructs each vector exactly and ADC equals the exact cosine —
+    :func:`pq_topk` with these books must reproduce
+    :func:`brute_force_topk` bit-for-bit at rank level (the
+    ``similarity_*_all`` hash-green pattern).  This config collects the
+    corpus's normalized subvectors to the driver — bounded by the
+    certification fixture ONLY, never a production path (the real
+    config collects ``codes_per_subspace`` seed rows and
+    ``subspaces x codes x dim`` Lloyd partials)."""
+    rows = corpus.select(vec_col).collect()
+    mat = _pq_normalize(np.asarray([list(r[0]) for r in rows], dtype=np.float64))
+    dim = mat.shape[1]
+    assert dim % num_subspaces == 0, (dim, num_subspaces)
+    dsub = dim // num_subspaces
+    books = []
+    for m in range(num_subspaces):
+        sub = np.unique(mat[:, m * dsub : (m + 1) * dsub], axis=0)
+        books.append(sub.tolist())
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The PQ index: ``(neighbor_id, __code array<int>)`` — the only
+    per-vector state ADC needs (normalization is folded into encoding,
+    so no stored norms).  Build once per corpus, ``persist()`` it, and
+    hand it to :func:`pq_topk` per query batch; at scale this is the
+    table you'd write to storage (8 bytes + id per vector at the
+    default config)."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_encode_udf(codebooks)(F.col(vec_col)).alias("__code"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k over the PQ index: one Arrow pass scores every code
+    row against ALL queries at once (``num_subspaces`` lookups per
+    candidate per query into the precomputed LUT tensor), ``posexplode``
+    fans the per-query score arrays into ``(query, neighbor, score)``
+    rows, and the usual window ranks them.  The corpus/code table is
+    scanned once regardless of query count and never shuffled — only
+    ``|queries| x |corpus|`` (ids, score) rows enter the ranking
+    window, the :func:`brute_force_topk` contract.
+
+    The query batch is collected to build the LUTs — bounded by the
+    same contract that lets every other variant broadcast it (10-1000s
+    of queries, never a second corpus).  Output shape matches
+    :func:`brute_force_topk`; ``cosine`` is the ADC approximation
+    (exact when the codebooks reconstruct exactly, e.g.
+    :func:`pq_codebooks_exact`)."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = _pq_normalize(np.asarray([list(r[1]) for r in qrows], dtype=np.float64))
+    # LUT tensor: luts[m] is (Q, ksub_m) — per-subspace dot of every
+    # query subvector with every codebook entry.
+    luts = [
+        qmat[:, m * dsub : (m + 1) * dsub] @ book.T for m, book in enumerate(books)
+    ]
+
+    @F.pandas_udf("array<double>")
+    def adc_scores(code: pd.Series) -> pd.Series:
+        codes_mat = np.vstack(code.to_numpy())  # (B, M)
+        acc = np.zeros((len(qids), len(codes_mat)), dtype=np.float64)
+        for m, lut in enumerate(luts):
+            acc += lut[:, codes_mat[:, m]]
+        return pd.Series([col.tolist() for col in acc.T])
+
+    c = (
+        codes
+        if codes is not None
+        else pq_encode(corpus, codebooks, vec_col=vec_col, id_col=id_col)
+    )
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    scored = (
+        c.select(
+            "neighbor_id",
+            F.posexplode(adc_scores("__code")).alias("__qi", "cosine"),
+        )
+        .select(
+            F.element_at(qid_arr, F.col("__qi") + 1).alias("query_id"),
+            "neighbor_id",
+            "cosine",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def pq_topk_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    overfetch: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC + exact refine (the FAISS ``IndexRefineFlat`` pattern, the
+    production serve shape): the PQ codes pick ``k * overfetch``
+    candidates per query (:func:`pq_topk` — one code-table scan for all
+    queries), then ONLY those candidates are re-scored with exact
+    cosine and re-ranked to ``k``.  The candidate id set is bounded
+    (``|queries| * k * overfetch`` rows) so it broadcasts against the
+    full-vector table — the corpus is scanned once per stage and never
+    shuffled.  Measured on the 64-dim fixture at 16x16 (64-bit codes,
+    32x smaller than float32): ADC top-100 contains ~99% of the true
+    top-10, so recall@10 after refine ~0.99 (pinned in tests/)."""
+    cand = pq_topk(
+        corpus,
+        queries,
+        codebooks,
+        k=k * overfetch,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm("__cv"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm("__qv"))
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def deterministic_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[float]]]:
     """Seeded pseudo-random hyperplanes (pure python, reproducible)."""
     import random

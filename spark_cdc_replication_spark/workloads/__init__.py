@@ -84,7 +84,8 @@ GATE_WINDOW: tuple[str, ...] = (
     "yoy_customer_diff",
     # privacy family floor (sole oracle in family)
     "pii_scrub",
-    # the 6 never-green r8 debuts
+    # the never-green r8 debuts
+    "similarity_pq_all",
     "dedup_containment",
     "events_drift_psi_daily",
     "events_drift_psi_served",
@@ -118,7 +119,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "multimodal_resize",
     "pivot_status_revenue",
     "q10_returned_revenue",
-    "text_contamination",
 )
 
 

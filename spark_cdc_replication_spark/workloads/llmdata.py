@@ -566,6 +566,27 @@ def _ivf_int8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return hit[1], hit[2]
 
 
+#: PQ code table (FAISS PQ/ADC analogue, the 32x-compression tier) —
+#: same persisted-artifact lifecycle as ``_IVF_INDEX``.
+_PQ_INDEX: dict[tuple, tuple] = {}
+
+
+def _pq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    from ..operators.similarity import pq_codebooks, pq_encode
+
+    ident, version = _table_key(spark, sf_dir, "embeddings")
+    hit = _PQ_INDEX.get(ident)
+    if hit is not None and hit[0] != version:
+        hit[2].unpersist()  # evict-on-replace: corpus was rewritten
+        hit = None
+    if hit is None:
+        books = pq_codebooks(emb, num_subspaces=16, codes_per_subspace=16)
+        codes = pq_encode(emb, books).persist()
+        hit = (version, books, codes)
+        _PQ_INDEX[ident] = hit
+    return hit[1], hit[2]
+
+
 #: Persisted BM25 inverted index per corpus identity — an ON-DISK
 #: bucket-partitioned parquet directory (the exact layout
 #: ``streaming/token_index_stream.py`` maintains incrementally), plus
@@ -628,6 +649,8 @@ def warm_indexes(spark: SparkSession, sf_dir: str) -> None:
     assigned.count()
     _, assigned8 = _ivf_int8_index(spark, sf_dir, emb)
     assigned8.count()
+    _, pq_codes = _pq_index(spark, sf_dir, emb)
+    pq_codes.count()
     _corpus_sigs(spark, sf_dir).count()
     _token_index_store(spark, sf_dir)
 
@@ -643,9 +666,10 @@ def release_sigs(spark: SparkSession, sf_dir: str) -> None:
 
 
 def release_indexes(spark: SparkSession, sf_dir: str) -> None:
-    """Unpersist the IVF inverted files (bench hygiene, as above)."""
+    """Unpersist the IVF inverted files and the PQ code table (bench
+    hygiene, as above)."""
     ident, _ = _table_key(spark, sf_dir, "embeddings")
-    for store in (_IVF_INDEX, _IVF_INT8):
+    for store in (_IVF_INDEX, _IVF_INT8, _PQ_INDEX):
         hit = store.pop(ident, None)
         if hit is not None:
             hit[2].unpersist()
@@ -703,6 +727,41 @@ def q_similarity_ivf_int8_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(
         emb, _queries_df(spark, sf_dir), cents, k=10, nprobe=16, assigned=assigned8
     )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN on the serve path (rows-only:
+    approximate by design; recall@10 >= 0.85 vs brute force pinned in
+    tests/test_dedup_similarity.py).  ADC over the persisted 16x16
+    code table (64-bit codes — a 32x smaller resident index than
+    float32, the tier that makes a 100 TB embedding corpus fit
+    executor memory) picks 10x-overfetched candidates, then ONLY those
+    re-score with exact cosine (FAISS refine pattern)."""
+    from ..operators.similarity import pq_topk_refined
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = _pq_index(spark, sf_dir, emb)
+    out = pq_topk_refined(
+        emb, _queries_df(spark, sf_dir), books, k=10, overfetch=10, codes=codes
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_similarity_pq_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the PQ family (the ``similarity_*_all``
+    pattern): degenerate codebooks holding every distinct normalized
+    subvector reconstruct exactly, so the encoder UDF, ADC LUT scoring,
+    posexplode fan-out, self-exclusion, and ranking must reproduce
+    brute force EXACTLY — driver-checked against the
+    ``similarity_topk`` oracle.  What stays approximate in the real
+    config (codebook quantization error) is covered by the rows-only
+    entry + its pytest recall floor."""
+    from ..operators.similarity import pq_codebooks_exact, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks_exact(emb)
+    out = pq_topk(emb, _queries_df(spark, sf_dir), books, k=10)
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -2738,6 +2797,8 @@ QUERIES = {
     "similarity_ivf_int8": q_similarity_ivf_int8,
     "similarity_ivf_all": q_similarity_ivf_all,
     "similarity_ivf_int8_all": q_similarity_ivf_int8_all,
+    "similarity_pq_topk": q_similarity_pq_topk,
+    "similarity_pq_all": q_similarity_pq_all,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
     "text_gopher_flags": q_text_gopher_flags,
@@ -2802,6 +2863,7 @@ ORACLE = {
     "similarity_lsh_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_int8_all": ORACLE_SIMILARITY_IVF_INT8_ALL,
+    "similarity_pq_all": ORACLE_SIMILARITY_TOPK,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_gopher_flags": ORACLE_TEXT_GOPHER_FLAGS,

@@ -150,6 +150,55 @@ def test_ivf_int8_recall_vs_brute_force(spark, sf_dir):
     assert len(e & f8) / len(e) >= 0.9, "int8 rounding degraded full-probe recall"
 
 
+def test_pq_refined_recall_vs_brute_force(spark, sf_dir):
+    from spark_cdc_replication_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_topk_refined,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    books = pq_codebooks(emb, num_subspaces=16, codes_per_subspace=16)
+    # the stored code really is 16 small ints per vector — the 32x
+    # compression claim vs a 64-dim float32 vector
+    codes = pq_encode(emb, books)
+    assert dict(codes.dtypes)["__code"] == "array<int>"
+    first = codes.select(F.size("__code")).first()[0]
+    assert first == 16
+    approx = pq_topk_refined(emb, queries, books, k=10, overfetch=10, codes=codes)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in a_rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.85, f"PQ refined recall@10 below floor: {recall}"
+    assert all(1 <= r.rank <= 10 for r in a_rows)
+
+
+def test_pq_exact_codebooks_reproduce_brute_force(spark, sf_dir):
+    """Degenerate certification config (the similarity_pq_all bound):
+    codebooks holding every distinct normalized subvector reconstruct
+    exactly, so ADC must equal brute force at rank level."""
+    from spark_cdc_replication_spark.operators.similarity import (
+        pq_codebooks_exact,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    books = pq_codebooks_exact(emb)
+    adc = pq_topk(emb, queries, books, k=10)
+    e = sorted((r.query_id, r.neighbor_id, r.rank) for r in exact.collect())
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in adc.collect())
+    assert e == a
+
+
 def test_dup_clusters_chain_and_star(spark):
     from spark_cdc_replication_spark.operators.dedup import dup_clusters
 
