@@ -797,6 +797,115 @@ def pq_topk_refined(
     )
 
 
+def ivfpq_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The combined IVF-PQ index: ``(neighbor_id, cell, __code)`` —
+    one corpus scan runs both Arrow encoders in a single projection.
+    At scale this is the table you'd write partitioned BY cell: a probe
+    reads only its cells' partitions AND each row carries 8-16 bytes of
+    code instead of the float vector — the FAISS IVFPQ layout, the only
+    tier where BOTH the scan volume and the resident bytes shrink."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _cell_assign_udf(centroids)(F.col(vec_col)).alias("cell"),
+        _pq_encode_udf(codebooks)(F.col(vec_col)).alias("__code"),
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 3,
+    overfetch: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ with exact refine — the production 100 TB serve shape:
+    each query probes its ``nprobe`` nearest cells (only those vectors
+    are candidates, ~``|corpus| * nprobe / num_centroids``), candidates
+    score by ADC table lookups against the 8-16 byte codes (never the
+    float vectors), the ADC top ``k * overfetch`` per query survive,
+    and ONLY those re-score with exact cosine.  Approximate twice over
+    (cell selectivity + codebook quantization, the latter mostly
+    recovered by the refine) — rows-only with a pytest recall floor;
+    the degenerate config (``nprobe`` = all cells, exact codebooks,
+    overfetch past the corpus) is pinned equal to brute force in
+    tests/test_dedup_similarity.py, the ``similarity_*_all`` bound as
+    a pytest."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qidx = {r[0]: i for i, r in enumerate(qrows)}
+    qmat = _pq_normalize(np.asarray([list(r[1]) for r in qrows], dtype=np.float64))
+    luts = [
+        qmat[:, m * dsub : (m + 1) * dsub] @ book.T for m, book in enumerate(books)
+    ]
+
+    @F.pandas_udf("double")
+    def adc_pair_scores(code: pd.Series, qid: pd.Series) -> pd.Series:
+        codes_mat = np.vstack(code.to_numpy())  # (B, M)
+        qi = qid.map(qidx).to_numpy(dtype=np.int64)
+        acc = np.zeros(len(codes_mat), dtype=np.float64)
+        for m, lut in enumerate(luts):
+            acc += lut[qi, codes_mat[:, m]]
+        return pd.Series(acc)
+
+    c = (
+        assigned
+        if assigned is not None
+        else ivfpq_assign(corpus, centroids, codebooks, vec_col=vec_col, id_col=id_col)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("cell", F.explode(_probe_cells_udf(centroids, nprobe)("__qv")))
+    cands = (
+        c.join(F.broadcast(q.select("query_id", "cell")), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_pair_scores("__code", "query_id").alias("__adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__adc"), F.asc("neighbor_id"))
+    short = (
+        cands.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k * overfetch)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm("__cv"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm("__qv"))
+    scored = (
+        cv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def deterministic_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[float]]]:
     """Seeded pseudo-random hyperplanes (pure python, reproducible)."""
     import random

@@ -587,6 +587,29 @@ def _pq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     return hit[1], hit[2]
 
 
+#: Combined IVF-PQ index (FAISS IVFPQ analogue): shares _IVF_INDEX's
+#: trained centroids and _PQ_INDEX's codebooks, stores one
+#: (neighbor_id, cell, code) table — same lifecycle as the others.
+_IVFPQ_INDEX: dict[tuple, tuple] = {}
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    from ..operators.similarity import ivfpq_assign
+
+    ident, version = _table_key(spark, sf_dir, "embeddings")
+    hit = _IVFPQ_INDEX.get(ident)
+    if hit is not None and hit[0] != version:
+        hit[3].unpersist()  # evict-on-replace: corpus was rewritten
+        hit = None
+    if hit is None:
+        cents, _ = _ivf_index(spark, sf_dir, emb)
+        books, _ = _pq_index(spark, sf_dir, emb)
+        assigned = ivfpq_assign(emb, cents, books).persist()
+        hit = (version, cents, books, assigned)
+        _IVFPQ_INDEX[ident] = hit
+    return hit[1], hit[2], hit[3]
+
+
 #: Persisted BM25 inverted index per corpus identity — an ON-DISK
 #: bucket-partitioned parquet directory (the exact layout
 #: ``streaming/token_index_stream.py`` maintains incrementally), plus
@@ -669,10 +692,10 @@ def release_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Unpersist the IVF inverted files and the PQ code table (bench
     hygiene, as above)."""
     ident, _ = _table_key(spark, sf_dir, "embeddings")
-    for store in (_IVF_INDEX, _IVF_INT8, _PQ_INDEX):
+    for store in (_IVF_INDEX, _IVF_INT8, _PQ_INDEX, _IVFPQ_INDEX):
         hit = store.pop(ident, None)
         if hit is not None:
-            hit[2].unpersist()
+            hit[-1].unpersist()  # the persisted DataFrame is always last
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,6 +767,32 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books, codes = _pq_index(spark, sf_dir, emb)
     out = pq_topk_refined(
         emb, _queries_df(spark, sf_dir), books, k=10, overfetch=10, codes=codes
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine (rows-only: approximate by design twice
+    over — cell selectivity + codebook quantization; recall@10 >= 0.8
+    vs brute force pinned in tests/test_dedup_similarity.py, and the
+    degenerate full-probe/exact-codebook config is pinned EQUAL to
+    brute force there).  The production 100 TB serve shape: the probe
+    reads only its cells, candidates carry 8-byte codes instead of
+    float vectors, and only the ADC top-100 per query touch the full
+    vectors."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books, assigned = _ivfpq_index(spark, sf_dir, emb)
+    out = ivfpq_topk(
+        emb,
+        _queries_df(spark, sf_dir),
+        cents,
+        books,
+        k=10,
+        nprobe=4,
+        overfetch=10,
+        assigned=assigned,
     )
     return out.select("query_id", "neighbor_id", "rank")
 
@@ -2799,6 +2848,7 @@ QUERIES = {
     "similarity_ivf_int8_all": q_similarity_ivf_int8_all,
     "similarity_pq_topk": q_similarity_pq_topk,
     "similarity_pq_all": q_similarity_pq_all,
+    "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
     "text_gopher_flags": q_text_gopher_flags,

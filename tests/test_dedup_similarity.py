@@ -199,6 +199,54 @@ def test_pq_exact_codebooks_reproduce_brute_force(spark, sf_dir):
     assert e == a
 
 
+def test_ivfpq_recall_and_degenerate_exactness(spark, sf_dir):
+    """IVF-PQ + refine: recall@10 floor in the real config, and the
+    similarity_*_all-style bound as a pytest — probing every cell with
+    exactly-reconstructing codebooks and overfetch past the corpus
+    size leaves nothing approximate, so the composed probe + ADC +
+    refine plumbing must equal brute force."""
+    from spark_cdc_replication_spark.operators.similarity import (
+        ivfpq_assign,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_codebooks_exact,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    e_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    cents = ivf_centroids(emb, num_centroids=16)
+    books = pq_codebooks(emb, num_subspaces=16, codes_per_subspace=16)
+    assigned = ivfpq_assign(emb, cents, books)
+    approx = ivfpq_topk(
+        emb, queries, cents, books, k=10, nprobe=4, overfetch=10, assigned=assigned
+    )
+    a_rows = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in a_rows}
+    recall = len(e_pairs & a) / len(e_pairs)
+    assert recall >= 0.8, f"IVF-PQ recall@10 below floor: {recall}"
+    assert all(1 <= r.rank <= 10 for r in a_rows)
+
+    books_x = pq_codebooks_exact(emb)
+    full = ivfpq_topk(
+        emb,
+        queries,
+        cents,
+        books_x,
+        k=10,
+        nprobe=16,
+        overfetch=-(-n // 10),
+    )
+    e = sorted((r.query_id, r.neighbor_id, r.rank) for r in exact.collect())
+    f = sorted((r.query_id, r.neighbor_id, r.rank) for r in full.collect())
+    assert e == f
+
+
 def test_dup_clusters_chain_and_star(spark):
     from spark_cdc_replication_spark.operators.dedup import dup_clusters
 
