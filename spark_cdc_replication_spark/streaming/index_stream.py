@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.similarity import ivf_assign, ivf_assign_int8
+from ..operators.similarity import ivf_assign, ivf_assign_int8, ivfpq_assign
 
 
 def ivf_index_stream(
@@ -38,21 +38,35 @@ def ivf_index_stream(
     id_col: str = "vec_id",
     available_now: bool = True,
     precision: str = "float",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> StreamingQuery:
     """Append a streaming embedding frame to the cell-partitioned
     inverted file at ``index_dir``.
 
     ``precision="int8"`` maintains the compressed inverted file
     (:func:`..operators.similarity.ivf_assign_int8` — 4x smaller
-    resident index) instead of the float one; both are stateless
-    per-row transforms, so the exactly-once argument is unchanged.
-    Streamed-vs-batch equivalence is parametrized over both precisions
-    in ``tests/test_index_stream.py``.
+    resident index) instead of the float one; ``precision="pq"``
+    maintains the IVF-PQ layout (:func:`..operators.similarity.
+    ivfpq_assign` — 8-16 byte codes per vector, the 100 TB resident
+    tier) and requires ``codebooks`` (frozen between retrains exactly
+    like the centroids — the FAISS operational pattern).  All three
+    are stateless per-row transforms, so the exactly-once argument is
+    unchanged.  Streamed-vs-batch equivalence is parametrized over all
+    precisions in ``tests/test_index_stream.py``.
     """
-    if precision not in ("float", "int8"):
-        raise ValueError(f"precision must be 'float' or 'int8', got {precision!r}")
-    build = ivf_assign if precision == "float" else ivf_assign_int8
-    assigned = build(embeddings, centroids, vec_col=vec_col, id_col=id_col)
+    if precision not in ("float", "int8", "pq"):
+        raise ValueError(
+            f"precision must be 'float', 'int8' or 'pq', got {precision!r}"
+        )
+    if precision == "pq":
+        if codebooks is None:
+            raise ValueError("precision='pq' requires codebooks")
+        assigned = ivfpq_assign(
+            embeddings, centroids, codebooks, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        build = ivf_assign if precision == "float" else ivf_assign_int8
+        assigned = build(embeddings, centroids, vec_col=vec_col, id_col=id_col)
     writer = (
         assigned.writeStream.format("parquet")
         .outputMode("append")
