@@ -93,6 +93,7 @@ def main() -> None:
     from spark_cdc_replication_spark.workloads.cdc import release_changes, warm_changes
     from spark_cdc_replication_spark.workloads.llmdata import (
         release_indexes,
+        release_pq_indexes,
         release_sigs,
         warm_indexes,
     )
@@ -132,6 +133,9 @@ def main() -> None:
         # timed region, and leave the rebuilt blocks persisted for
         # every later headline query (code review r7).
         "similarity_hard_negatives_ivf": release_indexes,
+        # the PQ tiers' last consumer comes well before the IVF
+        # index's — release them separately (code review r8)
+        "similarity_pq_topk": release_pq_indexes,
     }
 
     # Each query is timed as min-of-RUNS so a one-off GC pause / session

@@ -521,8 +521,9 @@ def ivf_topk(
 #
 # The third compression tier of the ANN family: IVF-Flat keeps float
 # vectors (1x), IVF-SQ8 keeps int8 codes (4x smaller), PQ keeps
-# ``num_subspaces`` sub-codebook ids per vector — 8 bytes for a 64-dim
-# corpus at the default (8 subspaces x 256-entry codebooks), a 32x
+# ``num_subspaces`` sub-codebook ids per vector — 8 bytes of payload
+# for a 64-dim corpus at the shipped 16x16 config (16 subspaces x
+# 16-entry codebooks = 4 bits per id), a 32x
 # smaller resident index than float32, which is what makes a 100 TB
 # embedding corpus servable from executor memory at all.  Scoring is
 # asymmetric distance computation (ADC): each query precomputes one
@@ -595,12 +596,16 @@ def pq_codebooks(
         seeds[:, m * dsub : (m + 1) * dsub].tolist() for m in range(num_subspaces)
     ]
 
+    # norm staged in its own projection — inlined into the per-element
+    # lambda, the O(dim) aggregate would re-run per element (O(dim^2)
+    # per row; same fix as ivf_assign_int8 / embeddings.quantize_int8)
     vn = F.transform(
-        F.col("__v"), lambda x: x.cast("double") / F.greatest(l2_norm("__v"), F.lit(1e-300))
+        F.col("__v"), lambda x: x.cast("double") / F.col("__n")
     )
     for _ in range(lloyd_iters):
         enc = (
             corpus.select(F.col(vec_col).alias("__v"))
+            .select(F.col("__v"), F.greatest(l2_norm("__v"), F.lit(1e-300)).alias("__n"))
             .select(F.col("__v"), vn.alias("__vn"))
             .withColumn("__code", _pq_encode_udf(books)("__v"))
         )
@@ -631,7 +636,6 @@ def pq_codebooks_exact(
     corpus: DataFrame,
     num_subspaces: int = 8,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
     """Degenerate CERTIFICATION codebooks: every distinct normalized
     subvector in the corpus becomes its own codebook entry, so encoding
@@ -673,6 +677,65 @@ def pq_encode(
     )
 
 
+def _query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    query_id_col: str,
+) -> tuple[list, list["np.ndarray"]]:
+    """Collect the (bounded) query batch and precompute the ADC lookup
+    tables: ``luts[m]`` is ``(Q, ksub_m)`` — the dot of every
+    normalized query subvector with every codebook entry.  Shared by
+    the flat and IVF-composed serve paths so the LUT contract can never
+    diverge between them."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = _pq_normalize(np.asarray([list(r[1]) for r in qrows], dtype=np.float64))
+    luts = [
+        qmat[:, m * dsub : (m + 1) * dsub] @ book.T for m, book in enumerate(books)
+    ]
+    return qids, luts
+
+
+def _exact_refine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Re-score a bounded ``(query_id, neighbor_id)`` candidate set
+    with exact cosine and re-rank to ``k`` — the refine stage shared by
+    every ADC serve path.  Both the candidate set and the query batch
+    broadcast, so the full-vector corpus is scanned once and never
+    shuffled."""
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm("__cv"))
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm("__qv"))
+    scored = (
+        cv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -698,16 +761,7 @@ def pq_topk(
     :func:`brute_force_topk`; ``cosine`` is the ADC approximation
     (exact when the codebooks reconstruct exactly, e.g.
     :func:`pq_codebooks_exact`)."""
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    dsub = books[0].shape[1]
-    qrows = queries.select(query_id_col, vec_col).collect()
-    qids = [r[0] for r in qrows]
-    qmat = _pq_normalize(np.asarray([list(r[1]) for r in qrows], dtype=np.float64))
-    # LUT tensor: luts[m] is (Q, ksub_m) — per-subspace dot of every
-    # query subvector with every codebook entry.
-    luts = [
-        qmat[:, m * dsub : (m + 1) * dsub] @ book.T for m, book in enumerate(books)
-    ]
+    qids, luts = _query_luts(queries, codebooks, vec_col, query_id_col)
 
     @F.pandas_udf("array<double>")
     def adc_scores(code: pd.Series) -> pd.Series:
@@ -774,27 +828,7 @@ def pq_topk_refined(
         query_id_col=query_id_col,
         codes=codes,
     ).select("query_id", "neighbor_id")
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", l2_norm("__cv"))
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", l2_norm("__qv"))
-    scored = (
-        cv.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _exact_refine(corpus, queries, cand, k, vec_col, id_col, query_id_col)
 
 
 def ivfpq_assign(
@@ -842,14 +876,8 @@ def ivfpq_topk(
     overfetch past the corpus) is pinned equal to brute force in
     tests/test_dedup_similarity.py, the ``similarity_*_all`` bound as
     a pytest."""
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
-    dsub = books[0].shape[1]
-    qrows = queries.select(query_id_col, vec_col).collect()
-    qidx = {r[0]: i for i, r in enumerate(qrows)}
-    qmat = _pq_normalize(np.asarray([list(r[1]) for r in qrows], dtype=np.float64))
-    luts = [
-        qmat[:, m * dsub : (m + 1) * dsub] @ book.T for m, book in enumerate(books)
-    ]
+    qids, luts = _query_luts(queries, codebooks, vec_col, query_id_col)
+    qidx = {qid: i for i, qid in enumerate(qids)}
 
     @F.pandas_udf("double")
     def adc_pair_scores(code: pd.Series, qid: pd.Series) -> pd.Series:
@@ -883,27 +911,7 @@ def ivfpq_topk(
         .filter(F.col("__r") <= k * overfetch)
         .select("query_id", "neighbor_id")
     )
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", l2_norm("__cv"))
-    qv = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__qn", l2_norm("__qv"))
-    scored = (
-        cv.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity("__qv", "__cv", "__qn", "__cn").alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _exact_refine(corpus, queries, short, k, vec_col, id_col, query_id_col)
 
 
 def deterministic_planes(num_tables: int, num_planes: int, dim: int) -> list[list[list[float]]]:

@@ -58,6 +58,12 @@ def ivf_index_stream(
         raise ValueError(
             f"precision must be 'float', 'int8' or 'pq', got {precision!r}"
         )
+    if codebooks is not None and precision != "pq":
+        raise ValueError(
+            f"codebooks only apply to precision='pq' (got {precision!r}) — "
+            "a float/int8 index ignores them, which is never what a caller "
+            "holding trained codebooks wants"
+        )
     if precision == "pq":
         if codebooks is None:
             raise ValueError("precision='pq' requires codebooks")

@@ -94,7 +94,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "similarity_hard_negatives_ivf_all",
     # semantics changed this round (ADVICE r7 strict-boolean flags)
     "text_gopher_flags",
-    # 25 last driver-green in r6, alphabetical
+    # 24 last driver-green in r6, alphabetical (text_contamination was
+    # displaced late-r8 to seat the similarity_pq_all debut; it joins
+    # the r9 must-rotate list)
     "asof_purchase_view",
     "cdc_antijoin_survivors",
     "cdc_increment_append",

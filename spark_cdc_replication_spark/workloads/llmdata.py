@@ -688,6 +688,20 @@ def release_sigs(spark: SparkSession, sf_dir: str) -> None:
         hit[1].unpersist()
 
 
+def release_pq_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist only the PQ tiers (bench hygiene: their last headline
+    consumer is ``similarity_pq_topk``, several queries before
+    ``release_indexes`` fires for the IVF index the hard-negative
+    miner still needs — holding dead code-table blocks until then is
+    exactly the accumulated-warm-state pressure the release hooks
+    exist to prevent)."""
+    ident, _ = _table_key(spark, sf_dir, "embeddings")
+    for store in (_PQ_INDEX, _IVFPQ_INDEX):
+        hit = store.pop(ident, None)
+        if hit is not None:
+            hit[-1].unpersist()
+
+
 def release_indexes(spark: SparkSession, sf_dir: str) -> None:
     """Unpersist the IVF inverted files and the PQ code table (bench
     hygiene, as above)."""
