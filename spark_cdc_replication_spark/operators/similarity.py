@@ -843,7 +843,15 @@ def ivfpq_assign(
     At scale this is the table you'd write partitioned BY cell: a probe
     reads only its cells' partitions AND each row carries 8-16 bytes of
     code instead of the float vector — the FAISS IVFPQ layout, the only
-    tier where BOTH the scan volume and the resident bytes shrink."""
+    tier where BOTH the scan volume and the resident bytes shrink.
+
+    ``persist()`` the result before probing (the registered query path
+    does, and the streaming maintainer writes it to storage): besides
+    index reuse, an UNpersisted build inlined into :func:`ivfpq_topk`
+    makes Catalyst's python-UDF extraction re-evaluate the cell-assign
+    UDF around the cell join (observed: stacked ArrowEvalPython nodes,
+    one wasted corpus matmul) — a persisted/stored index serves with
+    no UDF in the probe plan at all."""
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _cell_assign_udf(centroids)(F.col(vec_col)).alias("cell"),

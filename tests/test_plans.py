@@ -171,6 +171,45 @@ def test_single_fact_scan_for_threshold_rewrites(spark, sf_dir):
         assert count_table_scans(fn(spark, sf_dir), table) == expect, name
 
 
+def test_pq_serve_paths_shuffle_only_ranked_score_rows(spark, sf_dir):
+    """The PQ serve plans must survive a 100x corpus: the code/vector
+    table is scanned ONCE per stage and never shuffled — the only
+    hash exchanges are the two per-query ranking windows, and
+    WindowGroupLimit pushes a PARTIAL top-k below each, so at most
+    k(*overfetch) rows per (query, partition) ever cross the wire.
+    Every join (candidate ids, query vectors, probe cells) broadcasts
+    its provably bounded side; a SortMergeJoin anywhere would mean the
+    corpus is riding an exchange keyed by id."""
+    from spark_cdc_replication_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_codebooks,
+        pq_topk_refined,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_codebooks(emb, num_subspaces=16, codes_per_subspace=16)
+    cents = ivf_centroids(emb, num_centroids=16)
+
+    for df in (
+        pq_topk_refined(emb, queries, books, k=10, overfetch=10),
+        ivfpq_topk(emb, queries, cents, books, k=10, nprobe=4),
+    ):
+        p = plan_of(df)
+        assert "SortMergeJoin" not in p, p
+        shuffles = [
+            ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert len(shuffles) == 2, shuffles  # ADC window + refine window
+        assert all("query_id" in ln for ln in shuffles), shuffles
+        assert "row_number(), 100, Partial" in p and "row_number(), 10, Partial" in p, (
+            "WindowGroupLimit partial top-k pushdown missing"
+        )
+
+
 def test_corpus_removal_pipelines_broadcast_the_removal_set(spark, sf_dir):
     """dedup_corpus / decontaminate are filter-shaped at 100 TB: the
     final removal is a broadcast LEFT-ANTI join — the corpus never
