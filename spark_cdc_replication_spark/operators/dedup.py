@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, normalized, words
@@ -1118,3 +1118,44 @@ def dup_clusters_logstar(
     return sym.groupBy("a").agg(
         F.least(F.min("b"), F.first("a")).alias("cluster_id")
     ).select(F.col("a").alias("doc_id"), "cluster_id")
+
+
+def select_representatives(
+    members: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-representative selection — the step between duplicate
+    clustering and corpus rewrite in a production dedup pipeline: per
+    near-dup cluster keep ONE member, and make it the *best* one
+    (highest ``score_col``, deterministic ``id_col`` tie-break), not an
+    arbitrary/lowest-id one — near-dup groups routinely mix a clean
+    original with OCR-mangled or boilerplate-wrapped copies, and
+    keep-any throws away quality for free.
+
+    Input: ``members`` = ``(id, cluster)`` from :func:`dup_clusters` /
+    :func:`dup_clusters_logstar` (dup-cluster members only — a tiny
+    fraction of the corpus); ``scores`` = ``(id, score)`` e.g. from
+    :func:`..textanalysis.quality_score`.  Output: one row per member,
+    ``(id, cluster, kept)`` — survivors of the full corpus are then
+    "everything not in members, plus members with kept".
+
+    100 TB shape: one hash join on ``id`` over the member set and one
+    window over ``cluster`` — only ``(id, cluster, score)`` triples
+    ever shuffle, never document bodies; both stages are bounded by
+    the duplicate population, not the corpus.
+    """
+    j = members.join(scores.select(id_col, score_col), on=id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        j.withColumn("__r", F.row_number().over(w))
+        .select(
+            id_col,
+            cluster_col,
+            (F.col("__r") == 1).alias("kept"),
+        )
+    )

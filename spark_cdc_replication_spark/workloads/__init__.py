@@ -86,6 +86,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "pii_scrub",
     # the never-green r8 debuts
     "similarity_pq_all",
+    "dedup_representatives",
     "dedup_containment",
     "events_drift_psi_daily",
     "events_drift_psi_served",
@@ -118,7 +119,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "events_tumbling_6h",
     "fuzzy_join_parts",
     "multimodal_features",
-    "multimodal_resize",
     "pivot_status_revenue",
     "q10_returned_revenue",
 )

@@ -271,6 +271,84 @@ def q_dedup_clusters_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters_logstar(verified.select("id_a", "id_b"))
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the ``dedup_clusters``
+    pipeline: cluster the two planted perturbation families, score
+    every cluster member with the composite quality signal, and keep
+    the BEST member per cluster (quality desc, id asc) instead of an
+    arbitrary one — the step that turns a duplicate report into a
+    corpus rewrite decision.  The perturbations move quality in a
+    checkable way (upper-casing kills stopword matches, tab/space
+    rewrites don't), so the oracle recomputes ground-truth clusters
+    from normalized-text equality AND the quality formula from its SQL
+    twin, then must agree on every keep/drop bit."""
+    from ..operators.dedup import select_representatives
+    from ..operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(near1).unionByName(near2)
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3).cache()
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.99)
+    verified = ngram_jaccard_pairs(
+        corpus, cands.select("id_a", "id_b"), n=3, min_jaccard=0.999
+    )
+    members = dup_clusters(verified.select("id_a", "id_b"))
+    scores = quality_score(corpus)
+    return select_representatives(members, scores)
+
+
+ORACLE_DEDUP_REPRESENTATIVES = f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+normed AS (
+  SELECT doc_id, {_norm_sql_of('text')} AS norm FROM planted
+  WHERE len(string_split_regex({_norm_sql_of('text')}, '\\s+')) >= 3
+),
+comp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS cluster_id,
+         count(*) OVER (PARTITION BY norm) AS n
+  FROM normed
+),
+members AS (
+  SELECT doc_id, cluster_id FROM comp WHERE n > 1
+),
+feats AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
+    coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
+             / nullif(len({_WORDS_SQL}), 0), 0) AS sr
+  FROM planted
+),
+scored AS (
+  SELECT m.doc_id, m.cluster_id,
+         round((least(f.n_tok / 100.0, 1.0)
+                + (1.0 - least(f.pr * 5.0, 1.0))
+                + least(f.sr * 4.0, 1.0)) / 3.0, 6) AS quality
+  FROM members m JOIN feats f USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS kept
+FROM scored
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over same-source candidate pairs.
 
@@ -2841,6 +2919,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_representatives": q_dedup_representatives,
     "dedup_clusters_logstar": q_dedup_clusters_logstar,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_verified": q_dedup_simhash_verified,
@@ -2914,6 +2993,7 @@ ORACLE = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_representatives": ORACLE_DEDUP_REPRESENTATIVES,
     "dedup_clusters_logstar": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash_verified": _ORACLE_PLANTED_DUP_PAIRS,
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

@@ -150,6 +150,32 @@ def test_ivf_int8_recall_vs_brute_force(spark, sf_dir):
     assert len(e & f8) / len(e) >= 0.9, "int8 rounding degraded full-probe recall"
 
 
+def test_select_representatives_keeps_best_with_deterministic_ties(spark):
+    from spark_cdc_replication_spark.operators.dedup import select_representatives
+
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: member 2 strictly best; cluster 10: exact tie ->
+        # lowest id wins; extra non-member score rows must be ignored
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.7), (11, 0.7), (99, 1.0)],
+        "doc_id long, quality double",
+    )
+    out = {
+        (r.doc_id, r.cluster_id): r.kept
+        for r in select_representatives(members, scores).collect()
+    }
+    assert out == {
+        (1, 1): False,
+        (2, 1): True,
+        (3, 1): False,
+        (10, 10): True,
+        (11, 10): False,
+    }
+
+
 def test_pq_refined_recall_vs_brute_force(spark, sf_dir):
     from spark_cdc_replication_spark.operators.similarity import (
         pq_codebooks,
