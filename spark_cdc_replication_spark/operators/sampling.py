@@ -10,6 +10,16 @@ The hash is the first 8 hex chars of ``md5(key)`` — cheap, uniform,
 and computable in ANSI SQL, which is what makes these operators
 oracle-checkable in DuckDB.
 
+Hash-space discipline: all SAMPLERS share the one unsalted
+``md5(key)`` space deliberately — that is what makes samples nested
+in rate and prefix-consistent across operators.  SPLIT assignment
+(:func:`split_assign`) hashes a namespaced key (``"split:" || key``)
+instead: if it shared the samplers' space, composing any sampler at
+rate r with a split whose train fraction >= r would leave val/test
+EMPTY (every surviving bucket already lies in the train range).
+:func:`corpus_shuffle` namespaces by its caller-supplied seed for the
+same reason.
+
 All pure native expressions (codegen'd, shuffle-free row filters /
 projections) except :func:`pack_greedy`, which is inherently
 sequential per group and uses ``applyInPandas``.
@@ -117,9 +127,14 @@ def mixture_sample(
     tagged = df.withColumn("__w", expr).filter(F.col("__w").isNotNull())
     counts = tagged.groupBy(strata_col, "__w").agg(F.count(F.lit(1)).alias("__n"))
     t = counts.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    # floor(x + 0.5), not floor(x): the limiting stratum's rate is
+    # exactly 1 in real arithmetic but its double rounds to
+    # 9999.999...8 for ~4% of stratum sizes, and plain truncation would
+    # silently drop that stratum's bucket-9999 rows — the same hazard
+    # _rate_cut documents (code review r8; SQL twin mirrors the +0.5).
     cuts = counts.join(F.broadcast(t)).select(
         strata_col,
-        F.floor(F.col("__w") * F.col("__t") / F.col("__n") * _BUCKETS).alias("__cut"),
+        F.floor(F.col("__w") * F.col("__t") / F.col("__n") * _BUCKETS + F.lit(0.5)).alias("__cut"),
     )
     return (
         tagged.join(F.broadcast(cuts), strata_col)
@@ -177,9 +192,10 @@ def temperature_mixture(
         w = F.pow(nn, F.lit(float(alpha)))
     weighted = counts.select(strata_col, "__n", w.alias("__w"))
     t = weighted.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    # floor(x + 0.5) — same double-rounding guard as mixture_sample.
     cuts = weighted.join(F.broadcast(t)).select(
         strata_col,
-        F.floor(F.col("__w") * F.col("__t") / F.col("__n") * _BUCKETS).alias("__cut"),
+        F.floor(F.col("__w") * F.col("__t") / F.col("__n") * _BUCKETS + F.lit(0.5)).alias("__cut"),
     )
     return (
         df.join(F.broadcast(cuts), strata_col)
@@ -227,8 +243,15 @@ def quality_band_sample(
     """
     if len(rates) != len(cuts) + 1:
         raise ValueError(f"need len(rates) == len(cuts)+1, got {len(rates)}/{len(cuts)}")
-    if list(cuts) != sorted(float(c) for c in cuts):
-        raise ValueError(f"cuts must be ascending, got {list(cuts)}")
+    # strictly ascending: a duplicated cut passes a sorted() check but
+    # creates an unreachable band whose rate is silently dead (first
+    # match wins) — reject it loudly instead (code review r8).
+    if not all(float(a) < float(b) for a, b in zip(cuts, cuts[1:])):
+        raise ValueError(f"cuts must be strictly ascending, got {list(cuts)}")
+    if band_col and band_col in df.columns:
+        raise ValueError(
+            f"band_col {band_col!r} already exists; rename or pass band_col=None"
+        )
     score = F.col(score_col)
     band = F.lit(len(cuts))
     rate = F.lit(float(rates[-1]))
@@ -254,9 +277,14 @@ def sample_k_per_group(
 
     One shuffle on the group key.  The window sorts each group; when a
     single group is huge AND k is tiny, pre-filter with
-    :func:`deterministic_sample` at a safe rate (>= ~10k/|group|) first
-    — hash order makes the two compose exactly (same order, earlier
-    cutoff), unlike random sampling.
+    :func:`hash_order_prefilter` at a safe rate (>= ~10k/|group|)
+    first — it keeps a PREFIX of the same (md5, key) order, so the
+    composition returns exactly the unfiltered top-k.  Do NOT
+    pre-filter with :func:`deterministic_sample`: its bucket is the
+    md5 prefix MODULO 10000, which scatters across hash order — the
+    survivors are a bucket subset, not an order prefix, and the
+    composed top-k silently differs from the unfiltered one (code
+    review r8).
     """
     w = Window.partitionBy(*group_cols).orderBy(
         F.md5(F.col(key_col).cast("string")), F.col(key_col)
@@ -266,6 +294,25 @@ def sample_k_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def hash_order_prefilter(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the hash-ORDER prefix of ~``rate`` of rows: filters on the
+    raw 32-bit md5-prefix value with NO modulo, so the survivor set is
+    exactly the first ~``rate`` fraction of ``(md5(key), key)`` order
+    — the order every rank-based operator here uses.  This is the
+    correct cheap pre-filter for :func:`sample_k_per_group` /
+    :func:`token_budget_sample` (same order, earlier cutoff);
+    :func:`deterministic_sample`'s bucket-mod filter is NOT (it keeps
+    a subset scattered uniformly across hash order).
+    """
+    cut = math.floor(float(rate) * float(2**32) + 0.5)
+    prefix = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.filter(prefix < cut)
 
 
 def token_budget_sample(
@@ -311,6 +358,12 @@ def token_budget_sample(
             "drop the existing one first"
         )
     h = F.md5(F.col(key_col).cast("string"))
+    # NULL text costs 0 tokens (kept, free) in BOTH ANSI and legacy
+    # modes: under legacy Spark size(NULL) is -1, which would make the
+    # running sum non-monotone and the kept set a non-prefix (code
+    # review r8); the greatest(coalesce(., 0), 0) pins 0 either way,
+    # and the SQL twin coalesces identically.
+    n_tok = F.greatest(F.coalesce(token_count(text_col), F.lit(0)), F.lit(0))
     # NULL strata: a plain equi-join on the stratum would silently drop
     # NULL-keyed rows (null != null), while the single-window semantics
     # this must match treat NULL as an ordinary group — join on a
@@ -318,7 +371,7 @@ def token_budget_sample(
     skey = F.coalesce(F.col(strata_col).cast("string"), F.lit("\x00<null>"))
     base = df.select(
         "*",
-        token_count(text_col).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         h.alias("__h"),
         F.substring(h, 1, bucket_chars).alias("__b"),
         skey.alias("__s"),
@@ -389,8 +442,27 @@ def split_assign(
     <= 1; any remainder falls into the LAST split (so (…, 1.0-eps)
     specs stay total).  A document never migrates between splits when
     data is added or re-ordered — the property RNG splits lack.
+
+    The bucket comes from a NAMESPACED key (``"split:" || key``), not
+    the samplers' shared hash space — see the module docstring: an
+    unsalted split correlates with every sampler and silently empties
+    val/test under composition (code review r8).  Rows with a NULL key
+    get a NULL split (an unaddressable row must not silently land in
+    the last-named split — typically ``test``); filter or key them
+    upstream.
     """
-    bucket = hash_bucket(key_col)
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    if any(float(w) < 0 for _, w in weights):
+        raise ValueError(f"split weights must be nonnegative: {list(weights)}")
+    total = sum(float(w) for _, w in weights)
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split weights must sum to <= 1 (got {total}): {list(weights)} — "
+            "an over-committed spec silently truncates later splits"
+        )
+    key = F.col(key_col)
+    bucket = hash_bucket(F.concat(F.lit("split:"), key.cast("string")))
     upper = 0.0
     expr: Column | None = None
     for name, w in weights[:-1]:
@@ -399,6 +471,7 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = weights[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    expr = F.when(key.isNull(), F.lit(None).cast("string")).otherwise(expr)
     return df.withColumn(out_col, expr)
 
 
@@ -431,48 +504,64 @@ def split_temporal(
     leak-free); filter or coalesce upstream if they must train.
     Shape: one codegen'd projection, zero shuffle, zero actions.
 
-    Cutoff literals are validated DRIVER-SIDE and fail fast: under
-    non-ANSI Spark a garbage literal casts to NULL, both comparisons
-    go NULL, and every row silently lands in ``embargo`` — a split
-    that trains on nothing instead of raising (code review r7).  An
-    out-of-order ``test_start < train_end`` is rejected for the same
-    reason: rows in ``[test_start, train_end)`` would label ``train``
-    while being at/after the test boundary — the leakage this
-    operator exists to prevent.
+    Cutoff literals are validated DRIVER-SIDE and fail fast — by
+    evaluating the EXACT plan expressions on a one-row frame with the
+    engine itself, not by re-parsing with Python (code review r7 +
+    r8): ``datetime.fromisoformat``'s grammar diverges from Spark's
+    cast grammar in both directions (it accepts compact forms Spark
+    rejects, rejects timezone suffixes Spark parses), so a Python-side
+    check both refuses valid input and lets through literals that cast
+    to NULL — under non-ANSI Spark a NULL cutoff makes both
+    comparisons NULL and every row silently lands in ``embargo``, a
+    split that trains on nothing.  The same evaluation yields the
+    resolved bounds, so an out-of-order ``test_start < train_end`` and
+    a net-NEGATIVE embargo (including compound intervals like
+    ``'1 day -25 hours'`` that no string check catches) are rejected
+    as one ``hi < lo`` rule: rows in ``[hi, lo)`` would label
+    ``train`` while being at/after the test boundary — the leakage
+    this operator exists to prevent.
     """
-    import datetime as _dt
-
-    def _parse(name: str, val: str) -> _dt.datetime:
-        try:
-            dt = _dt.datetime.fromisoformat(val)
-        except ValueError as exc:
-            raise ValueError(f"{name} is not a valid timestamp: {val!r}") from exc
-        # Normalize to a naive UTC instant so an aware literal can be
-        # ORDERED against a naive one: mixed naive/aware raised
-        # TypeError out of the < below instead of the contract's
-        # ValueError (ADVICE r7).  This only gates the driver-side
-        # sanity ordering; Spark parses the original literals.
-        if dt.tzinfo is not None:
-            dt = dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-        return dt
-
-    lo_dt = _parse("train_end", train_end)
     ts = F.col(ts_col)
     lo = F.lit(train_end).cast("timestamp")
     if test_start is not None and embargo is not None:
         raise ValueError("give test_start OR embargo, not both")
     if test_start is not None:
-        if _parse("test_start", test_start) < lo_dt:
-            raise ValueError(
-                f"test_start {test_start!r} is before train_end {train_end!r}"
-            )
         hi = F.lit(test_start).cast("timestamp")
     elif embargo is not None:
-        if embargo.lstrip().startswith("-"):
-            raise ValueError(f"embargo must be a nonnegative interval: {embargo!r}")
         hi = lo + F.expr(f"INTERVAL {embargo}")
     else:
         hi = lo
+
+    # One driver-side job over range(1) — no table scan — evaluating
+    # the very expressions the projection will use, so validation can
+    # never disagree with execution (ANSI raises here instead of
+    # mid-job; non-ANSI yields NULL and is caught explicitly).
+    try:
+        probe = df.sparkSession.range(1).select(
+            lo.alias("__lo"), hi.alias("__hi")
+        ).first()
+    except Exception as exc:  # ANSI cast/interval parse error
+        raise ValueError(
+            f"cutoff is not a valid timestamp/interval for this engine: "
+            f"train_end={train_end!r}, test_start={test_start!r}, "
+            f"embargo={embargo!r}"
+        ) from exc
+    if probe["__lo"] is None:
+        raise ValueError(f"train_end is not a valid timestamp: {train_end!r}")
+    if probe["__hi"] is None:
+        raise ValueError(
+            f"test_start/embargo is not a valid timestamp/interval: "
+            f"{test_start if test_start is not None else embargo!r}"
+        )
+    if probe["__hi"] < probe["__lo"]:
+        if embargo is not None:
+            raise ValueError(
+                f"embargo must be a nonnegative interval: {embargo!r} "
+                f"(resolves to {probe['__hi']} < train_end {probe['__lo']})"
+            )
+        raise ValueError(
+            f"test_start {test_start!r} is before train_end {train_end!r}"
+        )
     label = (
         F.when(ts < lo, F.lit("train"))
         .when(ts >= hi, F.lit("test"))
@@ -536,12 +625,20 @@ def pack_greedy(
     order = list(order_cols)
     tok = token_col
 
+    tiebreak = [c for c in id_cols if c not in order_cols]
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort")
+        # id_cols append as the tiebreak: a stable sort alone is only
+        # stable w.r.t. the nondeterministic Arrow-batch arrival order,
+        # so order_cols ties would give different pack_ids across runs
+        # (code review r8).
+        pdf = pdf.sort_values([*order, *tiebreak], kind="mergesort")
         ids = []
         pack_id, fill = 0, 0
         for t in pdf[tok].to_numpy():
-            t = int(t)
+            # NULL token counts cost 0 (same as pack_offsets, whose
+            # window sum skips NULLs) instead of crashing int(NaN).
+            t = 0 if pd.isna(t) else int(t)
             if fill > 0 and fill + t > budget:
                 pack_id += 1
                 fill = 0

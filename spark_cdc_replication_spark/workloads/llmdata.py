@@ -1539,10 +1539,18 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split")
 
 
+#: split_assign's bucket is NAMESPACED ("split:" || key) so sampling
+#: and splitting compose — see operators/sampling.py module docstring.
+_SPLIT_BUCKET_SQL = (
+    "(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT % 10000)"
+)
+
 ORACLE_SPLIT_ASSIGN = f"""
 SELECT doc_id,
-       CASE WHEN {_BUCKET_SQL} < 9000 THEN 'train'
-            WHEN {_BUCKET_SQL} < 9500 THEN 'val'
+       CASE WHEN doc_id IS NULL THEN NULL
+            WHEN {_SPLIT_BUCKET_SQL} < 9000 THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < 9500 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """
@@ -2201,7 +2209,7 @@ WITH tagged AS (
 ),
 counts AS (SELECT source, w, count(*) AS n FROM tagged GROUP BY 1, 2),
 t AS (SELECT min(n / w) AS t FROM counts),
-cuts AS (SELECT source, floor(w * t.t / n * 10000) AS cut FROM counts, t)
+cuts AS (SELECT source, floor(w * t.t / n * 10000 + 0.5) AS cut FROM counts, t)
 SELECT d.doc_id, d.source
 FROM tagged d JOIN cuts USING (source)
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
@@ -2244,7 +2252,7 @@ WITH tagged AS (
 counts AS (SELECT domain, count(*) AS n FROM tagged GROUP BY 1),
 w AS (SELECT domain, n, sqrt(CAST(n AS DOUBLE)) AS w FROM counts),
 t AS (SELECT min(n / w) AS t FROM w),
-cuts AS (SELECT domain, floor(w * t.t / n * 10000) AS cut FROM w, t)
+cuts AS (SELECT domain, floor(w * t.t / n * 10000 + 0.5) AS cut FROM w, t)
 SELECT d.doc_id, d.domain
 FROM tagged d JOIN cuts USING (domain)
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
@@ -2272,7 +2280,9 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_TOKEN_BUDGET = f"""
 WITH t AS (
   SELECT doc_id, source,
-         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS tok,
+         greatest(coalesce(
+           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END,
+           0), 0) AS tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ),

@@ -465,3 +465,67 @@ def test_temperature_mixture_flattens_and_is_deterministic(spark):
     assert full == {(i, s) for i, s in rows if s is not None}
     with pytest.raises(ValueError):
         temperature_mixture(df, alpha=1.5)
+
+
+def test_split_assign_composes_with_samplers_and_nullsafe(spark):
+    """The r8 namespacing fix: split_assign hashes 'split:'||key, so a
+    sampled corpus still populates EVERY split (with the samplers'
+    shared unsalted space, any sample rate <= train weight left
+    val/test literally empty); NULL keys get a NULL split instead of
+    silently landing in the last-named one; over-committed or empty
+    weight specs raise."""
+    import pytest
+
+    from spark_cdc_replication_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(4000)] + [(None,)], "doc_id long"
+    )
+    sampled = deterministic_sample(df.filter(F.col("doc_id").isNotNull()), 0.5)
+    counts = {
+        r["split"]: r["n"]
+        for r in split_assign(sampled)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # 0.98/0.01/0.01 split of a 0.5 bucket-sample: every split present
+    assert counts.get("train", 0) > 0
+    assert counts.get("val", 0) > 0, counts
+    assert counts.get("test", 0) > 0, counts
+
+    nulls = split_assign(df).filter(F.col("doc_id").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0]["split"] is None
+
+    with pytest.raises(ValueError, match="sum to <= 1"):
+        split_assign(df, weights=(("train", 0.7), ("val", 0.7), ("test", 0.1)))
+    with pytest.raises(ValueError, match="at least one"):
+        split_assign(df, weights=())
+
+
+def test_hash_order_prefilter_composes_with_k_per_group(spark):
+    """hash_order_prefilter keeps a PREFIX of (md5, key) order, so
+    top-k-per-group over the prefiltered frame equals the unfiltered
+    top-k exactly — the documented composition deterministic_sample
+    cannot provide (its bucket-mod survivors scatter across hash
+    order)."""
+    from spark_cdc_replication_spark.operators.sampling import (
+        hash_order_prefilter,
+        sample_k_per_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    full = {
+        (r.doc_id, r.source)
+        for r in sample_k_per_group(df, ["source"], k=5).collect()
+    }
+    pre = hash_order_prefilter(df, 0.05)
+    composed = {
+        (r.doc_id, r.source)
+        for r in sample_k_per_group(pre, ["source"], k=5).collect()
+    }
+    assert composed == full
