@@ -22,15 +22,27 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def ws_trimmed(col: str | Column) -> Column:
+    """Strip leading/trailing WHITESPACE (all of ``\\s``, not just the
+    space character ``trim`` handles): a doc ending in a newline —
+    nearly every real text file — would otherwise keep the ``\\n``,
+    and ``split('\\s+')`` keeps leading/trailing empties, producing a
+    phantom ''-token that inflates every raw-word stat (code review
+    r8).  SQL twin: ``regexp_replace(text, '^\\s+|\\s+$', '', 'g')``."""
+    return F.regexp_replace(_c(col), r"^\s+|\s+$", "")
+
+
 def words(col: str | Column) -> Column:
     """Whitespace tokenizer.  SQL twin:
-    ``string_split_regex(trim(text), '\\s+')`` (DuckDB)."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    ``string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+    '\\s+')`` (DuckDB)."""
+    return F.split(ws_trimmed(col), r"\s+")
 
 
 def token_count(col: str | Column) -> Column:
-    """Whitespace token count; blank text counts 0."""
-    return F.when(F.length(F.trim(_c(col))) == 0, F.lit(0)).otherwise(
+    """Whitespace token count; blank (incl. whitespace-only) text
+    counts 0."""
+    return F.when(F.length(ws_trimmed(col)) == 0, F.lit(0)).otherwise(
         F.size(words(col))
     )
 

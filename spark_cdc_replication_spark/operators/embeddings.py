@@ -56,8 +56,18 @@ def quantize_int8(
         F.col(id_col),
         F.size(x).alias("n_dims"),
         F.floor(scale * 1e6).cast("long").alias("scale_micro"),
+        # NULL elements stringify as 'null' BEFORE the join: concat_ws
+        # silently skips NULLs, so [1.0, NULL, 0.5] would fingerprint
+        # identically to [1.0, 0.5] — distinct vectors colliding on the
+        # "value-exact" fingerprint (code review r8).  The SQL twin
+        # coalesces identically.
         F.md5(
-            F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))
+            F.concat_ws(
+                ",",
+                F.transform(
+                    q, lambda v: F.coalesce(v.cast("string"), F.lit("null"))
+                ),
+            )
         ).alias("q_fp"),
     )
 
@@ -85,6 +95,16 @@ def project_random(
     """
     from ..functions.vectors import dot
 
+    if not planes:
+        raise ValueError("planes must be non-empty (got [])")
+    if len({len(p) for p in planes}) != 1:
+        raise ValueError(
+            f"planes must all have the same length, got {sorted({len(p) for p in planes})}"
+        )
+    # A plane length that mismatches the embedding dim cannot be
+    # checked driver-side (no action is taken here); zip_with pads the
+    # shorter array with NULLs and the dot goes NULL — visible, not
+    # silent, in proj_micro.
     comps = [
         F.floor(
             dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane])) * 1e6

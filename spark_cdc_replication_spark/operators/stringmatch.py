@@ -39,19 +39,25 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import ws_trimmed
+
 BlockFn = Callable[[Column], Column]
 
 
 def first_token(c: Column) -> Column:
-    """Blocking key: the first whitespace-delimited token."""
-    return F.split(F.trim(c), " ").getItem(0)
+    """Blocking key: the first whitespace-delimited token.  Splits on
+    ``\\s+`` like the text tokenizer — a literal-space split would
+    treat a tab/multi-space name as ONE giant token and silently miss
+    within-threshold pairs whose clean twin uses single spaces (code
+    review r8), in exactly the dirty/OCR'd data this module targets."""
+    return F.split(ws_trimmed(c), r"\s+").getItem(0)
 
 
 def last_token(c: Column) -> Column:
     """Blocking key: the last whitespace-delimited token — the cheap
     complement of :func:`first_token` (an edit that changes the first
     token almost never changes the last one too)."""
-    toks = F.split(F.trim(c), " ")
+    toks = F.split(ws_trimmed(c), r"\s+")
     return F.element_at(toks, -1)
 
 

@@ -21,6 +21,7 @@ from ..functions.text import (
     stopword_ratio,
     token_count,
     words,
+    ws_trimmed,
 )
 
 #: Tiny per-language marker-word lists for the n-gram/stopword
@@ -65,9 +66,15 @@ def quality_score(
 
     ``append=True`` keeps every input column so pipelines can chain
     row-wise feature operators into ONE projection over one scan
-    instead of re-scanning and joining per feature."""
+    instead of re-scanning and joining per feature.
+
+    NULL text scores exactly like EMPTY text (len 0 / punct 1 /
+    stop 0 -> quality 0.333): ``F.least`` skips NULL operands, so an
+    uncoalesced ``n_tok`` would hand NULL docs a PERFECT length score
+    — 0.667 overall, better than real mediocre documents (code review
+    r8).  The SQL twins coalesce identically."""
     n_tok = token_count(text_col)
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    len_score = F.least(F.coalesce(n_tok, F.lit(0)) / F.lit(100.0), F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(
         F.coalesce(punct_ratio(text_col), F.lit(0.0)) * 5.0, F.lit(1.0)
     )
@@ -602,14 +609,24 @@ def remove_repeated_lines(
     """
     import re
 
+    # NULL text splits as empty text — posexplode of a NULL array
+    # would emit no rows and the document would VANISH from the output
+    # (code review r8); it now survives as an empty document like any
+    # all-boilerplate one reassembles to.
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(text_col, re.escape(sep))).alias("__pos", "__line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
+        ).alias("__pos", "__line"),
     )
+    # Empty lines are STRUCTURE (paragraph breaks), never boilerplate:
+    # without the length guard, any corpus where >= min_docs documents
+    # contain one blank line turns '' into a "repeated line" and every
+    # paragraph break corpus-wide is deleted (code review r8).
     repeated = (
         lines.groupBy("__line")
         .agg(F.countDistinct(id_col).alias("__n"))
-        .filter(F.col("__n") >= min_docs)
+        .filter((F.col("__n") >= min_docs) & (F.length("__line") > 0))
         .select("__line")
     )
     if broadcast_removal:
@@ -658,8 +675,6 @@ def filter_corpus(
     by the composed oracles (text_filter_corpus / clean_corpus /
     prepare_corpus recompute every definition from first principles).
     """
-    from ..functions.text import count_matching, punct_ratio, STOPWORDS
-
     wr_expr = words(text_col)
     wn_expr = words(normalized(text_col))
     k = F.greatest(F.size(wn_expr) - F.lit(1), F.lit(0))
@@ -683,10 +698,10 @@ def filter_corpus(
     wr, wn, bg = F.col("__t.wr"), F.col("__t.wn"), F.col("__t.bg")
 
     # quality_score's composite, verbatim formulas over the attributes
-    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+    n_tok = F.when(F.length(ws_trimmed(text_col)) == 0, F.lit(0)).otherwise(
         F.size(wr)
     )
-    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    len_score = F.least(F.coalesce(n_tok, F.lit(0)) / F.lit(100.0), F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(
         F.coalesce(punct_ratio(text_col), F.lit(0.0)) * 5.0, F.lit(1.0)
     )

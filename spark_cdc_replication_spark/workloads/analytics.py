@@ -1423,8 +1423,8 @@ WITH probe AS (
 SELECT probe_id, p.p_partkey, probe_name, p_name,
        levenshtein(probe_name, p_name) AS distance
 FROM probe JOIN part p
-  ON (string_split(trim(probe_name), ' ')[1] = string_split(trim(p_name), ' ')[1]
-      OR string_split(trim(probe_name), ' ')[-1] = string_split(trim(p_name), ' ')[-1])
+  ON (string_split_regex(regexp_replace(probe_name, '^\\s+|\\s+$', '', 'g'), '\\s+')[1] = string_split_regex(regexp_replace(p_name, '^\\s+|\\s+$', '', 'g'), '\\s+')[1]
+      OR string_split_regex(regexp_replace(probe_name, '^\\s+|\\s+$', '', 'g'), '\\s+')[-1] = string_split_regex(regexp_replace(p_name, '^\\s+|\\s+$', '', 'g'), '\\s+')[-1])
  AND abs(length(probe_name) - length(p_name)) <= 2
 WHERE levenshtein(probe_name, p_name) <= 2
 """

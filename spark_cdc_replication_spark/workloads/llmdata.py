@@ -41,7 +41,7 @@ from ..operators.textanalysis import (
 
 _STOPLIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 #: DuckDB twin of functions.text.words / normalized
-_WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
+_WORDS_SQL = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
@@ -329,7 +329,7 @@ members AS (
 ),
 feats AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
     coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
     coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
              / nullif(len({_WORDS_SQL}), 0), 0) AS sr
@@ -337,7 +337,7 @@ feats AS (
 ),
 scored AS (
   SELECT m.doc_id, m.cluster_id,
-         round((least(f.n_tok / 100.0, 1.0)
+         round((least(coalesce(f.n_tok, 0) / 100.0, 1.0)
                 + (1.0 - least(f.pr * 5.0, 1.0))
                 + least(f.sr * 4.0, 1.0)) / 3.0, 6) AS quality
   FROM members m JOIN feats f USING (doc_id)
@@ -944,7 +944,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_STATS = f"""
 SELECT doc_id,
   length(text) AS n_chars,
-  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tokens,
+  CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tokens,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
   round(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 6) AS punct_ratio,
   round(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
@@ -962,17 +962,17 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_QUALITY_SCORE = f"""
 WITH feats AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
     coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
     coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
              / nullif(len({_WORDS_SQL}), 0), 0) AS sr
   FROM documents
 )
 SELECT doc_id,
-  round(least(n_tok / 100.0, 1.0), 6) AS len_score,
+  round(least(coalesce(n_tok, 0) / 100.0, 1.0), 6) AS len_score,
   round(1.0 - least(pr * 5.0, 1.0), 6) AS punct_score,
   round(least(sr * 4.0, 1.0), 6) AS stop_score,
-  round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+  round((least(coalesce(n_tok, 0) / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
 FROM feats
 """
 
@@ -997,17 +997,17 @@ def q_text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_RULES_SQL = f"""
 WITH feats AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_words,
+    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_words,
     list_sum(list_transform({_WORDS_SQL}, w -> length(w)))::DOUBLE
-      / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS mwl,
+      / nullif(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS mwl,
     len(regexp_extract_all(text, '#|\\.\\.\\.|…'))::DOUBLE
-      / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS sym_ratio,
+      / nullif(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS sym_ratio,
     len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
       / nullif(len(string_split(text, chr(10))), 0) AS bullet_frac,
     len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
       / nullif(len(string_split(text, chr(10))), 0) AS ellipsis_frac,
     len(list_filter({_WORDS_SQL}, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
-      / nullif(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS alpha_frac,
+      / nullif(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END, 0) AS alpha_frac,
     len(list_intersect(list_transform({_WORDS_SQL}, w -> lower(w)), [{{stops}}])) AS n_req_stops
   FROM documents
 )
@@ -1099,7 +1099,7 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LANG_STATS = f"""
 SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END) AS BIGINT) AS total_tokens
+       CAST(sum(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang, source
 """
@@ -1138,7 +1138,7 @@ WITH survivors AS (
 ),
 feats AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
     coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
     coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
              / nullif(len({_WORDS_SQL}), 0), 0) AS sr,
@@ -1147,7 +1147,7 @@ feats AS (
 ),
 scored AS (
   SELECT doc_id,
-    round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+    round((least(coalesce(n_tok, 0) / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
   FROM feats
 ),
 langed AS (
@@ -1511,7 +1511,7 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SAMPLE_QUALITY_WEIGHTED = f"""
 WITH feats AS (
   SELECT doc_id, source,
-    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
     coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
     coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
              / nullif(len({_WORDS_SQL}), 0), 0) AS sr
@@ -1519,7 +1519,7 @@ WITH feats AS (
 ),
 scored AS (
   SELECT doc_id, source,
-    round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+    round((least(coalesce(n_tok, 0) / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
   FROM feats
 )
 SELECT doc_id, source, quality FROM scored
@@ -2281,7 +2281,7 @@ ORACLE_SAMPLE_TOKEN_BUDGET = f"""
 WITH t AS (
   SELECT doc_id, source,
          greatest(coalesce(
-           CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END,
+           CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END,
            0), 0) AS tok,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
@@ -2510,10 +2510,10 @@ WITH s AS (
 SELECT vec_id, len(embedding) AS n_dims,
        CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_micro,
        md5(array_to_string(list_transform(embedding,
-           v -> CAST(CASE WHEN scale = 0 THEN 0
+           v -> coalesce(CAST(CASE WHEN scale = 0 THEN 0
                           ELSE CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale
                                           + 0.5) AS BIGINT)
-                     END AS VARCHAR)), ',')) AS q_fp
+                     END AS VARCHAR), 'null')), ',')) AS q_fp
 FROM s
 """
 
@@ -2641,7 +2641,8 @@ lines AS (
   )
 ),
 repeated AS (
-  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 3
+  SELECT line FROM lines WHERE line <> ''
+  GROUP BY line HAVING count(DISTINCT doc_id) >= 3
 )
 SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
 FROM lines
@@ -2680,7 +2681,7 @@ def _filter_kept_cte(src: str, min_words: int = 20) -> str:
     oracle, so the two can never drift apart."""
     return f"""feats AS (
   SELECT doc_id,
-    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
+    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0 ELSE len({_WORDS_SQL}) END AS n_tok,
     coalesce(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / nullif(length(text), 0), 0) AS pr,
     coalesce(len(list_filter({_WORDS_SQL}, w -> w IN ({_STOPLIST_SQL})))::DOUBLE
              / nullif(len({_WORDS_SQL}), 0), 0) AS sr,
@@ -2689,7 +2690,7 @@ def _filter_kept_cte(src: str, min_words: int = 20) -> str:
 ),
 scored AS (
   SELECT doc_id,
-    round((least(n_tok / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
+    round((least(coalesce(n_tok, 0) / 100.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality
   FROM feats
 ),
 langed AS (

@@ -490,3 +490,82 @@ def test_filter_corpus_matches_chained_feature_operators(spark):
     )
     want = {r.doc_id for r in feats.filter(keep).select("doc_id").collect()}
     assert got == want and got  # non-empty and identical
+
+
+def test_tokenizer_ignores_leading_trailing_whitespace(spark):
+    """r8 fix: trim() strips only spaces, so 'hello world\\n' used to
+    tokenize as ['hello','world',''] — a phantom empty token inflating
+    every raw-word stat; whitespace-only text must count 0 tokens."""
+    from spark_cdc_replication_spark.operators.textanalysis import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\tab cd"), (3, "\t \n"), (4, None)],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r.n_tokens for r in text_stats(df).collect()}
+    assert stats[1] == 2
+    assert stats[2] == 2
+    assert stats[3] == 0
+    assert stats[4] is None or stats[4] == 0
+
+
+def test_quality_score_null_text_scores_like_empty(spark):
+    """r8 fix: F.least skips NULLs, so NULL text used to get a perfect
+    len_score (quality 0.667, better than real mediocre docs); it must
+    score exactly like empty text."""
+    from spark_cdc_replication_spark.operators.textanalysis import quality_score
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.len_score, r.quality) for r in quality_score(df).collect()}
+    assert out[1] == out[2]
+    assert out[1][0] == 0.0
+
+
+def test_repeated_lines_keep_blanks_and_null_docs(spark):
+    """r8 fixes: blank lines are structure (never boilerplate, however
+    many docs contain one), and a NULL-text doc survives as empty
+    instead of vanishing from the output."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        remove_repeated_lines,
+    )
+
+    rows = [
+        (1, "keep me\n\nbody one"),
+        (2, "other\n\nbody two"),
+        (3, "third\n\nbody three"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in remove_repeated_lines(df, min_docs=3).collect()}
+    assert out[1] == "keep me\n\nbody one"  # blank line survives
+    assert out[4] == ""  # NULL doc present, as empty
+
+
+def test_quantize_fingerprint_distinguishes_null_elements(spark):
+    """r8 fix: concat_ws drops NULL elements, so [1.0, NULL, 0.5] used
+    to fingerprint identically to [1.0, 0.5]."""
+    from spark_cdc_replication_spark.operators.embeddings import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 0.5]), (2, [1.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.q_fp for r in quantize_int8(df).collect()}
+    assert out[1] != out[2]
+
+
+def test_fuzzy_block_keys_split_on_any_whitespace(spark):
+    """r8 fix: a literal-space split treated 'foo\\tbar' as ONE token,
+    so its clean single-space twin never became a candidate."""
+    from spark_cdc_replication_spark.operators.stringmatch import (
+        first_token,
+        last_token,
+    )
+
+    df = spark.createDataFrame([(1, "foo\tbar")], "id long, name string")
+    row = df.select(
+        first_token(F.col("name")).alias("f"), last_token(F.col("name")).alias("l")
+    ).first()
+    assert row.f == "foo" and row.l == "bar"
