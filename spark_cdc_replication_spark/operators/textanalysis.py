@@ -36,6 +36,95 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _bigram_array(wn: "F.Column") -> "F.Column":
+    """Per-row word-bigram array via ``zip_with(slice, slice)`` — NOT
+    ``transform(sequence, i -> element_at(w, i))``: the element_at
+    lambda references the words array once PER ELEMENT, so when
+    Catalyst inlines the alias the whole normalize+split re-runs per
+    element — O(len²) per doc, measured 77x on the composed quality
+    filter.  zip_with's array arguments evaluate ONCE per row however
+    the expression is inlined.  Shared by :func:`repetition_stats` and
+    :func:`filter_corpus` so the formulation can never drift between
+    them (:func:`bigram_logprob` builds PAIR STRUCTS instead, via
+    ``dedup._shingle_windows`` — same inlining-safety reasoning)."""
+    k = F.greatest(F.size(wn) - F.lit(1), F.lit(0))
+    return F.zip_with(
+        F.slice(wn, F.lit(1), k),
+        F.slice(wn, F.lit(2), k),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def _run_length_max(sorted_arr: "F.Column") -> "F.Column":
+    """Longest run of equal adjacent elements in a SORTED array — the
+    doc-local most-frequent-element count, as one codegen'd (prev,
+    run, best) aggregate scan; zero shuffle.  Elements must be
+    non-null (the bigram build's concat_ws guarantees it): x == prev
+    is null only at the first element, where the when() correctly
+    restarts the run at 1."""
+
+    def new_run(acc, x):
+        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            new_run(acc, x).alias("run"),
+            F.greatest(acc["best"], new_run(acc, x)).alias("best"),
+        ),
+    )["best"]
+
+
+def _lang_argmax(wn: "F.Column") -> tuple["F.Column", "F.Column"]:
+    """``(pred_lang, best_score)`` marker-word-ratio argmax over the
+    normalized token array, deterministic alphabetical tie-break,
+    'und' when nothing matches.  Shared by :func:`language_id` and
+    :func:`filter_corpus`."""
+    n = F.nullif(F.size(wn), F.lit(0))
+    scores = {
+        lang: count_matching(wn, markers) / n
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.coalesce(scores[l], F.lit(0.0)) for l in langs])
+    pred = F.lit("und")
+    # Reverse order so that on ties the alphabetically-first wins.
+    for lang in reversed(langs):
+        pred = F.when(
+            (best > 0) & (F.coalesce(scores[lang], F.lit(0.0)) == best),
+            F.lit(lang),
+        ).otherwise(pred)
+    return pred, best
+
+
+def _quality_composite(
+    text_col: str, wr: "F.Column"
+) -> tuple["F.Column", "F.Column", "F.Column", "F.Column"]:
+    """``(len_score, punct_score, stop_score, quality)`` — the
+    composite quality formulas over a caller-supplied raw-words array
+    (so barrier-materialized pipelines reuse their array instead of
+    re-tokenizing).  Shared by :func:`quality_score` and
+    :func:`filter_corpus`.  NULL text scores exactly like EMPTY text
+    — see :func:`quality_score`."""
+    n_tok = F.when(F.length(ws_trimmed(text_col)) == 0, F.lit(0)).otherwise(
+        F.size(wr)
+    )
+    len_score = F.least(F.coalesce(n_tok, F.lit(0)) / F.lit(100.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(
+        F.coalesce(punct_ratio(text_col), F.lit(0.0)) * 5.0, F.lit(1.0)
+    )
+    sw_ratio = count_matching(wr, STOPWORDS) / F.nullif(n_tok, F.lit(0))
+    stop_ok = F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 4.0, F.lit(1.0))
+    quality = F.round((len_score + punct_ok + stop_ok) / 3.0, 6)
+    return len_score, punct_ok, stop_ok, quality
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats: chars, whitespace tokens, BPE-ish tokens,
     punctuation ratio, stopword ratio, mean word length."""
@@ -73,15 +162,9 @@ def quality_score(
     uncoalesced ``n_tok`` would hand NULL docs a PERFECT length score
     — 0.667 overall, better than real mediocre documents (code review
     r8).  The SQL twins coalesce identically."""
-    n_tok = token_count(text_col)
-    len_score = F.least(F.coalesce(n_tok, F.lit(0)) / F.lit(100.0), F.lit(1.0))
-    punct_ok = F.lit(1.0) - F.least(
-        F.coalesce(punct_ratio(text_col), F.lit(0.0)) * 5.0, F.lit(1.0)
+    len_score, punct_ok, stop_ok, score = _quality_composite(
+        text_col, words(text_col)
     )
-    stop_ok = F.least(
-        F.coalesce(stopword_ratio(text_col), F.lit(0.0)) * 4.0, F.lit(1.0)
-    )
-    score = F.round((len_score + punct_ok + stop_ok) / 3.0, 6)
     cols = [
         F.round(len_score, 6).alias("len_score"),
         F.round(punct_ok, 6).alias("punct_score"),
@@ -119,21 +202,7 @@ def language_id(
     g = df.select(
         *keep, F.explode(F.array(words(normalized(text_col)))).alias("__lw")
     )
-    w = F.col("__lw")
-    n = F.nullif(F.size(w), F.lit(0))
-    scores = {
-        lang: count_matching(w, markers) / n
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.coalesce(scores[l], F.lit(0.0)) for l in langs])
-    pred = F.lit("und")
-    # Reverse order so that on ties the alphabetically-first wins.
-    for lang in reversed(langs):
-        pred = F.when(
-            (best > 0) & (F.coalesce(scores[lang], F.lit(0.0)) == best),
-            F.lit(lang),
-        ).otherwise(pred)
+    pred, best = _lang_argmax(F.col("__lw"))
     return g.select(
         *keep,
         pred.alias("pred_lang"),
@@ -178,47 +247,9 @@ def repetition_stats(
     base = df.select(*df.columns, w.alias("__w")) if append else df.select(
         F.col(id_col), w.alias("__w")
     )
-    # zip_with(slice, slice), NOT transform(sequence, i ->
-    # element_at(w, i)): the element_at lambda references the words
-    # array once PER ELEMENT, so when Catalyst inlines the alias
-    # (CollapseProject for single-use chains, and — the trap that bit
-    # this function — replaceAlias when a Filter is pushed through the
-    # projection) the whole normalize+split re-runs per element:
-    # O(len²) per doc, measured 77x on the composed quality filter.
-    # zip_with's array arguments are evaluated ONCE per row no matter
-    # how the expression is inlined; only the cheap lambda runs per
-    # element.
-    k = F.greatest(F.size("__w") - F.lit(1), F.lit(0))
-    bigrams = F.zip_with(
-        F.slice("__w", F.lit(1), k),
-        F.slice("__w", F.lit(2), k),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    # Run-length max over the sorted bigram array: (prev, run, best).
-    # Bigram strings are never null (concat_ws), so x == prev is null
-    # only at the first element, where the when() correctly restarts
-    # the run at 1.
-    def new_run(acc, x):
-        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-
     return (
-        base.withColumn("__bg_sorted", F.array_sort(bigrams))
-        .withColumn(
-            "__scan",
-            F.aggregate(
-                F.col("__bg_sorted"),
-                F.struct(
-                    F.lit(None).cast("string").alias("prev"),
-                    F.lit(0).alias("run"),
-                    F.lit(0).alias("best"),
-                ),
-                lambda acc, x: F.struct(
-                    x.alias("prev"),
-                    new_run(acc, x).alias("run"),
-                    F.greatest(acc["best"], new_run(acc, x)).alias("best"),
-                ),
-            ),
-        )
+        base.withColumn("__bg_sorted", F.array_sort(_bigram_array(F.col("__w"))))
+        .withColumn("__best", _run_length_max(F.col("__bg_sorted")))
         .select(
             *[c for c in base.columns if c != "__w"],
             F.size("__w").alias("n_words"),
@@ -227,8 +258,7 @@ def repetition_stats(
                 6,
             ).alias("distinct_word_frac"),
             F.round(
-                F.col("__scan")["best"]
-                / F.nullif(F.size("__bg_sorted"), F.lit(0)),
+                F.col("__best") / F.nullif(F.size("__bg_sorted"), F.lit(0)),
                 6,
             ).alias("top_bigram_frac"),
         )
@@ -677,12 +707,6 @@ def filter_corpus(
     """
     wr_expr = words(text_col)
     wn_expr = words(normalized(text_col))
-    k = F.greatest(F.size(wn_expr) - F.lit(1), F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(wn_expr, F.lit(1), k),
-        F.slice(wn_expr, F.lit(2), k),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
     g = df.select(
         "*",
         F.explode(
@@ -690,61 +714,24 @@ def filter_corpus(
                 F.struct(
                     wr_expr.alias("wr"),
                     wn_expr.alias("wn"),
-                    F.array_sort(bigrams).alias("bg"),
+                    F.array_sort(_bigram_array(wn_expr)).alias("bg"),
                 )
             )
         ).alias("__t"),
     )
     wr, wn, bg = F.col("__t.wr"), F.col("__t.wn"), F.col("__t.bg")
 
-    # quality_score's composite, verbatim formulas over the attributes
-    n_tok = F.when(F.length(ws_trimmed(text_col)) == 0, F.lit(0)).otherwise(
-        F.size(wr)
-    )
-    len_score = F.least(F.coalesce(n_tok, F.lit(0)) / F.lit(100.0), F.lit(1.0))
-    punct_ok = F.lit(1.0) - F.least(
-        F.coalesce(punct_ratio(text_col), F.lit(0.0)) * 5.0, F.lit(1.0)
-    )
-    sw_ratio = count_matching(wr, STOPWORDS) / F.nullif(n_tok, F.lit(0))
-    stop_ok = F.least(F.coalesce(sw_ratio, F.lit(0.0)) * 4.0, F.lit(1.0))
-    quality = F.round((len_score + punct_ok + stop_ok) / 3.0, 6)
-
-    # language_id's argmax with the same alphabetical tie-break
-    n = F.nullif(F.size(wn), F.lit(0))
-    scores = {
-        lang: count_matching(wn, markers) / n
-        for lang, markers in sorted(LANG_MARKERS.items())
-    }
-    best = F.greatest(*[F.coalesce(s, F.lit(0.0)) for s in scores.values()])
-    pred = F.lit("und")
-    for lang in reversed(sorted(LANG_MARKERS)):
-        pred = F.when(
-            (best > 0) & (F.coalesce(scores[lang], F.lit(0.0)) == best),
-            F.lit(lang),
-        ).otherwise(pred)
-
-    # repetition_stats' run-length max over the (pre-sorted) bigrams
-    def new_run(acc, x):
-        return F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-
-    scan = F.aggregate(
-        bg,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            new_run(acc, x).alias("run"),
-            F.greatest(acc["best"], new_run(acc, x)).alias("best"),
-        ),
-    )
+    # the standalone operators' formulas over the materialized
+    # attributes — shared helpers, so they can never drift
+    _, _, _, quality = _quality_composite(text_col, wr)
+    pred, _ = _lang_argmax(wn)
     n_words = F.size(wn)
     distinct_frac = F.round(
         F.size(F.array_distinct(wn)) / F.nullif(F.size(wn), F.lit(0)), 6
     )
-    top_bigram = F.round(scan["best"] / F.nullif(F.size(bg), F.lit(0)), 6)
+    top_bigram = F.round(
+        _run_length_max(bg) / F.nullif(F.size(bg), F.lit(0)), 6
+    )
 
     keep = (
         (quality >= min_quality)
