@@ -62,6 +62,8 @@ HEADLINE = [
     "pii_prevalence",
     "sample_mixture",
     "sample_token_budget",
+    "text_quality_calibrate_binned",
+    "pack_padding_waste",
     "embedding_quantize",
     "multimodal_features",
 ]

@@ -652,3 +652,144 @@ def pack_greedy(
         .groupBy(*[F.col(c) for c in part_cols])
         .applyInPandas(pack, out_schema)
     )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Per-group percentile calibration: ``percent_rank`` of the score
+    within its group — the curation step that makes one quality
+    threshold comparable ACROSS sources (each source's score
+    distribution differs, so a global cut over-prunes some sources and
+    under-prunes others; calibrating to within-source percentiles
+    equalizes the pruning pressure).
+
+    Ties share a rank deliberately (no id tie-break in the ORDER BY):
+    equal scores must calibrate identically, and rank() tie semantics
+    make the result deterministic without one.  NULL scores sort LAST
+    (``asc_nulls_last``, pinning Spark to DuckDB's default) and
+    therefore absorb the top percentiles — callers should coalesce or
+    pre-filter NULL scores; :func:`calibrate_scores_binned` instead
+    excludes them from the mass entirely.
+
+    Scale: one shuffle on ``group_col``, then each group is ONE sorted
+    task — exact percentile ranks need a total per-group order, so
+    this is the semantics-defining variant for group sizes up to one
+    executor's sort budget.  For web-scale groups use
+    :func:`calibrate_scores_binned` (same contract to 1/bins
+    resolution, no per-group sort).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc_nulls_last())
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def calibrate_scores_binned(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    out_col: str = "score_pct",
+) -> DataFrame:
+    """Broadcast-histogram ECDF calibration — the 100 TB path for
+    :func:`calibrate_scores`.
+
+    ``bin = clamp(floor((score - lo) * bins / (hi - lo)), 0, bins-1)``;
+    ``pct = (# group rows in strictly lower bins) / (# group rows)``.
+    Exactly defined (hence oracle-checkable), and within ``1/bins`` of
+    the exact percent_rank for in-range scores.  NULL scores get a
+    NULL ``out_col`` and contribute no mass.
+
+    Plan shape (the point): the fact table is scanned ONCE and never
+    shuffled — the histogram is a map-side-partial ``groupBy(group,
+    bin)`` whose result is bounded by ``|groups| * bins`` rows
+    regardless of corpus size; the running sum is a window over that
+    tiny frame; the calibrated percentile comes back via a BROADCAST
+    join on ``(group, bin)``.  Contrast the exact variant's
+    one-task-per-group sort.
+    """
+    span_bin = F.floor(
+        (F.col(score_col) - F.lit(float(lo))) * F.lit(int(bins)) / F.lit(float(hi - lo))
+    )
+    bin_col = F.when(
+        F.col(score_col).isNotNull(),
+        F.least(F.greatest(span_bin, F.lit(0)), F.lit(int(bins) - 1)).cast("int"),
+    )
+    binned = df.withColumn("__bin", bin_col)
+    hist = (
+        binned.filter(F.col("__bin").isNotNull())
+        .groupBy(group_col, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_run = Window.partitionBy(group_col).orderBy("__bin")
+    w_all = Window.partitionBy(group_col)
+    cum = hist.select(
+        F.col(group_col),
+        F.col("__bin"),
+        (F.sum("__c").over(w_run) - F.col("__c")).alias("__below"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    joined = binned.join(F.broadcast(cum), on=[group_col, "__bin"], how="left")
+    return joined.withColumn(
+        out_col, F.round(F.col("__below") / F.col("__n"), 6)
+    ).drop("__bin", "__below", "__n")
+
+
+def padding_waste(
+    df: DataFrame,
+    token_col: str,
+    caps: Sequence[int] = (16, 32, 64, 128, 256, 512),
+) -> DataFrame:
+    """Length-bucketing padding audit: how much training compute the
+    corpus wastes on pad tokens under power-of-two length bucketing
+    versus naive pad-to-max batching.
+
+    Each document is truncated to ``max(caps)`` tokens and assigned
+    the smallest cap that holds it; per cap the audit reports document
+    count, real tokens, pad tokens under bucketing (``cap - t``), pad
+    tokens under naive batching (``max_cap - t``), and the wasted
+    fraction of slots for both policies.  Documents with NULL or
+    non-positive token counts are excluded (nothing to pack).  All
+    integer arithmetic until the two final ratios, so the numbers are
+    engine-exact.
+
+    Scale: one codegen'd projection + a map-side-partial hash
+    aggregate to ``len(caps)`` rows; no joins, no windows, nothing
+    driver-side.
+    """
+    caps = sorted(int(c) for c in caps)
+    if not caps or caps[0] <= 0:
+        raise ValueError(f"caps must be positive, got {caps!r}")
+    mx = caps[-1]
+    t = F.least(F.col(token_col), F.lit(mx))
+    cap_expr: Column = F.lit(mx)
+    for c in reversed(caps[:-1]):
+        cap_expr = F.when(t <= c, F.lit(c)).otherwise(cap_expr)
+    return (
+        df.filter(F.col(token_col) > 0)
+        .select(t.alias("__t"), cap_expr.cast("long").alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("total_tokens"),
+            F.sum(F.col("bucket_cap") - F.col("__t")).alias("pad_bucketed"),
+            F.sum(F.lit(mx) - F.col("__t")).alias("pad_naive"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            "pad_bucketed",
+            "pad_naive",
+            F.round(
+                F.col("pad_bucketed") / (F.col("n_docs") * F.col("bucket_cap")), 6
+            ).alias("pad_frac_bucketed"),
+            F.round(F.col("pad_naive") / (F.col("n_docs") * F.lit(mx)), 6).alias(
+                "pad_frac_naive"
+            ),
+        )
+    )

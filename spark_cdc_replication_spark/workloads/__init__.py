@@ -35,21 +35,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   PII audit — the privacy family's SECOND oracle, so `pii_scrub`
 #:   finally has a rotation partner),
 #:   `sample_mixture_temperature` (UniMax-style alpha-flattening
-#:   with corpus-derived weights), and `events_drift_psi_daily`
-#:   (per-ingest-day PSI — the grouped monitor shape);
+#:   with corpus-derived weights), `events_drift_psi_daily`
+#:   (per-ingest-day PSI — the grouped monitor shape),
+#:   `text_quality_calibrate` + `text_quality_calibrate_binned`
+#:   (per-source percentile calibration: exact percent_rank defines
+#:   the semantics, the broadcast-histogram ECDF is the 100 TB path),
+#:   and `pack_padding_waste` (length-bucketing padding audit);
 #: * `text_gopher_flags` (green r7, would stay in bound) because its
 #:   SEMANTICS change this round — wc_ok/stop_ok become strictly
 #:   boolean for NULL docs (ADVICE r7) — so it re-earns a driver row
 #:   on the new flag surface, the dedup_semantic/text_bm25_topk r7
 #:   precedent;
-#: * 25 of the 49 queries last green in r6, chosen to hold every
+#: * 20 of the 49 queries last green in r6, chosen to hold every
 #:   family floor the groups above don't already cover (olap:
 #:   pivot_status_revenue; asof: asof_purchase_view; multimodal:
 #:   features/resize; contamination: text_contamination +
 #:   decontaminate_corpus; hygiene: clean_corpus; cdc/dedup/text:
-#:   plenty).  The 24 r6-greens left out (chunk_documents,
+#:   plenty).  The 27 r6-greens left out (chunk_documents,
 #:   corpus_shuffle, cube_revenue, embedding_label_centroids,
-#:   embedding_quantize,
+#:   embedding_quantize, events_tumbling_6h, fuzzy_join_parts,
+#:   q10_returned_revenue,
 #:   q18_large_orders, q1_pricing_summary, q21_waiting_supplier,
 #:   q3_shipping_priority, q5_local_supplier_volume, rollup_revenue,
 #:   sample_mixture, sample_quality_weighted, similarity_hybrid_rrf,
@@ -57,7 +62,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   text_lang_stats, text_repetition, text_stats,
 #:   text_unigram_logprob, tfidf_top_terms, top_orders_per_customer,
 #:   top_words) stay within the bound (8-6=2) and head the r9
-#:   must-rotate list.
+#:   must-rotate list (events_tumbling_6h, fuzzy_join_parts and
+#:   q10_returned_revenue were displaced late-r8 to seat the
+#:   text_quality_calibrate/_binned and pack_padding_waste debuts).
 #:
 #: The steady 3-round cycle over the ~118-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
@@ -93,6 +100,9 @@ GATE_WINDOW: tuple[str, ...] = (
     "pii_prevalence",
     "sample_mixture_temperature",
     "similarity_hard_negatives_ivf_all",
+    "text_quality_calibrate",
+    "text_quality_calibrate_binned",
+    "pack_padding_waste",
     # semantics changed this round (ADVICE r7 strict-boolean flags)
     "text_gopher_flags",
     # 24 last driver-green in r6, alphabetical (text_contamination was
@@ -116,11 +126,8 @@ GATE_WINDOW: tuple[str, ...] = (
     "dedup_shared_shingles",
     "events_session_window",
     "events_sessionize",
-    "events_tumbling_6h",
-    "fuzzy_join_parts",
     "multimodal_features",
     "pivot_status_revenue",
-    "q10_returned_revenue",
 )
 
 

@@ -1582,6 +1582,115 @@ FROM documents
 """
 
 
+def q_pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketing padding audit: per power-of-two sequence
+    bucket, how many pad tokens the corpus burns under bucketed
+    batching vs naive pad-to-max — the training-efficiency number a
+    packing budget is chosen against.  One scan, map-side-partial
+    aggregate to <= 6 rows; all-integer until the final ratios."""
+    from ..operators.sampling import padding_waste
+
+    from ..operators.textanalysis import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_stats(docs).select("doc_id", "n_bpe_tokens")
+    return padding_waste(toks, token_col="n_bpe_tokens")
+
+
+ORACLE_PACK_PADDING_WASTE = """
+WITH t AS (
+  SELECT len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok
+  FROM documents
+),
+c AS (SELECT least(n_tok, 512) AS t FROM t WHERE n_tok > 0),
+b AS (
+  SELECT t,
+         CASE WHEN t <= 16 THEN 16 WHEN t <= 32 THEN 32 WHEN t <= 64 THEN 64
+              WHEN t <= 128 THEN 128 WHEN t <= 256 THEN 256 ELSE 512 END AS bucket_cap
+  FROM c
+)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       count(*) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(sum(bucket_cap - t) AS BIGINT) AS pad_bucketed,
+       CAST(sum(512 - t) AS BIGINT) AS pad_naive,
+       round(CAST(sum(bucket_cap - t) AS BIGINT) / (count(*) * bucket_cap), 6) AS pad_frac_bucketed,
+       round(CAST(sum(512 - t) AS BIGINT) / (count(*) * 512), 6) AS pad_frac_naive
+FROM b GROUP BY bucket_cap
+"""
+
+
+def q_text_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile calibration of the composite quality
+    score (percent_rank within source) — makes ONE quality threshold
+    mean the same pruning pressure in every source.  This exact
+    variant defines the semantics (one sorted task per source);
+    ``text_quality_calibrate_binned`` is the no-per-group-sort path
+    the same pipeline runs at 100 TB."""
+    from ..operators.sampling import calibrate_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, append=True).select("doc_id", "source", "quality")
+    out = calibrate_scores(scored, "quality", "source", out_col="quality_pct")
+    return out.select("doc_id", "source", "quality", "quality_pct")
+
+
+#: doc_id/source/quality rows — ORACLE_QUALITY_SCORE joined back to
+#: documents for the source column, so the quality formula exists in
+#: exactly one SQL twin and the calibration oracles can never drift
+#: from ``text_quality_score``'s.
+_SCORED_BY_SOURCE_SQL = (
+    "SELECT d.doc_id, d.source, q.quality "
+    f"FROM documents d JOIN ({ORACLE_QUALITY_SCORE}) q ON d.doc_id = q.doc_id"
+)
+
+ORACLE_TEXT_QUALITY_CALIBRATE = f"""
+WITH s AS ({_SCORED_BY_SOURCE_SQL})
+SELECT doc_id, source, quality,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY quality ASC), 6)
+         AS quality_pct
+FROM s
+"""
+
+
+def q_text_quality_calibrate_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-histogram ECDF calibration — the scale path for
+    ``text_quality_calibrate``: bin the score into 256 buckets, build
+    a bounded per-(source, bin) histogram (map-side partials), running
+    sum over that tiny frame, broadcast the cut table back.  The
+    corpus is scanned once and never shuffled; exactly defined, so it
+    carries a full oracle rather than a recall floor."""
+    from ..operators.sampling import calibrate_scores_binned
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, append=True).select("doc_id", "source", "quality")
+    out = calibrate_scores_binned(
+        scored, "quality", "source", bins=256, out_col="quality_pct"
+    )
+    return out.select("doc_id", "source", "quality", "quality_pct")
+
+
+ORACLE_TEXT_QUALITY_CALIBRATE_BINNED = f"""
+WITH s AS ({_SCORED_BY_SOURCE_SQL}),
+b AS (
+  SELECT doc_id, source, quality,
+         CASE WHEN quality IS NULL THEN NULL
+              ELSE CAST(least(greatest(floor((quality - 0.0) * 256 / 1.0), 0), 255) AS INT)
+         END AS bin
+  FROM s
+),
+h AS (SELECT source, bin, count(*) AS c FROM b WHERE bin IS NOT NULL GROUP BY 1, 2),
+cum AS (
+  SELECT source, bin,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY bin) - c AS BIGINT) AS below,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM h
+)
+SELECT b.doc_id, b.source, b.quality, round(cum.below / cum.n, 6) AS quality_pct
+FROM b LEFT JOIN cum ON b.source = cum.source AND b.bin = cum.bin
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length distribution: exact linear-interpolation
     percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``,
@@ -2971,6 +3080,9 @@ QUERIES = {
     "sample_quality_weighted": q_sample_quality_weighted,
     "split_assign": q_split_assign,
     "pack_sequences": q_pack_sequences,
+    "pack_padding_waste": q_pack_padding_waste,
+    "text_quality_calibrate": q_text_quality_calibrate,
+    "text_quality_calibrate_binned": q_text_quality_calibrate_binned,
     "corpus_stats": q_corpus_stats,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
@@ -3036,6 +3148,9 @@ ORACLE = {
     "sample_quality_weighted": ORACLE_SAMPLE_QUALITY_WEIGHTED,
     "split_assign": ORACLE_SPLIT_ASSIGN,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "pack_padding_waste": ORACLE_PACK_PADDING_WASTE,
+    "text_quality_calibrate": ORACLE_TEXT_QUALITY_CALIBRATE,
+    "text_quality_calibrate_binned": ORACLE_TEXT_QUALITY_CALIBRATE_BINNED,
     "corpus_stats": ORACLE_CORPUS_STATS,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,

@@ -258,3 +258,22 @@ def test_corpus_removal_pipelines_broadcast_the_removal_set(spark, sf_dir):
     lined = remove_repeated_lines(docs, min_docs=3)
     lines = anti_join_lines(lined)
     assert lines and all("Broadcast" in ln for ln in lines), lines
+
+
+def test_calibrate_binned_broadcasts_cut_table_fact_unshuffled(spark, sf_dir):
+    """The binned calibration's 100 TB contract: the corpus side joins
+    the bounded (source, bin) cut table via BROADCAST — the fact
+    stream itself is never hash-exchanged.  Every Exchange in the plan
+    must belong to the tiny histogram branch (post-aggregate, operating
+    on <= |sources|*bins rows), so a regression that flips the join to
+    sort-merge (shuffling the full corpus) fails here long before it
+    shows up as a scale cliff."""
+    from spark_cdc_replication_spark.workloads import llmdata
+
+    plan = final_plan(llmdata.q_text_quality_calibrate_binned(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only hash exchanges feed the histogram aggregate/window branch
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "source" in ln, ln

@@ -529,3 +529,192 @@ def test_hash_order_prefilter_composes_with_k_per_group(spark):
         for r in sample_k_per_group(pre, ["source"], k=5).collect()
     }
     assert composed == full
+
+
+def test_calibrate_scores_matches_percent_rank_model(spark):
+    """Exact calibration == the percent_rank definition computed in
+    Python ((count of strictly-lower scores)/(n-1), ties share the
+    rank), NULL scores sort last (DuckDB's default, pinned Spark-side
+    with asc_nulls_last), and the result survives repartitioning."""
+    from spark_cdc_replication_spark.operators.sampling import calibrate_scores
+
+    rows = [
+        (1, "a", 0.2), (2, "a", 0.4), (3, "a", 0.4), (4, "a", 0.9),
+        (5, "a", None),
+        (6, "b", 0.5),
+        (7, "c", 0.1), (8, "c", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = {
+        r.doc_id: r.pct
+        for r in calibrate_scores(df, "score", "source", out_col="pct").collect()
+    }
+
+    by_group: dict[str, list[tuple[int, float]]] = {}
+    for doc_id, src, score in rows:
+        by_group.setdefault(src, []).append((doc_id, score))
+    for src, members in by_group.items():
+        n = len(members)
+        for doc_id, score in members:
+            if n == 1:
+                expect = 0.0
+            elif score is None:
+                # nulls-last: rank below every non-null and any
+                # earlier... all NULLs tie with each other
+                lower = sum(1 for _, s in members if s is not None)
+                expect = round(lower / (n - 1), 6)
+            else:
+                lower = sum(
+                    1 for _, s in members if s is not None and s < score
+                )
+                expect = round(lower / (n - 1), 6)
+            assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+    again = {
+        r.doc_id: r.pct
+        for r in calibrate_scores(
+            df.repartition(5), "score", "source", out_col="pct"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_calibrate_scores_binned_matches_ecdf_model(spark):
+    """Binned calibration == the Python model exactly (below-bin mass
+    / group size), NULL scores get NULL pct and contribute no mass,
+    out-of-range scores clamp into the edge bins, and within a source
+    the pct is monotone non-decreasing in score."""
+    from spark_cdc_replication_spark.operators.sampling import (
+        calibrate_scores_binned,
+    )
+
+    rows = [
+        (1, "a", 0.0), (2, "a", 0.1), (3, "a", 0.1001), (4, "a", 0.5),
+        (5, "a", 1.0), (6, "a", None), (7, "a", -0.3), (8, "a", 1.7),
+        (9, "b", 0.25), (10, "b", 0.75),
+    ]
+    bins = 16
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = calibrate_scores_binned(
+        df, "score", "source", bins=bins, out_col="pct"
+    ).collect()
+    got = {r.doc_id: r.pct for r in out}
+
+    import math
+
+    def model_bin(s):
+        if s is None:
+            return None
+        return min(max(math.floor(s * bins / 1.0), 0), bins - 1)
+
+    by_group: dict[str, list[tuple[int, int | None]]] = {}
+    for doc_id, src, score in rows:
+        by_group.setdefault(src, []).append((doc_id, model_bin(score)))
+    for src, members in by_group.items():
+        n = sum(1 for _, b in members if b is not None)
+        for doc_id, b in members:
+            if b is None:
+                assert got[doc_id] is None
+            else:
+                below = sum(
+                    1 for _, ob in members if ob is not None and ob < b
+                )
+                assert got[doc_id] == round(below / n, 6), (
+                    doc_id, got[doc_id], below, n,
+                )
+
+    # no __-prefixed helper columns leak
+    assert {c for c in out[0].asDict()} == {
+        "doc_id", "source", "score", "pct"
+    }
+
+
+def test_calibrate_binned_tracks_exact_on_fixture(spark, sf_dir):
+    """On the real corpus the binned ECDF obeys its provable envelope
+    against the exact percent_rank: with ls = strictly-lower scores,
+    lb = strictly-lower bins, c = own-bin occupancy, exact - binned =
+    (n*(ls - lb) + lb) / (n*(n-1)) with ls - lb in [0, c-1], so
+    0 <= exact - binned <= c_max/(n-1) per source.  This is the
+    resolution contract the scale path is sold on — the gap is
+    within-bin mass, NOT a flat 1/bins (tied/clustered scores widen
+    it) — and it guards the bin formula against clamp/off-by-one
+    regressions on real score distributions."""
+    from spark_cdc_replication_spark.fixtures import load_table
+    from spark_cdc_replication_spark.operators.sampling import (
+        calibrate_scores,
+        calibrate_scores_binned,
+    )
+    from spark_cdc_replication_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, append=True).select("doc_id", "source", "quality")
+    rows = scored.collect()
+    exact = {
+        r.doc_id: r.pct
+        for r in calibrate_scores(scored, "quality", "source", out_col="pct").collect()
+    }
+    binned = {
+        r.doc_id: r.pct
+        for r in calibrate_scores_binned(
+            scored, "quality", "source", bins=256, out_col="pct"
+        ).collect()
+    }
+    assert set(exact) == set(binned)
+
+    import math
+    from collections import Counter, defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    eps = 2e-6  # both sides round to 6 decimals
+    for src, members in by_src.items():
+        n = len(members)
+        occupancy = Counter(
+            min(max(math.floor(r.quality * 256), 0), 255) for r in members
+        )
+        bound = max(occupancy.values()) / (n - 1)
+        for r in members:
+            gap = exact[r.doc_id] - binned[r.doc_id]
+            assert -eps <= gap <= bound + eps, (src, r.doc_id, gap, bound)
+
+
+def test_padding_waste_buckets_truncation_and_exclusions(spark):
+    from spark_cdc_replication_spark.operators.sampling import padding_waste
+
+    rows = [
+        (1, 1), (2, 16), (3, 17), (4, 100), (5, 512), (6, 600),
+        (7, 0), (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {r.bucket_cap: r for r in padding_waste(df, "n_tok").collect()}
+
+    # 0-token and NULL-token docs are excluded entirely
+    assert sum(r.n_docs for r in out.values()) == 6
+    assert set(out) == {16, 32, 128, 512}
+    b16 = out[16]
+    assert b16.n_docs == 2 and b16.total_tokens == 17      # 1 + 16
+    assert b16.pad_bucketed == 15 and b16.pad_naive == 2 * 512 - 17
+    b32 = out[32]
+    assert b32.n_docs == 1 and b32.pad_bucketed == 32 - 17
+    b128 = out[128]
+    assert b128.pad_bucketed == 28 and b128.pad_naive == 412
+    # 600 truncates to 512: zero padding in its own bucket AND naive
+    b512 = out[512]
+    assert b512.n_docs == 2 and b512.total_tokens == 1024
+    assert b512.pad_bucketed == 0 and b512.pad_naive == 0
+    assert b512.pad_frac_bucketed == 0.0
+    assert b16.pad_frac_bucketed == round(15 / (2 * 16), 6)
+    assert b16.pad_frac_naive == round((2 * 512 - 17) / (2 * 512), 6)
+
+
+def test_padding_waste_rejects_bad_caps(spark):
+    import pytest
+
+    from spark_cdc_replication_spark.operators.sampling import padding_waste
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with pytest.raises(ValueError, match="positive"):
+        padding_waste(df, "n_tok", caps=())
+    with pytest.raises(ValueError, match="positive"):
+        padding_waste(df, "n_tok", caps=(0, 16))

@@ -45,7 +45,7 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "sample_",
         "split_assign",
         "split_temporal",
-        "pack_sequences",
+        "pack_",
         "corpus_shuffle",
     ),
     "privacy": ("pii_",),
