@@ -64,6 +64,7 @@ HEADLINE = [
     "sample_token_budget",
     "text_quality_calibrate_binned",
     "pack_padding_waste",
+    "embedding_separation",
     "embedding_quantize",
     "multimodal_features",
 ]

@@ -9,7 +9,7 @@ shuffle at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,4 +113,139 @@ def project_random(
     ]
     return df.select(
         F.col(id_col), F.posexplode(F.array(*comps)).alias("pos", "proj_micro")
+    )
+
+
+def label_separation(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-space class-separation audit: per label, how tightly
+    its vectors hug their own centroid (cohesion) versus how close the
+    nearest OTHER centroid sits (the rival) — the go/no-go check on an
+    embedding table before it is trusted for labeled retrieval,
+    hard-negative mining, or semantic dedup blocking.
+
+    Everything runs in exact integer micro-units so every output value
+    is oracle-hash-checkable, not just row counts: elements quantize
+    to ``floor(e * micro)`` BIGINTs, centroids to
+    ``floor(sum/n)`` BIGINTs, and all dot products / norms are
+    integer arithmetic — order-independent under any partitioning,
+    immune to float-summation drift.  The only float ops are the final
+    ``dot / (sqrt * sqrt)`` cosine (identical IEEE ops on identical
+    exact inputs in any engine) which is immediately re-quantized to
+    ``floor(cos * micro)``.  Magnitude budget: |e| < ~9000 fits —
+    per-term products stay under 2^63 across 64 dims.
+
+    Per label: ``n_vecs``, ``mean_cohesion_micro`` (mean over member
+    vectors of the micro-quantized cosine to the own-label centroid),
+    ``rival_label`` + ``rival_cos_micro`` (the other centroid with the
+    highest centroid-to-centroid cosine; ties break to the smaller
+    label — integer ordering, no float-tie hazard), and
+    ``margin_micro`` (cohesion minus rival cosine: positive = members
+    sit closer to home than the nearest rival class does).
+
+    Contract: NULL-label and NULL-vector rows are excluded (no class
+    to audit), as are zero-norm vectors (cosine undefined).  A label
+    whose CENTROID is the zero vector yields NULL cohesion/rival
+    cosine (visible, not silent).
+
+    Scale: one posexplode shuffle carrying (label, pos) longs with
+    map-side partial sums (the Lloyd-step shape); centroid arrays are
+    a bounded |labels|-row frame that BROADCASTS back onto the
+    members for the cohesion pass (the fact stream is never
+    re-shuffled beyond the per-label aggregate); the rival matrix is a
+    |labels|^2 nested-loop join of that same bounded frame — both
+    sides broadcast-small by the data model.
+    """
+    m = float(micro)
+    qv = (
+        df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("label"),
+            F.transform(
+                F.col(vec_col),
+                lambda e: F.floor(e.cast("double") * F.lit(m)).cast("long"),
+            ).alias("__qe"),
+        )
+    )
+
+    def idot(a: "F.Column", b: "F.Column") -> "F.Column":
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    qv = qv.filter(idot(F.col("__qe"), F.col("__qe")) > 0)
+
+    cent = (
+        qv.select("label", F.posexplode("__qe").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("__qsum"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "label",
+            "pos",
+            "__n",
+            F.floor(F.col("__qsum").cast("double") / F.col("__n")).cast("long").alias("cq"),
+        )
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))), lambda s: s["cq"]
+        ).alias("cv"),
+    )
+
+    def icos(a: "F.Column", b: "F.Column") -> "F.Column":
+        return idot(a, b).cast("double") / (
+            F.sqrt(F.nullif(idot(a, a), F.lit(0)).cast("double"))
+            * F.sqrt(F.nullif(idot(b, b), F.lit(0)).cast("double"))
+        )
+
+    coh = (
+        qv.join(F.broadcast(carr.select("label", "cv")), on="label")
+        .select(
+            "label",
+            F.floor(icos(F.col("__qe"), F.col("cv")) * F.lit(m)).cast("long").alias("__cm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("__cm").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_cohesion_micro"
+            ),
+        )
+    )
+
+    a = carr.select(F.col("label").alias("label"), F.col("cv").alias("cv_a"))
+    b = carr.select(F.col("label").alias("rival_label"), F.col("cv").alias("cv_b"))
+    pairs = a.join(F.broadcast(b), F.col("label") != F.col("rival_label")).select(
+        "label",
+        "rival_label",
+        F.floor(icos(F.col("cv_a"), F.col("cv_b")) * F.lit(m))
+        .cast("long")
+        .alias("rival_cos_micro"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("rival_cos_micro").desc_nulls_last(), F.col("rival_label").asc()
+    )
+    rival = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+    return coh.join(rival, on="label", how="left").select(
+        "label",
+        "n_vecs",
+        "mean_cohesion_micro",
+        "rival_label",
+        "rival_cos_micro",
+        F.round(
+            F.col("mean_cohesion_micro") - F.col("rival_cos_micro").cast("double"), 6
+        ).alias("margin_micro"),
     )

@@ -694,6 +694,7 @@ def calibrate_scores_binned(
     lo: float = 0.0,
     hi: float = 1.0,
     out_col: str = "score_pct",
+    checkpoint_input: bool = True,
 ) -> DataFrame:
     """Broadcast-histogram ECDF calibration — the 100 TB path for
     :func:`calibrate_scores`.
@@ -704,14 +705,33 @@ def calibrate_scores_binned(
     the exact percent_rank for in-range scores.  NULL scores get a
     NULL ``out_col`` and contribute no mass.
 
-    Plan shape (the point): the fact table is scanned ONCE and never
-    shuffled — the histogram is a map-side-partial ``groupBy(group,
-    bin)`` whose result is bounded by ``|groups| * bins`` rows
-    regardless of corpus size; the running sum is a window over that
-    tiny frame; the calibrated percentile comes back via a BROADCAST
-    join on ``(group, bin)``.  Contrast the exact variant's
+    Plan shape (the point): the fact stream is never shuffled — the
+    histogram is a map-side-partial ``groupBy(group, bin)`` whose
+    result is bounded by ``|groups| * bins`` rows regardless of corpus
+    size; the running sum is a window over that tiny frame; the
+    calibrated percentile comes back via a BROADCAST join on
+    ``(group, bin)``.  Contrast the exact variant's
     one-task-per-group sort.
+
+    The input is consumed TWICE (histogram build + calibrated
+    output), so by default it is materialized once via a deferred
+    ``localCheckpoint`` — without it, both branches re-evaluate the
+    caller's score expression, and a pushed-down NULL-bin filter
+    evaluated it a third time inside the histogram scan: measured
+    14.4 s -> ~5 s at sf1 on the quality-score query, i.e. the whole
+    binned path now costs the same one scoring pass the exact variant
+    pays (the ``prepare_corpus`` survivor-cut precedent).
+    ``localCheckpoint`` blocks are executor-local — on a cluster
+    where lost-executor recompute must be possible, pass
+    ``checkpoint_input=False`` and persist upstream with a
+    caller-owned lifecycle (then also keep the caller's score
+    expression cheap, because both branches will re-run it).  The
+    NULL-bin exclusion filters the AGGREGATED histogram (bounded
+    rows), never the input scan, so it can never push a third
+    evaluation into the scan either way.
     """
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=False)
     span_bin = F.floor(
         (F.col(score_col) - F.lit(float(lo))) * F.lit(int(bins)) / F.lit(float(hi - lo))
     )
@@ -721,9 +741,9 @@ def calibrate_scores_binned(
     )
     binned = df.withColumn("__bin", bin_col)
     hist = (
-        binned.filter(F.col("__bin").isNotNull())
-        .groupBy(group_col, "__bin")
+        binned.groupBy(group_col, "__bin")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__bin").isNotNull())
     )
     w_run = Window.partitionBy(group_col).orderBy("__bin")
     w_all = Window.partitionBy(group_col)
@@ -733,10 +753,29 @@ def calibrate_scores_binned(
         (F.sum("__c").over(w_run) - F.col("__c")).alias("__below"),
         F.sum("__c").over(w_all).alias("__n"),
     )
-    joined = binned.join(F.broadcast(cum), on=[group_col, "__bin"], how="left")
+    # NULL-safe on the GROUP key: a NULL group is a real stratum in
+    # the exact variant (window partitionBy groups NULLs together), so
+    # the binned path must calibrate it too, not orphan it to NULL pct.
+    # Plain equality on the BIN key: a NULL bin means a NULL score,
+    # which by contract contributes no mass and gets a NULL pct.
+    # Alias BOTH join keys on the cum side: cum derives from binned, so
+    # un-aliased column refs resolve to the same lineage attribute and
+    # Spark warns about (and may mis-resolve) a trivially-true predicate.
+    cum = cum.select(
+        F.col(group_col).alias("__g"),
+        F.col("__bin").alias("__gbin"),
+        "__below",
+        "__n",
+    )
+    joined = binned.join(
+        F.broadcast(cum),
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col("__bin") == F.col("__gbin")),
+        how="left",
+    ).drop("__gbin")
     return joined.withColumn(
         out_col, F.round(F.col("__below") / F.col("__n"), 6)
-    ).drop("__bin", "__below", "__n")
+    ).drop("__bin", "__below", "__n", "__g")
 
 
 def padding_waste(

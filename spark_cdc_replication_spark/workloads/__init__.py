@@ -40,18 +40,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   `text_quality_calibrate` + `text_quality_calibrate_binned`
 #:   (per-source percentile calibration: exact percent_rank defines
 #:   the semantics, the broadcast-histogram ECDF is the 100 TB path),
-#:   and `pack_padding_waste` (length-bucketing padding audit);
+#:   `pack_padding_waste` (length-bucketing padding audit), and
+#:   `embedding_separation` (per-label centroid cohesion vs nearest
+#:   rival centroid, exact integer micro-unit arithmetic end-to-end);
 #: * `text_gopher_flags` (green r7, would stay in bound) because its
 #:   SEMANTICS change this round — wc_ok/stop_ok become strictly
 #:   boolean for NULL docs (ADVICE r7) — so it re-earns a driver row
 #:   on the new flag surface, the dedup_semantic/text_bm25_topk r7
 #:   precedent;
-#: * 20 of the 49 queries last green in r6, chosen to hold every
+#: * 19 of the 49 queries last green in r6, chosen to hold every
 #:   family floor the groups above don't already cover (olap:
 #:   pivot_status_revenue; asof: asof_purchase_view; multimodal:
 #:   features/resize; contamination: text_contamination +
 #:   decontaminate_corpus; hygiene: clean_corpus; cdc/dedup/text:
-#:   plenty).  The 27 r6-greens left out (chunk_documents,
+#:   plenty).  The 28 r6-greens left out (cdc_json_flatten,
+#:   chunk_documents,
 #:   corpus_shuffle, cube_revenue, embedding_label_centroids,
 #:   embedding_quantize, events_tumbling_6h, fuzzy_join_parts,
 #:   q10_returned_revenue,
@@ -62,9 +65,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #:   text_lang_stats, text_repetition, text_stats,
 #:   text_unigram_logprob, tfidf_top_terms, top_orders_per_customer,
 #:   top_words) stay within the bound (8-6=2) and head the r9
-#:   must-rotate list (events_tumbling_6h, fuzzy_join_parts and
-#:   q10_returned_revenue were displaced late-r8 to seat the
-#:   text_quality_calibrate/_binned and pack_padding_waste debuts).
+#:   must-rotate list (events_tumbling_6h, fuzzy_join_parts,
+#:   q10_returned_revenue and cdc_json_flatten were displaced late-r8
+#:   to seat the text_quality_calibrate/_binned, pack_padding_waste
+#:   and embedding_separation debuts).
 #:
 #: The steady 3-round cycle over the ~118-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
@@ -103,6 +107,7 @@ GATE_WINDOW: tuple[str, ...] = (
     "text_quality_calibrate",
     "text_quality_calibrate_binned",
     "pack_padding_waste",
+    "embedding_separation",
     # semantics changed this round (ADVICE r7 strict-boolean flags)
     "text_gopher_flags",
     # 24 last driver-green in r6, alphabetical (text_contamination was
@@ -111,7 +116,6 @@ GATE_WINDOW: tuple[str, ...] = (
     "asof_purchase_view",
     "cdc_antijoin_survivors",
     "cdc_increment_append",
-    "cdc_json_flatten",
     "cdc_last_writer_wins",
     "cdc_merge_incremental",
     "cdc_raw_partition_stats",

@@ -1687,7 +1687,8 @@ cum AS (
   FROM h
 )
 SELECT b.doc_id, b.source, b.quality, round(cum.below / cum.n, 6) AS quality_pct
-FROM b LEFT JOIN cum ON b.source = cum.source AND b.bin = cum.bin
+FROM b LEFT JOIN cum
+  ON b.source IS NOT DISTINCT FROM cum.source AND b.bin = cum.bin
 """
 
 
@@ -2144,6 +2145,75 @@ SELECT label, pos, count(*) AS n,
        CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
          / count(*) AS centroid_micro
 FROM ex GROUP BY label, pos
+"""
+
+
+def q_embedding_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation audit over the labeled embedding table:
+    per-label centroid cohesion vs the nearest rival centroid, all in
+    exact integer micro-units so every VALUE (not just the ranking)
+    hash-checks against the oracle — see
+    ``operators.embeddings.label_separation``."""
+    from ..operators.embeddings import label_separation
+
+    return label_separation(load_table(spark, sf_dir, "embeddings"))
+
+
+#: integer dot product over micro-quantized BIGINT lists — exact, so
+#: summation order is irrelevant (the float-sum hazard the similarity
+#: oracles dodge by comparing ranks only does not exist here)
+_IDOT = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+_ICOS = (
+    f"CAST({_IDOT.format(a='{a}', b='{b}')} AS DOUBLE)"
+    " / (sqrt(CAST(nullif(" + _IDOT.format(a="{a}", b="{a}") + ", 0) AS DOUBLE))"
+    " * sqrt(CAST(nullif(" + _IDOT.format(a="{b}", b="{b}") + ", 0) AS DOUBLE)))"
+)
+
+ORACLE_EMBEDDING_SEPARATION = f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+qnz AS (
+  SELECT * FROM qv WHERE list_sum(list_transform(qe, x -> x * x)) > 0
+),
+ex AS (
+  SELECT label, generate_subscripts(qe, 1) - 1 AS pos, unnest(qe) AS q FROM qnz
+),
+cent AS (
+  SELECT label, pos, count(*) AS n,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM ex GROUP BY 1, 2
+),
+carr AS (
+  SELECT label, array_agg(cq ORDER BY pos) AS cv FROM cent GROUP BY label
+),
+coh AS (
+  SELECT q.label, count(*) AS n_vecs,
+         round(CAST(sum(CAST(floor(({_ICOS.format(a='q.qe', b='c.cv')})
+                                   * 1000000.0) AS BIGINT)) AS DOUBLE)
+               / count(*), 6) AS mean_cohesion_micro
+  FROM qnz q JOIN carr c ON q.label = c.label
+  GROUP BY q.label
+),
+pairs AS (
+  SELECT a.label, b.label AS rival_label,
+         CAST(floor(({_ICOS.format(a='a.cv', b='b.cv')})
+                    * 1000000.0) AS BIGINT) AS rival_cos_micro
+  FROM carr a JOIN carr b ON a.label <> b.label
+),
+rival AS (
+  SELECT label, rival_label, rival_cos_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY label
+                 ORDER BY rival_cos_micro DESC NULLS LAST, rival_label ASC) AS rk
+    FROM pairs) WHERE rk = 1
+)
+SELECT c.label, c.n_vecs, c.mean_cohesion_micro, r.rival_label, r.rival_cos_micro,
+       round(c.mean_cohesion_micro - CAST(r.rival_cos_micro AS DOUBLE), 6) AS margin_micro
+FROM coh c LEFT JOIN rival r ON c.label = r.label
 """
 
 
@@ -3074,6 +3144,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "text_bm25_topk": q_text_bm25_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
+    "embedding_separation": q_embedding_separation,
     "chunk_documents": q_chunk_documents,
     "sample_stratified": q_sample_stratified,
     "sample_k_per_source": q_sample_k_per_source,
@@ -3142,6 +3213,7 @@ ORACLE = {
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "text_bm25_topk": ORACLE_TEXT_BM25_TOPK,
     "embedding_label_centroids": ORACLE_EMBEDDING_LABEL_CENTROIDS,
+    "embedding_separation": ORACLE_EMBEDDING_SEPARATION,
     "chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
     "sample_k_per_source": ORACLE_SAMPLE_K_PER_SOURCE,

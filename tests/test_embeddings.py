@@ -105,3 +105,101 @@ def test_knn_label_majority_and_tie_break(spark):
     queries = df.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
     maj = knn_label(df, queries, k=4)
     assert [(r.query_id, r.label, r.votes) for r in maj.collect()] == [(0, 7, 2)]
+
+
+def test_label_separation_matches_integer_model(spark):
+    """label_separation == a Python model that mirrors the exact
+    integer micro-unit pipeline (quantize -> floored-mean centroid ->
+    integer dot/norm -> floor(cos*1e6) -> rounded mean), on a
+    handmade 2-cluster + noise-label layout; NULL-label, NULL-vector
+    and zero-norm rows are excluded; rival ties break to the smaller
+    label; a tight cluster's margin beats a spread one's."""
+    from spark_cdc_replication_spark.operators.embeddings import label_separation
+
+    rows = [
+        # label 0: tight cluster on +x
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [1.1, -0.1, 0.0], 0),
+        # label 1: spread cluster around +y
+        (4, [0.0, 1.0, 0.3], 1),
+        (5, [0.4, 0.8, -0.3], 1),
+        (6, [-0.4, 1.2, 0.0], 1),
+        # label 2: lone vector between the two
+        (7, [0.7, 0.7, 0.0], 2),
+        # excluded rows
+        (8, [0.5, 0.5, 0.5], None),
+        (9, None, 0),
+        (10, [0.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.label: r for r in label_separation(df).collect()}
+
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    M = 1_000_000
+
+    def quant(v):
+        return [math.floor(f32(e) * M) for e in v]
+
+    members = {}
+    for _, v, lab in rows:
+        if lab is None or v is None:
+            continue
+        q = quant(v)
+        if sum(x * x for x in q) == 0:
+            continue
+        members.setdefault(lab, []).append(q)
+
+    def centroid(vs):
+        n = len(vs)
+        return [math.floor(sum(col) / n) for col in zip(*vs)]
+
+    def cos(a, b):
+        na = math.sqrt(float(sum(x * x for x in a)))
+        nb = math.sqrt(float(sum(x * x for x in b)))
+        return float(sum(x * y for x, y in zip(a, b))) / (na * nb)
+
+    cents = {lab: centroid(vs) for lab, vs in members.items()}
+    assert set(got) == set(cents)
+    for lab, vs in members.items():
+        cms = [math.floor(cos(v, cents[lab]) * M) for v in vs]
+        exp_coh = round(sum(cms) / len(cms), 6)
+        rivals = sorted(
+            ((math.floor(cos(cents[lab], cents[o]) * M), o) for o in cents if o != lab),
+            key=lambda t: (-t[0], t[1]),
+        )
+        r = got[lab]
+        assert r.n_vecs == len(vs)
+        assert r.mean_cohesion_micro == exp_coh, (lab, r.mean_cohesion_micro, exp_coh)
+        assert (r.rival_cos_micro, r.rival_label) == rivals[0], (lab, r)
+        assert r.margin_micro == round(exp_coh - rivals[0][0], 6)
+
+    # semantics: the tight cluster coheres harder than the spread one
+    assert got[0].mean_cohesion_micro > got[1].mean_cohesion_micro
+    # label 2 sits between 0 and 1: its rival cosine is the largest
+    assert got[2].rival_cos_micro >= max(got[0].rival_cos_micro, got[1].rival_cos_micro)
+
+
+def test_label_separation_rival_tie_breaks_to_smaller_label(spark):
+    from spark_cdc_replication_spark.operators.embeddings import label_separation
+
+    # labels 1 and 2 are IDENTICAL clusters: label 0's rival cosine to
+    # each is the same integer, so the tie must break to label 1.
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 1.0], 1),
+        (5, [0.0, 1.0], 2), (6, [0.1, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.label: r for r in label_separation(df).collect()}
+    assert got[0].rival_label == 1
+    # identical clusters see each other at cos ~= 1; floor-quantization
+    # may land at 999999 when sqrt(d)*sqrt(d) rounds a hair above d —
+    # deterministic (same IEEE ops both engines), so pin the floor
+    assert got[1].rival_label == 2 and got[1].rival_cos_micro >= 999_999

@@ -592,6 +592,9 @@ def test_calibrate_scores_binned_matches_ecdf_model(spark):
         (1, "a", 0.0), (2, "a", 0.1), (3, "a", 0.1001), (4, "a", 0.5),
         (5, "a", 1.0), (6, "a", None), (7, "a", -0.3), (8, "a", 1.7),
         (9, "b", 0.25), (10, "b", 0.75),
+        # NULL group is a REAL stratum (matches the exact variant's
+        # window-partition semantics) — needs the null-safe group join
+        (11, None, 0.2), (12, None, 0.9),
     ]
     bins = 16
     df = spark.createDataFrame(rows, "doc_id long, source string, score double")
