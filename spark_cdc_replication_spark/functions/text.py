@@ -22,14 +22,25 @@ def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: Exactly Java regex ``\s`` (no UNICODE_CHARACTER_CLASS): space, tab,
+#: LF, vertical tab, form feed, CR — the set ``btrim`` strips below.
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
 def ws_trimmed(col: str | Column) -> Column:
     """Strip leading/trailing WHITESPACE (all of ``\\s``, not just the
     space character ``trim`` handles): a doc ending in a newline —
     nearly every real text file — would otherwise keep the ``\\n``,
     and ``split('\\s+')`` keeps leading/trailing empties, producing a
     phantom ''-token that inflates every raw-word stat (code review
-    r8).  SQL twin: ``regexp_replace(text, '^\\s+|\\s+$', '', 'g')``."""
-    return F.regexp_replace(_c(col), r"^\s+|\s+$", "")
+    r8).  Implemented as ``btrim`` over the ``\\s`` character set — a
+    JVM intrinsic touching only the string ends — because the first
+    cut's ``regexp_replace(text, '^\\s+|\\s+$', '')`` scanned (and
+    backtracked) the FULL text of every document: measured 1.6x on a
+    pure token-count scan at sf1, and it is on the hot path of every
+    raw-word stat.  SQL twin (oracle side, equivalent on ``\\s``):
+    ``regexp_replace(text, '^\\s+|\\s+$', '', 'g')``."""
+    return F.btrim(_c(col), F.lit(_WS_CHARS))
 
 
 def words(col: str | Column) -> Column:
