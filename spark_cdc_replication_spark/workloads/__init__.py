@@ -18,120 +18,94 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-8 window (every name must carry a full rows+schema+hash
+#: Round-9 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 17 queries whose last driver-green row is r5 — at the
-#:   staleness bound (VERDICT r7 "next" #1, the tripwire test's red);
-#: * `pii_scrub` (green r7 but the ONLY privacy-family oracle, and
-#:   the family floor is enforced in-window, so it never rotates out);
-#: * the six r8 debuts (never-green oracles must be in-window: a new
-#:   oracle earns its first driver row next round):
-#:   `similarity_hard_negatives_ivf_all`, `events_drift_psi_served`,
-#:   `dedup_containment` (directional n-gram containment — the
-#:   quote/doc-in-doc modality), `pii_prevalence` (corpus-level
-#:   PII audit — the privacy family's SECOND oracle, so `pii_scrub`
-#:   finally has a rotation partner),
-#:   `sample_mixture_temperature` (UniMax-style alpha-flattening
-#:   with corpus-derived weights), `events_drift_psi_daily`
-#:   (per-ingest-day PSI — the grouped monitor shape),
-#:   `text_quality_calibrate` + `text_quality_calibrate_binned`
-#:   (per-source percentile calibration: exact percent_rank defines
-#:   the semantics, the broadcast-histogram ECDF is the 100 TB path),
-#:   `pack_padding_waste` (length-bucketing padding audit), and
-#:   `embedding_separation` (per-label centroid cohesion vs nearest
-#:   rival centroid, exact integer micro-unit arithmetic end-to-end);
-#: * `text_gopher_flags` (green r7, would stay in bound) because its
-#:   SEMANTICS change this round — wc_ok/stop_ok become strictly
-#:   boolean for NULL docs (ADVICE r7) — so it re-earns a driver row
-#:   on the new flag surface, the dedup_semantic/text_bm25_topk r7
-#:   precedent;
-#: * 19 of the 49 queries last green in r6, chosen to hold every
-#:   family floor the groups above don't already cover (olap:
-#:   pivot_status_revenue; asof: asof_purchase_view; multimodal:
-#:   features/resize; contamination: text_contamination +
-#:   decontaminate_corpus; hygiene: clean_corpus; cdc/dedup/text:
-#:   plenty).  The 28 r6-greens left out (cdc_json_flatten,
-#:   chunk_documents,
-#:   corpus_shuffle, cube_revenue, embedding_label_centroids,
-#:   embedding_quantize, events_tumbling_6h, fuzzy_join_parts,
-#:   q10_returned_revenue,
-#:   q18_large_orders, q1_pricing_summary, q21_waiting_supplier,
-#:   q3_shipping_priority, q5_local_supplier_volume, rollup_revenue,
-#:   sample_mixture, sample_quality_weighted, similarity_hybrid_rrf,
-#:   similarity_topk, split_assign, text_fingerprints,
-#:   text_lang_stats, text_repetition, text_stats,
-#:   text_unigram_logprob, tfidf_top_terms, top_orders_per_customer,
-#:   top_words) stay within the bound (8-6=2) and head the r9
-#:   must-rotate list (events_tumbling_6h, fuzzy_join_parts,
-#:   q10_returned_revenue and cdc_json_flatten were displaced late-r8
-#:   to seat the text_quality_calibrate/_binned, pack_padding_waste
-#:   and embedding_separation debuts).
+#: * the 30 queries whose last driver-green row is r6 — at the
+#:   staleness bound, the exact list the r8 tripwire went red on
+#:   (VERDICT r8 "next" #1): mandatory, all in;
+#: * `pii_scrub` — the privacy family floor is enforced in-window;
+#:   its r8 partner `pii_prevalence` (green r8) holds the bound until
+#:   r10 and rotates back in then, so the two alternate;
+#: * ONE debut (never-green oracles must be in-window):
+#:   `similarity_ivfpq_all` — the hash-green bound on the COMPOSED
+#:   IVF-PQ serve path (VERDICT r8 "next" #6: nprobe = num_centroids
+#:   + exact codebooks + corpus-spanning overfetch ⇒ must reproduce
+#:   brute force, checked against the `similarity_topk` oracle);
+#:   the r8 verdict asked for at most 1-2 debuts and named this one
+#:   the natural candidate if a slot freed up — exactly one did;
+#: * 18 of the 48 queries last green in r7, pulled forward so r10's
+#:   mandatory list stays at 30 (= 48 - 18), chosen to hold the
+#:   family floors the rows above don't cover (asof:
+#:   asof_forward_tolerance; hygiene: prepare_corpus; dedup: the
+#:   corpus/minhash/semantic/simhash verified variants; plus five cdc
+#:   and the approx/retention/decile analytics).  The 30 r7-greens
+#:   left out stay within the bound (10-7=3 would breach, but they
+#:   green in r10's window — they ARE r10's mandatory list).
 #:
-#: The steady 3-round cycle over the ~118-oracle registry: each
+#: The steady 3-round cycle over the ~129-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r5 (17)
-    "customer_retention_setops",
-    "events_hopping_6h_2h",
-    "profile_orders",
-    "q11_important_part_value",
-    "q12_ship_priority_dist",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q20_dominant_suppliers",
-    "q22_sales_opportunity",
-    "q7_volume_shipping",
-    "sample_k_per_source",
-    "similarity_lsh_all",
-    "yoy_customer_diff",
-    # privacy family floor (sole oracle in family)
+    # at the staleness bound — last driver-green r6 (30, mandatory)
+    "cdc_json_flatten",
+    "chunk_documents",
+    "corpus_shuffle",
+    "cube_revenue",
+    "embedding_label_centroids",
+    "embedding_quantize",
+    "events_tumbling_6h",
+    "fuzzy_join_parts",
+    "multimodal_resize",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rollup_revenue",
+    "sample_mixture",
+    "sample_quality_weighted",
+    "similarity_hybrid_rrf",
+    "similarity_topk",
+    "split_assign",
+    "text_contamination",
+    "text_fingerprints",
+    "text_lang_stats",
+    "text_repetition",
+    "text_stats",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "top_orders_per_customer",
+    "top_words",
+    # privacy family floor (alternates with pii_prevalence, green r8)
     "pii_scrub",
-    # the never-green r8 debuts
-    "similarity_pq_all",
-    "dedup_representatives",
-    "dedup_containment",
-    "events_drift_psi_daily",
-    "events_drift_psi_served",
-    "pii_prevalence",
-    "sample_mixture_temperature",
-    "similarity_hard_negatives_ivf_all",
-    "text_quality_calibrate",
-    "text_quality_calibrate_binned",
-    "pack_padding_waste",
-    "embedding_separation",
-    # semantics changed this round (ADVICE r7 strict-boolean flags)
-    "text_gopher_flags",
-    # 24 last driver-green in r6, alphabetical (text_contamination was
-    # displaced late-r8 to seat the similarity_pq_all debut; it joins
-    # the r9 must-rotate list)
-    "asof_purchase_view",
-    "cdc_antijoin_survivors",
-    "cdc_increment_append",
-    "cdc_last_writer_wins",
-    "cdc_merge_incremental",
-    "cdc_raw_partition_stats",
-    "cdc_snapshot_merge",
-    "clean_corpus",
-    "decontaminate_corpus",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_shared_shingles",
-    "events_session_window",
-    "events_sessionize",
-    "multimodal_features",
-    "pivot_status_revenue",
+    # the one r9 debut (never-green oracles must be in-window)
+    "similarity_ivfpq_all",
+    # 18 last driver-green in r7, alphabetical — pulled forward so the
+    # r10 mandatory list stays at 30; covers the asof / hygiene /
+    # dedup family floors
+    "approx_distinct_bound",
+    "approx_percentile_bound",
+    "asof_forward_tolerance",
+    "cdc_coalesce_updates",
+    "cdc_name_sanitize",
+    "cdc_route_ops",
+    "cdc_snapshot_asof",
+    "cdc_union_dedup",
+    "cohort_retention",
+    "corpus_stats",
+    "customer_deciles",
+    "daily_revenue_trend",
+    "decontaminate_fuzzy",
+    "dedup_corpus",
+    "dedup_minhash_verified",
+    "dedup_semantic",
+    "dedup_simhash_verified",
+    "prepare_corpus",
 )
 
 

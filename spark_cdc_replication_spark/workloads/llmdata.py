@@ -906,6 +906,40 @@ def q_similarity_pq_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_similarity_ivfpq_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the COMPOSED IVF-PQ serve path (VERDICT r8
+    "next" #6, the ``similarity_hard_negatives_ivf_all`` precedent):
+    ``nprobe = num_centroids`` probes every cell (no candidate excluded
+    by cell selectivity), ``pq_codebooks_exact`` reconstructs every
+    vector exactly (ADC == exact cosine), and the shortlist overfetches
+    the whole corpus (``k * overfetch >= |corpus|``) — so the combined
+    probe + broadcast cell join + pair-ADC scoring + shortlist window +
+    exact refine must reproduce brute force EXACTLY, driver-checked
+    against the ``similarity_topk`` oracle.  What stays approximate in
+    the production config (cell selectivity, trained-codebook
+    quantization) is covered by the rows-only ``similarity_ivfpq_topk``
+    entry + its pytest recall floor and degenerate-exactness test.
+    Certification-only (exact codebooks collect the fixture corpus,
+    never a production path — see ``pq_codebooks_exact``); stays out of
+    the bench headline like the other ``*_all`` bounds."""
+    from ..operators.similarity import ivfpq_topk, pq_codebooks_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = _ivf_index(spark, sf_dir, emb)
+    books = pq_codebooks_exact(emb)
+    n = emb.count()  # scalar: sizes the lossless overfetch
+    out = ivfpq_topk(
+        emb,
+        _queries_df(spark, sf_dir),
+        cents,
+        books,
+        k=10,
+        nprobe=len(cents),
+        overfetch=-(-n // 10),
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 ORACLE_SIMILARITY_IVF_INT8_ALL = """
 WITH codes AS (
   SELECT vec_id,
@@ -3132,6 +3166,7 @@ QUERIES = {
     "similarity_pq_topk": q_similarity_pq_topk,
     "similarity_pq_all": q_similarity_pq_all,
     "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
+    "similarity_ivfpq_all": q_similarity_ivfpq_all,
     "text_stats": q_text_stats,
     "text_quality_score": q_quality_score,
     "text_gopher_flags": q_text_gopher_flags,
@@ -3202,6 +3237,7 @@ ORACLE = {
     "similarity_ivf_all": ORACLE_SIMILARITY_TOPK,
     "similarity_ivf_int8_all": ORACLE_SIMILARITY_IVF_INT8_ALL,
     "similarity_pq_all": ORACLE_SIMILARITY_TOPK,
+    "similarity_ivfpq_all": ORACLE_SIMILARITY_TOPK,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality_score": ORACLE_QUALITY_SCORE,
     "text_gopher_flags": ORACLE_TEXT_GOPHER_FLAGS,
