@@ -22,7 +22,10 @@ same reason.
 
 All pure native expressions (codegen'd, shuffle-free row filters /
 projections) except :func:`pack_greedy`, which is inherently
-sequential per group and uses ``applyInPandas``.
+sequential per group and uses ``applyInPandas``, and the DSIR pair
+(:func:`importance_weights` / :func:`sample_importance`), whose
+bucket-count aggregates shuffle — map-side-partial and
+``num_buckets``-bounded, documented on the operators.
 """
 
 from __future__ import annotations
@@ -831,4 +834,181 @@ def padding_waste(
                 "pad_frac_naive"
             ),
         )
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document in ``df`` (the raw corpus) by how much more
+    likely its tokens are under a small TARGET corpus's unigram model
+    than under the raw corpus's own — the published recipe for
+    steering a web-scale crawl toward a quality exemplar without
+    training a classifier.
+
+    Tokens hash into ``num_buckets`` buckets (the paper's hashed
+    feature space — what bounds the model at any corpus size;
+    namespaced ``"dsir:" || token`` per the module's hash-space
+    discipline), both corpora reduce to ``<= num_buckets`` Laplace-
+    smoothed bucket counts, and
+
+    ``lam_micro(b) = floor(1e6*ln((c_t(b)+1)/(N_t+B)))
+                   - floor(1e6*ln((c_r(b)+1)/(N_r+B)))``
+
+    Per doc: ``weight_micro = sum over token occurrences of
+    lam_micro(bucket(token))`` — exact BIGINTs end-to-end (the
+    micro-unit trick from ``unigram_logprob``), so the distributed
+    sums are order-independent and engine-reproducible; the log
+    importance weight is ``weight_micro / 1e6``.
+
+    Output: ``(id_col, n_tokens, weight_micro)`` — one row per raw
+    doc, including docs whose every bucket is target-unseen (smoothing
+    keeps the ratio finite).
+
+    Scale shape (the ``unigram_logprob`` pattern): one token explode
+    per counted corpus feeding ``groupBy`` aggregates with map-side
+    partials — the two bucket-count tables enter their shuffles as
+    ``<= num_buckets x partitions`` partial rows; the per-doc tf
+    relation shuffles ``(id, bucket)``-bounded rows, never a
+    per-token window; the joined lambda table is ``num_buckets`` rows
+    and broadcasts.  The target corpus is typically tiny (an exemplar
+    set) but nothing here requires it — both sides reduce before
+    anything crosses the network.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    b = F.lit(num_buckets)
+
+    def bucketed(frame: DataFrame, with_id: bool):
+        tok = F.explode(_dsir_words(text_col)).alias("__tok")
+        cols = [F.col(id_col), tok] if with_id else [tok]
+        t = frame.select(*cols)
+        return t.withColumn(
+            "__b", hash_bucket(F.concat(F.lit("dsir:"), F.col("__tok")), num_buckets)
+        ).drop("__tok")
+
+    tcnt = bucketed(target, with_id=False).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    rcnt = bucketed(df, with_id=False).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__cr")
+    )
+    tot_t = target.agg(
+        F.coalesce(F.sum(F.size(_dsir_words(text_col))), F.lit(0)).alias("__nt")
+    )
+    tot_r = df.agg(
+        F.coalesce(F.sum(F.size(_dsir_words(text_col))), F.lit(0)).alias("__nr")
+    )
+    lam = (
+        rcnt.join(tcnt, on="__b", how="left")
+        .join(F.broadcast(tot_t))
+        .join(F.broadcast(tot_r))
+        .select(
+            "__b",
+            (
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + 1).cast("double")
+                        / (F.col("__nt") + b).cast("double")
+                    )
+                    * 1e6
+                )
+                - F.floor(
+                    F.log(
+                        (F.col("__cr") + 1).cast("double")
+                        / (F.col("__nr") + b).cast("double")
+                    )
+                    * 1e6
+                )
+            ).cast("long").alias("__lam"),
+        )
+    )
+    tf = bucketed(df, with_id=True).groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    return (
+        tf.join(F.broadcast(lam), on="__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("__tf") * F.col("__lam")).cast("long").alias("weight_micro"),
+        )
+    )
+
+
+def _dsir_words(text_col: str):
+    """Normalized whitespace tokens — the one tokenizer both DSIR
+    aggregates and both corpora must share (a mismatch would shift
+    every bucket count)."""
+    from ..functions.text import normalized, words
+
+    return words(normalized(text_col))
+
+
+def sample_importance(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    num_buckets: int = 256,
+    gumbel_scale: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR selection on top of :func:`importance_weights`: keep the
+    ``k`` raw documents with the largest ``mean log importance weight
+    + gumbel_scale * Gumbel noise`` — the Gumbel-top-k trick, which
+    makes the keep-set an exact sample WITHOUT replacement from the
+    softmax of the (length-normalized) importance weights, instead of
+    a hard argmax that would collapse onto near-duplicate high-weight
+    docs (the paper's stated reason to resample rather than rank).
+
+    The "noise" is hash-deterministic like every sampler here:
+    ``u = (hash_bucket("dsirgum:" || id, 2^20) + 0.5) / 2^20`` (the
+    +0.5 keeps u strictly inside (0,1), so the double log is finite),
+    ``g = -ln(-ln(u))``; ``gumbel_scale`` is the temperature — 0
+    degenerates to deterministic top-k by weight, large values
+    approach uniform sampling.  Ranking uses the 6-decimal-ROUNDED
+    key with an id tie-break, so ranks cannot flip on a last-ulp
+    ``ln`` disagreement between engines (the similarity-family rank
+    lesson, applied before the oracle debuts rather than after).
+
+    Output: ``(id_col, n_tokens, weight_micro, sample_key, rank)``,
+    ``rank <= k``.  Scale: everything up to the ranking is
+    :func:`importance_weights`; the ranking is a single window over
+    docs-bounded ``(id, key)`` rows — at 100 TB swap the global
+    window for a per-shard top-k + merge if one executor cannot hold
+    the doc-id stream (same note as the similarity rankers).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if gumbel_scale < 0:
+        raise ValueError(f"gumbel_scale must be >= 0, got {gumbel_scale}")
+    w = importance_weights(
+        df, target, num_buckets=num_buckets, text_col=text_col, id_col=id_col
+    )
+    u = (
+        hash_bucket(
+            F.concat(F.lit("dsirgum:"), F.col(id_col).cast("string")), 1_048_576
+        ).cast("double")
+        + 0.5
+    ) / 1_048_576.0
+    key = F.round(
+        F.col("weight_micro").cast("double")
+        / 1e6
+        / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        + F.lit(float(gumbel_scale)) * -F.log(-F.log(u)),
+        6,
+    )
+    win = Window.orderBy(F.desc("sample_key"), F.asc(id_col))
+    return (
+        w.withColumn("sample_key", key)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "n_tokens", "weight_micro", "sample_key", "rank")
     )

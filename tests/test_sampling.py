@@ -721,3 +721,149 @@ def test_padding_waste_rejects_bad_caps(spark):
         padding_waste(df, "n_tok", caps=())
     with pytest.raises(ValueError, match="positive"):
         padding_waste(df, "n_tok", caps=(0, 16))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (rows-only floors until the r10 oracle debut)
+# ---------------------------------------------------------------------------
+
+#: Planted micro-corpus: target speaks "physics" vocabulary; the raw
+#: pool mixes physics-voiced docs (1, 2) with cooking-voiced docs
+#: (3, 4) and one blank doc.  Selection must prefer the physics docs.
+_DSIR_TARGET = [
+    (100, "quantum field theory entangles boson and fermion states"),
+    (101, "the boson lattice couples every fermion field"),
+    (102, "entangled states collapse under field measurement"),
+]
+_DSIR_RAW = [
+    (1, "fermion and boson field states entangle in the lattice"),
+    (2, "quantum measurement collapses the entangled field"),
+    (3, "simmer the onion butter sauce then whisk the roux"),
+    (4, "fold the dough and proof it before the bake"),
+    (5, "   "),
+]
+
+
+def _dsir_frames(spark):
+    schema = "doc_id long, text string"
+    return (
+        spark.createDataFrame(_DSIR_RAW, schema),
+        spark.createDataFrame(_DSIR_TARGET, schema),
+    )
+
+
+def test_dsir_weights_prefer_target_vocabulary(spark):
+    from spark_cdc_replication_spark.operators.sampling import importance_weights
+
+    raw, target = _dsir_frames(spark)
+    rows = {
+        r.doc_id: r
+        for r in importance_weights(raw, target, num_buckets=64).collect()
+    }
+    # every raw doc with >=1 token gets exactly one row (blank doc 5
+    # tokenizes to the '' pseudo-token, so it scores too)
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # length-normalized weights: physics docs strictly above cooking docs
+    mean = {k: r.weight_micro / r.n_tokens for k, r in rows.items()}
+    assert min(mean[1], mean[2]) > max(mean[3], mean[4])
+    # n_tokens matches the whitespace tokenizer
+    assert rows[1].n_tokens == 9
+
+
+def test_dsir_weights_deterministic_and_partition_invariant(spark):
+    from spark_cdc_replication_spark.operators.sampling import importance_weights
+
+    raw, target = _dsir_frames(spark)
+    a = sorted(map(tuple, importance_weights(raw, target).collect()))
+    b = sorted(
+        map(
+            tuple,
+            importance_weights(raw.repartition(7), target.repartition(3)).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_dsir_sample_k_exact_rank_dense_and_directional(spark):
+    from spark_cdc_replication_spark.operators.sampling import sample_importance
+
+    raw, target = _dsir_frames(spark)
+    # gumbel_scale=0 degenerates to deterministic top-k by mean weight:
+    # the two physics docs must be exactly the k=2 keep-set
+    top = sample_importance(raw, target, k=2, num_buckets=64, gumbel_scale=0.0)
+    got = {r.doc_id: r.rank for r in top.collect()}
+    assert set(got) == {1, 2}
+    assert sorted(got.values()) == [1, 2]
+    # with noise the keep-set is still k-exact and rank-dense
+    noisy = sample_importance(raw, target, k=3, num_buckets=64, gumbel_scale=1.0)
+    rows = noisy.collect()
+    assert len(rows) == 3
+    assert sorted(r.rank for r in rows) == [1, 2, 3]
+
+
+def test_dsir_smoothing_keeps_target_unseen_buckets_finite(spark):
+    from spark_cdc_replication_spark.operators.sampling import importance_weights
+
+    schema = "doc_id long, text string"
+    raw = spark.createDataFrame([(1, "zzzz qqqq xxxx")], schema)
+    target = spark.createDataFrame([(9, "totally disjoint vocabulary")], schema)
+    rows = importance_weights(raw, target, num_buckets=64).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 3
+    # Laplace smoothing: finite (and negative — raw-only vocabulary)
+    assert rows[0].weight_micro < 0
+
+
+def test_dsir_cross_engine_parity_on_planted_corpus(spark):
+    """The r10 oracle, proven before it debuts: replay the EXACT
+    prepared oracle SQL strings over the planted corpus and compare
+    row-for-row against the operator — same comparison the driver
+    gate will run (value normalization matches tools/check_oracle)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.operators.sampling import (
+        importance_weights,
+        sample_importance,
+    )
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_SAMPLE_IMPORTANCE,
+        ORACLE_SAMPLE_IMPORTANCE_WEIGHTS,
+    )
+
+    # the registered queries split documents on source = 'src0'
+    docs = pd.DataFrame(
+        [(i, t, "src0") for i, t in _DSIR_TARGET]
+        + [(i, t, "srcX") for i, t in _DSIR_RAW],
+        columns=["doc_id", "text", "source"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    sdocs = spark.createDataFrame(docs)
+    raw = sdocs.filter(F.col("source") != "src0")
+    target = sdocs.filter(F.col("source") == "src0")
+
+    for sql, df in (
+        (
+            ORACLE_SAMPLE_IMPORTANCE_WEIGHTS,
+            importance_weights(raw, target, num_buckets=256),
+        ),
+        (
+            ORACLE_SAMPLE_IMPORTANCE,
+            sample_importance(raw, target, k=100, num_buckets=256, gumbel_scale=1.0),
+        ),
+    ):
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        want = {
+            tuple(round(v, 6) if isinstance(v, float) else v for v in row)
+            for row in res.fetchall()
+        }
+        got = {
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (r[c] for c in cols)
+            )
+            for r in df.collect()
+        }
+        assert got == want
