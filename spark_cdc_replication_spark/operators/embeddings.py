@@ -116,6 +116,66 @@ def project_random(
     )
 
 
+def _idot(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Exact integer dot product of two quantized BIGINT arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _icos(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Cosine over exact integer inputs: the only float ops are the
+    final dot / (sqrt * sqrt) — identical IEEE ops on identical exact
+    inputs in any engine; NULL when either norm is zero."""
+    return _idot(a, b).cast("double") / (
+        F.sqrt(F.nullif(_idot(a, a), F.lit(0)).cast("double"))
+        * F.sqrt(F.nullif(_idot(b, b), F.lit(0)).cast("double"))
+    )
+
+
+def _quantized_nonzero(
+    df: DataFrame, vec_col: str, label_col: str, id_col: str, m: float
+) -> DataFrame:
+    """(id, label, __qe) — labeled vectors micro-quantized to BIGINT
+    arrays, NULL-label/NULL-vector/zero-norm rows excluded (the shared
+    audit contract of :func:`label_separation` / :func:`label_outliers`)."""
+    qv = df.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.transform(
+            F.col(vec_col),
+            lambda e: F.floor(e.cast("double") * F.lit(m)).cast("long"),
+        ).alias("__qe"),
+    )
+    return qv.filter(_idot(F.col("__qe"), F.col("__qe")) > 0)
+
+
+def _centroid_arrays(qv: DataFrame) -> DataFrame:
+    """(label, cv) — per-label integer centroid arrays
+    (``floor(sum/n)`` per dimension) from the quantized members: one
+    posexplode shuffle carrying (label, pos) longs with map-side
+    partial sums (the Lloyd-step shape), output bounded by |labels|."""
+    cent = (
+        qv.select("label", F.posexplode("__qe").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("__qsum"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("__qsum").cast("double") / F.col("__n")).cast("long").alias("cq"),
+        )
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cq"))), lambda s: s["cq"]
+        ).alias("cv"),
+    )
+
+
 def label_separation(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -162,49 +222,9 @@ def label_separation(
     sides broadcast-small by the data model.
     """
     m = float(micro)
-    qv = (
-        df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
-        .select(
-            F.col(id_col),
-            F.col(label_col).alias("label"),
-            F.transform(
-                F.col(vec_col),
-                lambda e: F.floor(e.cast("double") * F.lit(m)).cast("long"),
-            ).alias("__qe"),
-        )
-    )
-
-    def idot(a: "F.Column", b: "F.Column") -> "F.Column":
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    qv = qv.filter(idot(F.col("__qe"), F.col("__qe")) > 0)
-
-    cent = (
-        qv.select("label", F.posexplode("__qe").alias("pos", "q"))
-        .groupBy("label", "pos")
-        .agg(F.sum("q").alias("__qsum"), F.count(F.lit(1)).alias("__n"))
-        .select(
-            "label",
-            "pos",
-            "__n",
-            F.floor(F.col("__qsum").cast("double") / F.col("__n")).cast("long").alias("cq"),
-        )
-    )
-    carr = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cq"))), lambda s: s["cq"]
-        ).alias("cv"),
-    )
-
-    def icos(a: "F.Column", b: "F.Column") -> "F.Column":
-        return idot(a, b).cast("double") / (
-            F.sqrt(F.nullif(idot(a, a), F.lit(0)).cast("double"))
-            * F.sqrt(F.nullif(idot(b, b), F.lit(0)).cast("double"))
-        )
+    qv = _quantized_nonzero(df, vec_col, label_col, id_col, m)
+    carr = _centroid_arrays(qv)
+    idot, icos = _idot, _icos
 
     coh = (
         qv.join(F.broadcast(carr.select("label", "cv")), on="label")
@@ -248,4 +268,62 @@ def label_separation(
         F.round(
             F.col("mean_cohesion_micro") - F.col("rival_cos_micro").cast("double"), 6
         ).alias("margin_micro"),
+    )
+
+
+def label_outliers(
+    df: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-label embedding outlier review queue: the ``k`` member
+    vectors of each label that sit FARTHEST from their own label's
+    centroid (lowest cosine) — the mislabeled-/noisy-data pruning step
+    run before a label column is trusted for curation
+    (:func:`label_separation` answers "are the classes separable";
+    this answers "which rows are poisoning them").
+
+    Same exact-integer-micro-unit arithmetic and member contract as
+    :func:`label_separation` (shared helpers — the two audits can
+    never disagree about quantization or membership): elements and
+    centroids are BIGINTs, the per-vector cosine re-quantizes to
+    ``floor(cos * micro)``, so ranking never rides on float-summation
+    drift.  A NULL cosine (label centroid is the zero vector) ranks
+    FIRST — an undefined similarity is the most review-worthy row, not
+    a silently dropped one; remaining ties break by ascending id.
+
+    Output: ``(id_col, label, cos_micro, rank)``, ``rank <= k`` per
+    label.
+
+    Scale: the centroid build is the Lloyd-step shape (one posexplode
+    shuffle of (label, pos) longs, |labels|-bounded output); the
+    |labels|-row centroid frame broadcasts back onto the members, so
+    the scoring pass is one scan with no fact shuffle; the ranking
+    window shuffles only ``(label, id, cos)`` triples and each label's
+    partition holds its member count — at skewed-label scale swap in
+    the per-shard top-k merge (the similarity rankers' note), the
+    algebra is unchanged.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = float(micro)
+    qv = _quantized_nonzero(df, vec_col, label_col, id_col, m)
+    carr = _centroid_arrays(qv)
+    scored = qv.join(F.broadcast(carr), on="label").select(
+        id_col,
+        "label",
+        F.floor(_icos(F.col("__qe"), F.col("cv")) * F.lit(m))
+        .cast("long")
+        .alias("cos_micro"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_micro").asc_nulls_first(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "label", "cos_micro", "rank")
     )

@@ -2251,6 +2251,62 @@ FROM coh c LEFT JOIN rival r ON c.label = r.label
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label outlier review queue (rows-only this round): the 10
+    member vectors of each label farthest from their own centroid —
+    the mislabeled-data pruning companion to ``embedding_separation``,
+    sharing its exact-integer quantization and membership contract via
+    the refactored helpers.  Floors while rows-only: cross-engine
+    parity on a planted corpus with a known planted outlier +
+    determinism pytests; the prepared oracle below debuts through the
+    r10 gate window alongside the DSIR pair."""
+    from ..operators.embeddings import label_outliers
+
+    return label_outliers(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+#: r10 debut twin (see ORACLE_SAMPLE_IMPORTANCE_WEIGHTS's note on why
+#: it is NOT registered this round).  The qv/cent/carr CTEs are
+#: byte-identical to ORACLE_EMBEDDING_SEPARATION's, so the two audits
+#: can never disagree about quantization or membership.
+ORACLE_EMBEDDING_OUTLIERS = f"""
+WITH qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS qe
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+qnz AS (
+  SELECT * FROM qv WHERE list_sum(list_transform(qe, x -> x * x)) > 0
+),
+ex AS (
+  SELECT label, generate_subscripts(qe, 1) - 1 AS pos, unnest(qe) AS q FROM qnz
+),
+cent AS (
+  SELECT label, pos, count(*) AS n,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM ex GROUP BY 1, 2
+),
+carr AS (
+  SELECT label, array_agg(cq ORDER BY pos) AS cv FROM cent GROUP BY label
+),
+scored AS (
+  SELECT q.vec_id, q.label,
+         CAST(floor(({_ICOS.format(a='q.qe', b='c.cv')})
+                    * 1000000.0) AS BIGINT) AS cos_micro
+  FROM qnz q JOIN carr c ON q.label = c.label
+),
+ranked AS (
+  SELECT vec_id, label, cos_micro,
+         row_number() OVER (PARTITION BY label
+             ORDER BY cos_micro ASC NULLS FIRST, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, label, cos_micro, rank FROM ranked WHERE rank <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Round-3 additions: repetition stats, contamination audit, PII scrub,
 # deterministic epoch shuffle
@@ -3275,6 +3331,7 @@ QUERIES = {
     "text_bm25_topk": q_text_bm25_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
     "embedding_separation": q_embedding_separation,
+    "embedding_outliers": q_embedding_outliers,
     "chunk_documents": q_chunk_documents,
     "sample_stratified": q_sample_stratified,
     "sample_k_per_source": q_sample_k_per_source,

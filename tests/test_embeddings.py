@@ -203,3 +203,93 @@ def test_label_separation_rival_tie_breaks_to_smaller_label(spark):
     # may land at 999999 when sqrt(d)*sqrt(d) rounds a hair above d —
     # deterministic (same IEEE ops both engines), so pin the floor
     assert got[1].rival_label == 2 and got[1].rival_cos_micro >= 999_999
+
+
+def test_label_outliers_finds_the_planted_outlier(spark):
+    from spark_cdc_replication_spark.operators.embeddings import label_outliers
+
+    # label 0: a tight cluster near +x with ONE planted vector pointing
+    # the other way; label 1: a clean cluster near +y.
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [1.0, 0.05], 0), (3, [0.95, 0.1], 0),
+        (4, [-1.0, 0.2], 0),  # the planted outlier
+        (5, [0.0, 1.0], 1), (6, [0.05, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = label_outliers(df, k=1).collect()
+    by_label = {r.label: r for r in got}
+    assert by_label[0].vec_id == 4 and by_label[0].rank == 1
+    # ranks are per label: both labels surface exactly one row at k=1
+    assert sorted(by_label) == [0, 1]
+    # full queue is rank-dense and k-capped
+    full = label_outliers(df, k=10).collect()
+    per = {}
+    for r in full:
+        per.setdefault(r.label, []).append(r.rank)
+    assert sorted(per[0]) == [1, 2, 3, 4] and sorted(per[1]) == [1, 2]
+    # the planted outlier is rank 1 with the lowest cos_micro
+    lab0 = sorted((r for r in full if r.label == 0), key=lambda r: r.rank)
+    assert lab0[0].vec_id == 4
+    assert lab0[0].cos_micro == min(r.cos_micro for r in lab0)
+
+
+def test_label_outliers_contract_matches_separation_membership(spark):
+    """The two audits share quantization/membership helpers: rows the
+    separation audit excludes (NULL label/vector, zero norm) never
+    appear in the outlier queue, and every included member does at a
+    large enough k."""
+    from spark_cdc_replication_spark.operators.embeddings import (
+        label_outliers,
+        label_separation,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+        (3, None, 0),            # NULL vector: excluded
+        (4, [0.0, 0.0], 0),      # zero norm: excluded
+        (5, [0.0, 1.0], None),   # NULL label: excluded
+        (6, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    sep = {r.label: r.n_vecs for r in label_separation(df).collect()}
+    out = label_outliers(df, k=100).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.label, set()).add(r.vec_id)
+    assert {lab: len(ids) for lab, ids in per.items()} == sep == {0: 2, 1: 1}
+    assert 3 not in per[0] and 4 not in per[0]
+    # determinism under repartitioning
+    again = label_outliers(df.repartition(5), k=100).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_embedding_outliers_cross_engine_parity_on_planted_corpus(spark):
+    """The r10 oracle, proven before it debuts (the DSIR precedent):
+    replay the EXACT prepared oracle SQL over a planted corpus and
+    compare row-for-row against the operator."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.operators.embeddings import label_outliers
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_EMBEDDING_OUTLIERS,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.2, 0.1], 0), (2, [0.9, 0.1, 0.2, 0.1], 0),
+        (3, [-0.8, 0.3, 0.0, 0.0], 0), (4, [1.0, 0.0, 0.1, 0.2], 0),
+        (5, [0.0, 1.0, 0.3, 0.0], 1), (6, [0.1, 0.9, 0.3, 0.1], 1),
+        (7, [0.2, -1.0, 0.0, 0.3], 1),
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    res = con.execute(ORACLE_EMBEDDING_OUTLIERS)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {tuple(r[c] for c in cols) for r in label_outliers(sdf, k=10).collect()}
+    assert got == want
