@@ -48,3 +48,42 @@ def test_current_repo_window_holds_the_bound():
     hist = load_history()
     assert len(hist[4]) == 50
     assert MAX_STALE_ROUNDS == 2
+
+
+def test_next_round_plan_projects_the_window_forward():
+    from tools.check_coverage import next_round_plan
+
+    oracles = {"cdc_a", "dedup_b", "text_c", "pii_d"}
+    history = {1: {"cdc_a", "dedup_b"}, 2: {"text_c"}, 3: {"pii_d"}}
+    # window greens {text_c} at r4 -> at r5: cdc_a/dedup_b last r1
+    # (4 rounds stale) are mandatory; pii_d (r3) and text_c (r4) not.
+    mandatory, floors = next_round_plan(oracles, window={"text_c"}, history=history)
+    assert mandatory == ["cdc_a", "dedup_b"]
+    # floor hits name which mandatory queries can hold each family
+    assert floors["cdc merge algebra"] == ["cdc_a"]
+    assert floors["dedup"] == ["dedup_b"]
+    assert floors["privacy"] == []  # pii_d is not mandatory -> gap
+    # a never-green oracle is always mandatory (must debut in-window)
+    mandatory2, _ = next_round_plan(
+        oracles | {"text_new"}, window=set(), history=history
+    )
+    assert "text_new" in mandatory2
+
+
+def test_next_round_plan_matches_the_live_registry():
+    """The --plan output for the CURRENT repo must agree with the
+    staleness checker: making next round's window = (its mandatory
+    list + anything) clears the bound."""
+    import __spark_entry__ as entry
+
+    from tools.check_coverage import next_round_plan, stale_queries
+
+    oracles = set(entry.oracle_sql())
+    window = set(list(entry.queries())[:50])
+    history = load_history()
+    mandatory, _ = next_round_plan(oracles, window, history)
+    # simulate this round landing: every in-window oracle greens
+    nxt = max(history) + 1
+    simulated = dict(history)
+    simulated[nxt] = window & oracles
+    assert stale_queries(oracles, set(mandatory), simulated) == []

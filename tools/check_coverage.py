@@ -15,7 +15,9 @@
    Never-green queries must be in the CURRENT window (a new oracle
    earns its first driver row next round, not eventually).
 
-    python tools/check_coverage.py
+    python tools/check_coverage.py          # per-round honesty gate
+    python tools/check_coverage.py --plan   # NEXT round's mandatory
+                                            # rotations + floor gaps
 """
 
 from __future__ import annotations
@@ -111,12 +113,68 @@ def stale_queries(
     return bad
 
 
+def next_round_plan(
+    oracles: set[str],
+    window: set[str],
+    history: dict[int, set[str]],
+    max_stale_rounds: int = MAX_STALE_ROUNDS,
+) -> tuple[list[str], dict[str, list[str]]]:
+    """Plan the NEXT round's window before this round's driver runs:
+    assume every in-window oracle query greens this round, then return
+    (next round's mandatory rotations, family -> queries that could
+    hold its floor among them).  Pure function, like
+    :func:`stale_queries`, so tests can feed synthetic histories."""
+    this_round = (max(history) + 1) if history else 1
+    last = {
+        n: max(
+            (r for r, greens in history.items() if n in greens),
+            default=None,
+        )
+        for n in oracles
+    }
+    for n in window & oracles:
+        last[n] = this_round
+    mandatory = sorted(
+        n
+        for n in oracles
+        if last[n] is None or (this_round + 1) - last[n] > max_stale_rounds
+    )
+    floor_hits = {
+        family: [n for n in mandatory if any(n.startswith(p) for p in prefixes)]
+        for family, prefixes in FAMILIES.items()
+    }
+    return mandatory, floor_hits
+
+
 def main() -> int:
     import __spark_entry__ as entry
 
     names = set(entry.queries())
     oracles = set(entry.oracle_sql())
     rc = 0
+
+    if "--plan" in sys.argv:
+        window = set(list(entry.queries())[:50])
+        mandatory, floors = next_round_plan(oracles, window, load_history())
+        print(
+            f"next round's mandatory rotations ({len(mandatory)}), assuming "
+            f"the current window greens this round:"
+        )
+        for n in mandatory:
+            print("  ", n)
+        gaps = sorted(f for f, hits in floors.items() if not hits)
+        print(
+            f"family floors NOT covered by the mandatory set ({len(gaps)}) — "
+            f"fill each from a recent-green or debut:"
+        )
+        for f in gaps:
+            print("  ", f)
+        free = 50 - len(mandatory) - len(gaps)
+        print(
+            f"slots after mandatory + one query per floor gap: ~{free} "
+            f"(pull-forwards and debuts; keep exactly 50)"
+        )
+        return 0
 
     dangling = oracles - names
     if dangling:
