@@ -980,10 +980,15 @@ def sample_importance(
 
     Output: ``(id_col, n_tokens, weight_micro, sample_key, rank)``,
     ``rank <= k``.  Scale: everything up to the ranking is
-    :func:`importance_weights`; the ranking is a single window over
-    docs-bounded ``(id, key)`` rows — at 100 TB swap the global
-    window for a per-shard top-k + merge if one executor cannot hold
-    the doc-id stream (same note as the similarity rankers).
+    :func:`importance_weights`; the ranking itself is a two-phase
+    top-k — per-shard ``row_number`` over 64 hash shards keeps every
+    sort partition-local, then the global window ranks only the
+    surviving ``<= 64 * k`` rows — so no executor ever sorts the full
+    doc stream.  The answer is identical to one global window: every
+    global top-k row is necessarily a top-k row of its own shard, so
+    the shard pass can never drop a global winner (and the oracle IS
+    the one-window formulation, which pins that equivalence under the
+    hash whenever this debuts).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1005,10 +1010,19 @@ def sample_importance(
         + F.lit(float(gumbel_scale)) * -F.log(-F.log(u)),
         6,
     )
+    keyed = w.withColumn("sample_key", key).withColumn(
+        "__shard",
+        hash_bucket(F.concat(F.lit("dsirshard:"), F.col(id_col).cast("string")), 64),
+    )
+    wshard = Window.partitionBy("__shard").orderBy(
+        F.desc("sample_key"), F.asc(id_col)
+    )
+    cand = keyed.withColumn("__sr", F.row_number().over(wshard)).filter(
+        F.col("__sr") <= k
+    )
     win = Window.orderBy(F.desc("sample_key"), F.asc(id_col))
     return (
-        w.withColumn("sample_key", key)
-        .withColumn("rank", F.row_number().over(win))
+        cand.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select(id_col, "n_tokens", "weight_micro", "sample_key", "rank")
     )
