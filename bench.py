@@ -250,13 +250,24 @@ def main() -> None:
             if not p:
                 continue
             p_cal = p * host_scale
-            if t >= 1.3 * p_cal and t - p_cal >= 1.0:
+            # A flag needs BOTH readings slower: calibrated >= 1.3x
+            # (the r6 lesson — raw-only flags drown on slow hosts) AND
+            # at least a 5% RAW slowdown — on the SAME fixture a query
+            # that got FASTER in wall time cannot be a regression, yet
+            # a fast-calib session scales the baseline down far enough
+            # to manufacture one (r9: a calib 0.62x of baseline
+            # printed eight CREEP lines for queries running 0.8-0.9x
+            # RAW — pure calibration over-correction, every one noise
+            # by construction).
+            if t < 1.3 * p_cal or t < 1.05 * p:
+                continue
+            if t - p_cal >= 1.0:
                 print(
                     f"  REGRESSED {name}: {t}s vs {p}s raw ({t / p:.1f}x), "
                     f"{p_cal:.3f}s calibrated ({t / p_cal:.1f}x)",
                     file=sys.stderr,
                 )
-            elif t >= 1.3 * p_cal and t - p_cal >= 0.10:
+            elif t - p_cal >= 0.10:
                 creeps.append((name, t, p, p_cal))
         # Sub-threshold creep table (VERDICT r7 "next" #3): the
         # REGRESSED rule's >=1.0s absolute guard made sub-second creep
@@ -270,8 +281,8 @@ def main() -> None:
         # sentence).
         if creeps:
             print(
-                f"  sub-threshold creep (>=1.3x calibrated, >=0.10s, "
-                f"<1.0s delta): {len(creeps)} queries",
+                f"  sub-threshold creep (>=1.3x calibrated, >=1.05x raw, "
+                f">=0.10s, <1.0s delta): {len(creeps)} queries",
                 file=sys.stderr,
             )
             for name, t, p, p_cal in creeps:
