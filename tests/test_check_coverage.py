@@ -87,3 +87,21 @@ def test_next_round_plan_matches_the_live_registry():
     simulated = dict(history)
     simulated[nxt] = window & oracles
     assert stale_queries(oracles, set(mandatory), simulated) == []
+
+
+def test_adjudicate_baseline_pick_is_sf_aware(tmp_path):
+    """tools/adjudicate.py must never compare across scale factors —
+    the same sf-aware rule bench.py uses."""
+    import json
+
+    from tools.adjudicate import _pick_baseline
+
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps({"sf": 0.1, "queries": {}}))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({"sf": 0.1, "queries": {}}))
+    (tmp_path / "BENCH_r08_sf1.json").write_text(
+        json.dumps({"parsed": {"sf": 1.0, "queries": {}}})
+    )
+    (tmp_path / "not_a_bench.json").write_text("{}")
+    assert _pick_baseline(str(tmp_path), 0.1) == "BENCH_r08.json"
+    assert _pick_baseline(str(tmp_path), 1.0) == "BENCH_r08_sf1.json"
+    assert _pick_baseline(str(tmp_path), 3.0) is None
