@@ -871,41 +871,54 @@ def importance_weights(
     doc, including docs whose every bucket is target-unseen (smoothing
     keeps the ratio finite).
 
-    Scale shape (the ``unigram_logprob`` pattern): one token explode
-    per counted corpus feeding ``groupBy`` aggregates with map-side
-    partials — the two bucket-count tables enter their shuffles as
-    ``<= num_buckets x partitions`` partial rows; the per-doc tf
-    relation shuffles ``(id, bucket)``-bounded rows, never a
-    per-token window; the joined lambda table is ``num_buckets`` rows
-    and broadcasts.  The target corpus is typically tiny (an exemplar
-    set) but nothing here requires it — both sides reduce before
-    anything crosses the network.
+    Scale shape: the model build reduces BOTH corpora to
+    ``<= num_buckets`` bucket counts via explode + map-side-partial
+    ``groupBy`` (each count shuffle carries ``<= num_buckets x
+    partitions`` partial rows at any corpus size), and the finished
+    lambda table — ``num_buckets`` BIGINTs — is collected to the
+    driver, the bounded-artifact pattern of the PQ codebooks and IVF
+    centroid frames.  SCORING is then one shuffle-free projection:
+    the lambda array inlines as a literal and each doc's weight is an
+    in-row ``aggregate`` over its token array (bucket-hash lookup per
+    token — the same md5 the explode path paid, minus the explode, the
+    full-corpus (id, bucket) tf shuffle, the join, and the per-doc
+    re-aggregate of the first relational cut; executed scoring plan:
+    ONE parquet scan, ZERO exchanges).  Local wall is flat vs the
+    relational cut (19-23 s both ways at sf10 — the regex tokenizer
+    dominates and runs either way), but the removed exchange carried
+    one row per (doc, distinct bucket): at cluster scale that is a
+    near-corpus-sized network transfer, the ``dedup_semantic``
+    trade — the cluster-right plan that local[32]'s memcpy "network"
+    cannot reward.  In-row integer summation is order-deterministic
+    AND order-irrelevant (BIGINT addition commutes exactly), so
+    values are unchanged from the relational formulation — the
+    prepared oracle pins that.
     """
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
     b = F.lit(num_buckets)
 
-    def bucketed(frame: DataFrame, with_id: bool):
+    def bucketed(frame: DataFrame):
         tok = F.explode(_dsir_words(text_col)).alias("__tok")
-        cols = [F.col(id_col), tok] if with_id else [tok]
-        t = frame.select(*cols)
-        return t.withColumn(
-            "__b", hash_bucket(F.concat(F.lit("dsir:"), F.col("__tok")), num_buckets)
-        ).drop("__tok")
+        return frame.select(tok).select(
+            hash_bucket(F.concat(F.lit("dsir:"), F.col("__tok")), num_buckets).alias(
+                "__b"
+            )
+        )
 
-    tcnt = bucketed(target, with_id=False).groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__ct")
-    )
-    rcnt = bucketed(df, with_id=False).groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__cr")
-    )
-    tot_t = target.agg(
-        F.coalesce(F.sum(F.size(_dsir_words(text_col))), F.lit(0)).alias("__nt")
-    )
-    tot_r = df.agg(
-        F.coalesce(F.sum(F.size(_dsir_words(text_col))), F.lit(0)).alias("__nr")
-    )
-    lam = (
+    tcnt = bucketed(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    rcnt = bucketed(df).groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    # Corpus token totals = the sum of the bucket counts (every token
+    # lands in exactly one bucket), so they fold over the ALREADY
+    # AGGREGATED <= num_buckets count frames — Catalyst reuses the
+    # count exchange (ReusedExchange), so neither corpus is
+    # re-tokenized for its total.  A first cut computed each total as
+    # sum(size(words)) over the raw frame: value-identical, but one
+    # FULL extra tokenization scan per corpus — the regex tokenizer is
+    # where this operator's wall time lives.
+    tot_t = tcnt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
+    tot_r = rcnt.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__nr"))
+    lam_rows = (
         rcnt.join(tcnt, on="__b", how="left")
         .join(F.broadcast(tot_t))
         .join(F.broadcast(tot_r))
@@ -928,16 +941,35 @@ def importance_weights(
                 )
             ).cast("long").alias("__lam"),
         )
+        .collect()  # <= num_buckets rows — the bounded index artifact
     )
-    tf = bucketed(df, with_id=True).groupBy(id_col, "__b").agg(
-        F.count(F.lit(1)).alias("__tf")
+    arr = [0] * num_buckets  # buckets with no raw token are never looked up
+    for r in lam_rows:
+        arr[r["__b"]] = int(r["__lam"])
+    lam_arr = F.array(*[F.lit(v).cast("long") for v in arr])
+
+    toks = F.col("__toks")
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, tok: acc
+        + F.element_at(
+            lam_arr,
+            (hash_bucket(F.concat(F.lit("dsir:"), tok), num_buckets) + 1).cast("int"),
+        ),
     )
+    # one staged projection: the token array materializes once; both
+    # consumers (size + aggregate) live in the SAME projection, where
+    # codegen's subexpression elimination dedupes the shared subtree
+    # (the r8 gopher_rules lesson — a Generate barrier pays only when
+    # CollapseProject multiplies references ACROSS projections)
     return (
-        tf.join(F.broadcast(lam), on="__b")
-        .groupBy(id_col)
-        .agg(
-            F.sum("__tf").cast("long").alias("n_tokens"),
-            F.sum(F.col("__tf") * F.col("__lam")).cast("long").alias("weight_micro"),
+        df.select(F.col(id_col), _dsir_words(text_col).alias("__toks"))
+        .filter(toks.isNotNull())
+        .select(
+            id_col,
+            F.size(toks).cast("long").alias("n_tokens"),
+            score.alias("weight_micro"),
         )
     )
 
