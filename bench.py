@@ -70,6 +70,30 @@ HEADLINE = [
 ]
 
 
+def flag_for(t: float, p: float, host_scale: float) -> str | None:
+    """Classify one query's drift vs its baseline: ``"REGRESSED"``,
+    ``"CREEP"`` (sub-second watch line), or ``None``.
+
+    A flag needs BOTH readings slower: calibrated >= 1.3x (the r6
+    lesson — raw-only flags drown on slow hosts) AND at least a 5%
+    RAW slowdown (the r9 lesson — on the SAME fixture a query that
+    got FASTER in wall time cannot be a regression, yet a fast-calib
+    session scales the baseline down far enough to manufacture one:
+    r9 saw eight CREEP lines for queries running 0.8-0.9x raw).
+    Among flaggable drifts, >= 1.0s calibrated delta is REGRESSED;
+    >= 0.10s is CREEP (floor lowered from 0.15s per VERDICT r8 —
+    a +0.137s creep evaded the table by 13ms).
+    """
+    p_cal = p * host_scale
+    if t < 1.3 * p_cal or t < 1.05 * p:
+        return None
+    if t - p_cal >= 1.0:
+        return "REGRESSED"
+    if t - p_cal >= 0.10:
+        return "CREEP"
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from spark_cdc_replication_spark.session import get_spark
@@ -250,24 +274,14 @@ def main() -> None:
             if not p:
                 continue
             p_cal = p * host_scale
-            # A flag needs BOTH readings slower: calibrated >= 1.3x
-            # (the r6 lesson — raw-only flags drown on slow hosts) AND
-            # at least a 5% RAW slowdown — on the SAME fixture a query
-            # that got FASTER in wall time cannot be a regression, yet
-            # a fast-calib session scales the baseline down far enough
-            # to manufacture one (r9: a calib 0.62x of baseline
-            # printed eight CREEP lines for queries running 0.8-0.9x
-            # RAW — pure calibration over-correction, every one noise
-            # by construction).
-            if t < 1.3 * p_cal or t < 1.05 * p:
-                continue
-            if t - p_cal >= 1.0:
+            kind = flag_for(t, p, host_scale)  # rule documented there
+            if kind == "REGRESSED":
                 print(
                     f"  REGRESSED {name}: {t}s vs {p}s raw ({t / p:.1f}x), "
                     f"{p_cal:.3f}s calibrated ({t / p_cal:.1f}x)",
                     file=sys.stderr,
                 )
-            elif t - p_cal >= 0.10:
+            elif kind == "CREEP":
                 creeps.append((name, t, p, p_cal))
         # Sub-threshold creep table (VERDICT r7 "next" #3): the
         # REGRESSED rule's >=1.0s absolute guard made sub-second creep

@@ -105,3 +105,26 @@ def test_adjudicate_baseline_pick_is_sf_aware(tmp_path):
     assert _pick_baseline(str(tmp_path), 0.1) == "BENCH_r08.json"
     assert _pick_baseline(str(tmp_path), 1.0) == "BENCH_r08_sf1.json"
     assert _pick_baseline(str(tmp_path), 3.0) is None
+
+
+def test_bench_flag_rule_needs_both_readings_slower():
+    """bench.py's REGRESSED/CREEP gate: calibrated >= 1.3x AND raw >=
+    1.05x, delta tiers 1.0s / 0.10s — every historical true creep
+    still fires, every calibration-manufactured one does not."""
+    from bench import flag_for
+
+    # r7's real creep class: 1.37x raw on a same-speed host
+    assert flag_for(1.507, 1.101, 1.0) == "CREEP"
+    # r8's cdc_snapshot_merge (+0.137s, 1.39x) — the 0.10s floor case
+    assert flag_for(0.486, 0.280, 1.25) == "CREEP"
+    # a real >=1s regression
+    assert flag_for(5.0, 2.0, 1.0) == "REGRESSED"
+    # r9's false positives: RAW-faster on a fast-calib host (baseline
+    # scaled by 0.62x) must never flag
+    assert flag_for(1.889, 2.004, 0.62) is None
+    # slow host absolves a raw slowdown (the r6 case: 2x slower VM)
+    assert flag_for(2.2, 1.1, 2.0) is None
+    # calibrated-slower but raw within 5% -> no flag
+    assert flag_for(1.04, 1.0, 0.62) is None
+    # tiny calibrated delta (< 0.10s) stays silent even at high ratio
+    assert flag_for(0.15, 0.1, 1.0) is None
