@@ -62,6 +62,10 @@ HEADLINE = [
     "pii_prevalence",
     "sample_mixture",
     "sample_token_budget",
+    # r10 debuts (oracle-paired this round; sf-curve probes in SCALE.md)
+    "sample_importance_weights",
+    "sample_importance",
+    "embedding_outliers",
     "text_quality_calibrate_binned",
     "pack_padding_waste",
     "embedding_separation",

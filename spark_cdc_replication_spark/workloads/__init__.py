@@ -18,94 +18,88 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-9 window (every name must carry a full rows+schema+hash
+#: Round-10 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 30 queries whose last driver-green row is r6 — at the
-#:   staleness bound, the exact list the r8 tripwire went red on
-#:   (VERDICT r8 "next" #1): mandatory, all in;
-#: * `pii_scrub` — the privacy family floor is enforced in-window;
-#:   its r8 partner `pii_prevalence` (green r8) holds the bound until
-#:   r10 and rotates back in then, so the two alternate;
-#: * ONE debut (never-green oracles must be in-window):
-#:   `similarity_ivfpq_all` — the hash-green bound on the COMPOSED
-#:   IVF-PQ serve path (VERDICT r8 "next" #6: nprobe = num_centroids
-#:   + exact codebooks + corpus-spanning overfetch ⇒ must reproduce
-#:   brute force, checked against the `similarity_topk` oracle);
-#:   the r8 verdict asked for at most 1-2 debuts and named this one
-#:   the natural candidate if a slot freed up — exactly one did;
-#: * 18 of the 48 queries last green in r7, pulled forward so r10's
-#:   mandatory list stays at 30 (= 48 - 18), chosen to hold the
-#:   family floors the rows above don't cover (asof:
-#:   asof_forward_tolerance; hygiene: prepare_corpus; dedup: the
-#:   corpus/minhash/semantic/simhash verified variants; plus five cdc
-#:   and the approx/retention/decile analytics).  The 30 r7-greens
-#:   left out stay within the bound (10-7=3 would breach, but they
-#:   green in r10's window — they ARE r10's mandatory list).
+#: * the 30 queries whose last driver-green row is r7 — at the
+#:   staleness bound, exactly what `tools/check_coverage.py --plan`
+#:   printed when CORRECTNESS_r09.json landed: mandatory, all in;
+#: * 5 family-floor fills (the mandatory 30 cover NO cdc / dedup /
+#:   privacy / contamination / hygiene query), all r8-greens so they
+#:   double as pull-forwards: `cdc_snapshot_merge` (also the r8
+#:   creep-watch query — its fresh driver row re-certifies it),
+#:   `dedup_containment`, `pii_prevalence` (alternating with
+#:   `pii_scrub`, green r9), `decontaminate_corpus`, `clean_corpus`;
+#: * THREE debuts (never-green oracles must be in-window) — all staged
+#:   rows-only in r9 with prepared, pytest-pinned oracle SQL:
+#:   `sample_importance_weights` + `sample_importance` (the DSIR
+#:   hashed-unigram pair) and `embedding_outliers` (per-label outlier
+#:   queue sharing `embedding_separation`'s integer arithmetic);
+#: * 12 more r8-greens pulled forward so r11's mandatory list shrinks
+#:   to 32 (= 49 - 17 r8-greens refreshed here), chosen to keep the
+#:   creep-watch CDC pair fresh and to spread family coverage.
 #:
-#: The steady 3-round cycle over the ~129-oracle registry: each
+#: The steady 3-round cycle over the ~132-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r6 (30, mandatory)
-    "cdc_json_flatten",
-    "chunk_documents",
-    "corpus_shuffle",
-    "cube_revenue",
-    "embedding_label_centroids",
-    "embedding_quantize",
-    "events_tumbling_6h",
-    "fuzzy_join_parts",
-    "multimodal_resize",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q1_pricing_summary",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rollup_revenue",
-    "sample_mixture",
-    "sample_quality_weighted",
-    "similarity_hybrid_rrf",
-    "similarity_topk",
-    "split_assign",
-    "text_contamination",
-    "text_fingerprints",
-    "text_lang_stats",
-    "text_repetition",
-    "text_stats",
-    "text_unigram_logprob",
-    "tfidf_top_terms",
-    "top_orders_per_customer",
-    "top_words",
-    # privacy family floor (alternates with pii_prevalence, green r8)
-    "pii_scrub",
-    # the one r9 debut (never-green oracles must be in-window)
-    "similarity_ivfpq_all",
-    # 18 last driver-green in r7, alphabetical — pulled forward so the
-    # r10 mandatory list stays at 30; covers the asof / hygiene /
-    # dedup family floors
-    "approx_distinct_bound",
-    "approx_percentile_bound",
-    "asof_forward_tolerance",
-    "cdc_coalesce_updates",
-    "cdc_name_sanitize",
-    "cdc_route_ops",
-    "cdc_snapshot_asof",
-    "cdc_union_dedup",
-    "cohort_retention",
-    "corpus_stats",
-    "customer_deciles",
-    "daily_revenue_trend",
-    "decontaminate_fuzzy",
-    "dedup_corpus",
-    "dedup_minhash_verified",
-    "dedup_semantic",
-    "dedup_simhash_verified",
-    "prepare_corpus",
+    # at the staleness bound — last driver-green r7 (30, mandatory)
+    "embedding_project",
+    "events_anomaly_days",
+    "events_drift_psi",
+    "funnel_conversion",
+    "multimodal_frames",
+    "pack_sequences",
+    "q2_best_supplier_per_part",
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_signup_views",
+    "rollup_incremental",
+    "sample_quality_bands",
+    "sample_stratified",
+    "sample_token_budget",
+    "similarity_hard_negatives",
+    "similarity_ivf_all",
+    "similarity_ivf_int8_all",
+    "similarity_knn_label",
+    "split_temporal",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_filter_corpus",
+    "text_language_id",
+    "text_line_dedup",
+    "text_quality_score",
+    "top_words_salted",
+    "user_behavior_topk",
+    "validate_orders",
+    # family-floor fills the mandatory 30 miss (all r8-greens)
+    "cdc_snapshot_merge",
+    "dedup_containment",
+    "pii_prevalence",
+    "decontaminate_corpus",
+    "clean_corpus",
+    # the three r10 debuts (never-green oracles must be in-window)
+    "sample_importance_weights",
+    "sample_importance",
+    "embedding_outliers",
+    # 12 more r8-greens pulled forward (r11 mandatory drops to 32)
+    "cdc_merge_incremental",
+    "cdc_antijoin_survivors",
+    "dedup_exact",
+    "dedup_representatives",
+    "events_sessionize",
+    "events_session_window",
+    "multimodal_features",
+    "pack_padding_waste",
+    "embedding_separation",
+    "text_quality_calibrate_binned",
+    "similarity_pq_all",
+    "sample_mixture_temperature",
 )
 
 

@@ -2252,21 +2252,21 @@ FROM coh c LEFT JOIN rival r ON c.label = r.label
 
 
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label outlier review queue (rows-only this round): the 10
-    member vectors of each label farthest from their own centroid —
-    the mislabeled-data pruning companion to ``embedding_separation``,
+    """Per-label outlier review queue (oracle-paired since its r10
+    gate-window debut, alongside the DSIR pair): the 10 member vectors
+    of each label farthest from their own centroid — the
+    mislabeled-data pruning companion to ``embedding_separation``,
     sharing its exact-integer quantization and membership contract via
-    the refactored helpers.  Floors while rows-only: cross-engine
-    parity on a planted corpus with a known planted outlier +
-    determinism pytests; the prepared oracle below debuts through the
-    r10 gate window alongside the DSIR pair."""
+    the refactored helpers.  Also floored by cross-engine parity on a
+    planted corpus with a known planted outlier + determinism
+    pytests."""
     from ..operators.embeddings import label_outliers
 
     return label_outliers(load_table(spark, sf_dir, "embeddings"), k=10)
 
 
-#: r10 debut twin (see ORACLE_SAMPLE_IMPORTANCE_WEIGHTS's note on why
-#: it is NOT registered this round).  The qv/cent/carr CTEs are
+#: r10 debut twin of the DSIR pair (see
+#: ORACLE_SAMPLE_IMPORTANCE_WEIGHTS's note).  The qv/cent/carr CTEs are
 #: byte-identical to ORACLE_EMBEDDING_SEPARATION's, so the two audits
 #: can never disagree about quantization or membership.
 ORACLE_EMBEDDING_OUTLIERS = f"""
@@ -2530,14 +2530,12 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 
 
 def q_sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR hashed-unigram importance weights (rows-only this round):
-    target model = the 'src0' documents, raw model = everything else;
-    every non-src0 doc scored by its exact BIGINT micro-unit log
-    importance weight.  Floors while rows-only: cross-engine parity on
-    a planted micro-corpus + determinism + directional-selection
-    pytests (tests/test_sampling.py); the prepared oracle below debuts
-    through the r10 gate window (the r9 window is full — VERDICT r8
-    "next" #1)."""
+    """DSIR hashed-unigram importance weights (oracle-paired since its
+    r10 gate-window debut): target model = the 'src0' documents, raw
+    model = everything else; every non-src0 doc scored by its exact
+    BIGINT micro-unit log importance weight.  Also floored by
+    cross-engine parity on a planted micro-corpus + determinism +
+    directional-selection pytests (tests/test_sampling.py)."""
     from ..operators.sampling import importance_weights
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2549,10 +2547,10 @@ def q_sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "weight_micro")
 
 
-#: Ready for its r10 gate-window debut — deliberately NOT in ORACLE
-#: this round: a never-green oracle must enter through the window
-#: (tools/check_coverage.py), and the r9 window's 50 slots are spoken
-#: for by the mandatory r6 rotation.  Parity is already pytest-pinned
+#: Debuted through the r10 gate window (staged rows-only in r9 — a
+#: never-green oracle must enter through the window per
+#: tools/check_coverage.py, and the r9 window's 50 slots were spoken
+#: for by the mandatory r6 rotation).  Parity is also pytest-pinned
 #: on a planted micro-corpus (test_sampling.py::test_dsir_*).
 ORACLE_SAMPLE_IMPORTANCE_WEIGHTS = f"""
 WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),
@@ -2585,11 +2583,11 @@ GROUP BY tf.doc_id
 
 
 def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR Gumbel-top-k selection (rows-only this round): the 100
-    non-src0 docs most src0-like under the hashed-unigram importance
-    weights, resampled via deterministic Gumbel noise at scale 1.0
-    (sampling-without-replacement from the softmax, not a hard argmax).
-    Same rows-only floors and r10 oracle plan as
+    """DSIR Gumbel-top-k selection (oracle-paired since its r10
+    gate-window debut): the 100 non-src0 docs most src0-like under the
+    hashed-unigram importance weights, resampled via deterministic
+    Gumbel noise at scale 1.0 (sampling-without-replacement from the
+    softmax, not a hard argmax).  Same pytest floors as
     ``sample_importance_weights``."""
     from ..operators.sampling import sample_importance
 
@@ -2604,7 +2602,7 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "weight_micro", "sample_key", "rank")
 
 
-#: r10 debut twin of the query above (see the weights oracle's note).
+#: r10 debut twin of the weights oracle above (see its note).
 ORACLE_SAMPLE_IMPORTANCE = f"""
 WITH w AS ({{weights}}),
 keyed AS (
@@ -3425,6 +3423,11 @@ ORACLE = {
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "sample_mixture_temperature": ORACLE_SAMPLE_MIXTURE_TEMPERATURE,
     "sample_token_budget": ORACLE_SAMPLE_TOKEN_BUDGET,
+    # r10 debuts — staged rows-only in r9 with these prepared oracles,
+    # entering through the gate window per tools/check_coverage.py
+    "sample_importance_weights": ORACLE_SAMPLE_IMPORTANCE_WEIGHTS,
+    "sample_importance": ORACLE_SAMPLE_IMPORTANCE,
+    "embedding_outliers": ORACLE_EMBEDDING_OUTLIERS,
     "text_unigram_logprob": ORACLE_TEXT_UNIGRAM_LOGPROB,
     "text_bigram_logprob": ORACLE_TEXT_BIGRAM_LOGPROB,
     "sample_quality_bands": ORACLE_SAMPLE_QUALITY_BANDS,
