@@ -87,6 +87,16 @@ def flag_for(t: float, p: float, host_scale: float) -> str | None:
     Among flaggable drifts, >= 1.0s calibrated delta is REGRESSED;
     >= 0.10s is CREEP (floor lowered from 0.15s per VERDICT r8 —
     a +0.137s creep evaded the table by 13ms).
+
+    Known blind spot (the r9 ADVICE trade, accepted): the raw gate
+    also masks a genuine algorithmic slowdown measured on a host
+    enough faster than the baseline host that raw stays < 1.05x
+    (e.g. a real 1.5x regression on a 2x-faster machine).  The r9
+    false-positive evidence justifies the trade, but it means
+    fast-host sessions lose regression coverage — when the calib
+    ratio drifts far from the baseline host (outside ~0.8-1.25x),
+    re-record the baseline on the current host instead of trusting
+    a quiet flag table.
     """
     p_cal = p * host_scale
     if t < 1.3 * p_cal or t < 1.05 * p:

@@ -837,6 +837,14 @@ def padding_waste(
     )
 
 
+#: Largest DSIR bucket count scored via the inlined-literal-array plan
+#: (shuffle-free but its expression tree holds one literal per bucket);
+#: above this, :func:`importance_weights` switches to the value-identical
+#: relational broadcast-join plan so paper-sized spaces (~10k buckets)
+#: cannot bloat codegen/plan size.
+_MAX_INLINE_BUCKETS = 1024
+
+
 def importance_weights(
     df: DataFrame,
     target: DataFrame,
@@ -868,8 +876,14 @@ def importance_weights(
     importance weight is ``weight_micro / 1e6``.
 
     Output: ``(id_col, n_tokens, weight_micro)`` — one row per raw
-    doc, including docs whose every bucket is target-unseen (smoothing
-    keeps the ratio finite).
+    doc with at least one whitespace token, including docs whose every
+    bucket is target-unseen (smoothing keeps the ratio finite).
+    Blank and whitespace-only docs are EXCLUDED from both the scored
+    output and the bucket-count models: the whitespace tokenizer maps
+    them to a single ``''`` pseudo-token, which would hand them a
+    weight driven by the ``''`` bucket's corpus statistics —
+    inconsistent with ``token_count()``'s blank-counts-0 semantics.
+    The prepared oracle SQL mirrors the same non-blank filter.
 
     Scale shape: the model build reduces BOTH corpora to
     ``<= num_buckets`` bucket counts via explode + map-side-partial
@@ -883,7 +897,15 @@ def importance_weights(
     token — the same md5 the explode path paid, minus the explode, the
     full-corpus (id, bucket) tf shuffle, the join, and the per-doc
     re-aggregate of the first relational cut; executed scoring plan:
-    ONE parquet scan, ZERO exchanges).  Local wall is flat vs the
+    ONE parquet scan, ZERO exchanges).  The inlined lambda array is
+    ``num_buckets`` literals inside the per-token aggregate lambda, so
+    its expression tree grows with the bucket count; above
+    ``_MAX_INLINE_BUCKETS`` (where a DSIR-paper-sized space of ~10k
+    buckets would bloat codegen/plan size) scoring falls back to the
+    relational formulation — explode to a per-doc (bucket, tf) frame
+    and broadcast-join the lambda table — which is value-identical
+    (the equivalence a pytest pins by forcing the threshold down).
+    Local wall is flat vs the
     relational cut (19-23 s both ways at sf10 — the regex tokenizer
     dominates and runs either way), but the removed exchange carried
     one row per (doc, distinct bucket): at cluster scale that is a
@@ -898,9 +920,14 @@ def importance_weights(
         raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
     b = F.lit(num_buckets)
 
+    def nonblank(frame: DataFrame) -> DataFrame:
+        from ..functions.text import normalized
+
+        return frame.filter(F.length(normalized(text_col)) > 0)
+
     def bucketed(frame: DataFrame):
         tok = F.explode(_dsir_words(text_col)).alias("__tok")
-        return frame.select(tok).select(
+        return nonblank(frame).select(tok).select(
             hash_bucket(F.concat(F.lit("dsir:"), F.col("__tok")), num_buckets).alias(
                 "__b"
             )
@@ -918,7 +945,7 @@ def importance_weights(
     # where this operator's wall time lives.
     tot_t = tcnt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
     tot_r = rcnt.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__nr"))
-    lam_rows = (
+    lam_frame = (
         rcnt.join(tcnt, on="__b", how="left")
         .join(F.broadcast(tot_t))
         .join(F.broadcast(tot_r))
@@ -941,8 +968,36 @@ def importance_weights(
                 )
             ).cast("long").alias("__lam"),
         )
-        .collect()  # <= num_buckets rows — the bounded index artifact
     )
+
+    if num_buckets > _MAX_INLINE_BUCKETS:
+        # relational scoring: value-identical (BIGINT sums commute), one
+        # (id, bucket) tf shuffle + a broadcast lambda join — the plan
+        # whose expression tree does NOT grow with num_buckets
+        tf = (
+            nonblank(df)
+            .select(F.col(id_col), F.explode(_dsir_words(text_col)).alias("__tok"))
+            .select(
+                id_col,
+                hash_bucket(
+                    F.concat(F.lit("dsir:"), F.col("__tok")), num_buckets
+                ).alias("__b"),
+            )
+            .groupBy(id_col, "__b")
+            .agg(F.count(F.lit(1)).alias("__tf"))
+        )
+        return (
+            tf.join(F.broadcast(lam_frame), on="__b")
+            .groupBy(id_col)
+            .agg(
+                F.sum("__tf").cast("long").alias("n_tokens"),
+                F.sum(F.col("__tf") * F.col("__lam")).cast("long").alias(
+                    "weight_micro"
+                ),
+            )
+        )
+
+    lam_rows = lam_frame.collect()  # <= num_buckets rows — the bounded artifact
     arr = [0] * num_buckets  # buckets with no raw token are never looked up
     for r in lam_rows:
         arr[r["__b"]] = int(r["__lam"])
@@ -964,7 +1019,8 @@ def importance_weights(
     # (the r8 gopher_rules lesson — a Generate barrier pays only when
     # CollapseProject multiplies references ACROSS projections)
     return (
-        df.select(F.col(id_col), _dsir_words(text_col).alias("__toks"))
+        nonblank(df)
+        .select(F.col(id_col), _dsir_words(text_col).alias("__toks"))
         .filter(toks.isNotNull())
         .select(
             id_col,

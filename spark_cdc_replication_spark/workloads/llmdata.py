@@ -2553,8 +2553,10 @@ def q_sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: for by the mandatory r6 rotation).  Parity is also pytest-pinned
 #: on a planted micro-corpus (test_sampling.py::test_dsir_*).
 ORACLE_SAMPLE_IMPORTANCE_WEIGHTS = f"""
-WITH tgt AS (SELECT text FROM documents WHERE source = 'src0'),
-raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+WITH tgt AS (SELECT text FROM documents
+             WHERE source = 'src0' AND length({_NORM_SQL}) > 0),
+raw AS (SELECT doc_id, text FROM documents
+        WHERE source <> 'src0' AND length({_NORM_SQL}) > 0),
 ttok AS (
   SELECT CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT) % 256 AS b
   FROM tgt, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS u(tok)

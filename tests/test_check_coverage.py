@@ -105,6 +105,11 @@ def test_adjudicate_baseline_pick_is_sf_aware(tmp_path):
     assert _pick_baseline(str(tmp_path), 0.1) == "BENCH_r08.json"
     assert _pick_baseline(str(tmp_path), 1.0) == "BENCH_r08_sf1.json"
     assert _pick_baseline(str(tmp_path), 3.0) is None
+    # newest = highest PARSED round number, not lexicographic filename
+    # order (ADVICE r9: BENCH_r9.json sorts after BENCH_r10.json)
+    (tmp_path / "BENCH_r9.json").write_text(json.dumps({"sf": 0.1, "queries": {}}))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps({"sf": 0.1, "queries": {}}))
+    assert _pick_baseline(str(tmp_path), 0.1) == "BENCH_r10.json"
 
 
 def test_bench_flag_rule_needs_both_readings_slower():

@@ -760,9 +760,10 @@ def test_dsir_weights_prefer_target_vocabulary(spark):
         r.doc_id: r
         for r in importance_weights(raw, target, num_buckets=64).collect()
     }
-    # every raw doc with >=1 token gets exactly one row (blank doc 5
-    # tokenizes to the '' pseudo-token, so it scores too)
-    assert set(rows) == {1, 2, 3, 4, 5}
+    # every raw doc with >=1 token gets exactly one row; blank doc 5 is
+    # EXCLUDED (token_count's blank-counts-0 semantics — without the
+    # filter it would score via the '' pseudo-token's bucket)
+    assert set(rows) == {1, 2, 3, 4}
     # length-normalized weights: physics docs strictly above cooking docs
     mean = {k: r.weight_micro / r.n_tokens for k, r in rows.items()}
     assert min(mean[1], mean[2]) > max(mean[3], mean[4])
@@ -799,6 +800,25 @@ def test_dsir_sample_k_exact_rank_dense_and_directional(spark):
     rows = noisy.collect()
     assert len(rows) == 3
     assert sorted(r.rank for r in rows) == [1, 2, 3]
+
+
+def test_dsir_relational_scoring_matches_inline(spark, monkeypatch):
+    """Above _MAX_INLINE_BUCKETS importance_weights switches from the
+    inlined-literal-array plan to the relational broadcast-join plan
+    (ADVICE r9: a ~10k-literal lambda array bloats codegen); the two
+    must be value-identical.  Force the threshold down so the SAME
+    bucket count runs both plans."""
+    from spark_cdc_replication_spark.operators import sampling
+
+    raw, target = _dsir_frames(spark)
+    inline = sorted(
+        map(tuple, sampling.importance_weights(raw, target, num_buckets=64).collect())
+    )
+    monkeypatch.setattr(sampling, "_MAX_INLINE_BUCKETS", 2)
+    relational = sorted(
+        map(tuple, sampling.importance_weights(raw, target, num_buckets=64).collect())
+    )
+    assert relational == inline
 
 
 def test_dsir_smoothing_keeps_target_unseen_buckets_finite(spark):

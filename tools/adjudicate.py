@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -39,10 +40,21 @@ def _pick_baseline(here: str, sf_val) -> str | None:
         except (OSError, ValueError, AttributeError):
             return None
 
+    def round_no(path: str) -> int:
+        # sort by the PARSED round number, not the filename: lexicographic
+        # order breaks on unpadded names (BENCH_r9.json > BENCH_r10.json)
+        m = re.search(r"BENCH_r(\d+)", path)
+        return int(m.group(1)) if m else -1
+
     same = sorted(
-        f
-        for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json") and recorded_sf(f) == sf_val
+        (
+            f
+            for f in os.listdir(here)
+            if f.startswith("BENCH_r")
+            and f.endswith(".json")
+            and recorded_sf(f) == sf_val
+        ),
+        key=round_no,
     )
     return same[-1] if same else None
 
