@@ -1159,3 +1159,82 @@ def select_representatives(
             (F.col("__r") == 1).alias("kept"),
         )
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_len: int = 64,
+    stride: int = 16,
+    max_doc_freq: int = 20,
+) -> DataFrame:
+    """Provenance-aware duplication audit: which SOURCES copy from each
+    other.  Counts, per unordered source pair, the cross-source
+    document pairs sharing at least one exact ``shingle_len``-char
+    shingle (stride ``stride``) of normalized text — the
+    ``dedup_shared_shingles`` copied-span modality aggregated to the
+    source level.  Real curation pipelines run this before mixing
+    (e.g. a web crawl vs a curated subset of the same crawl): a hot
+    source pair means the mixture double-counts that content, and the
+    lower-quality side is the dedup target.
+
+    Output: ``(source_a, source_b, n_pairs)`` with ``source_a <
+    source_b`` (string order) — one row per source pair with at least
+    one cross-source duplicated span; bounded by ``sources²``.
+
+    Shape: the corpus reduces to distinct ``(source, id, md5(shingle))``
+    postings (stride bounds the explode at ``len/stride`` rows per doc;
+    32-byte hash keys, never text), then ONE ``collect_set`` aggregate
+    per shingle hash builds the postings list, and pairs explode from
+    lists of ``<= max_doc_freq`` entries — the :func:`containment_pairs`
+    cap: a boilerplate shingle shared by k docs would otherwise emit k²
+    join rows, and the cap bounds every list at ``cap²`` pair
+    candidates.  After the postings aggregate only (source, id) pairs
+    shuffle; the final aggregate is sources²-bounded.
+
+    A shared span >= ``shingle_len + stride`` chars is guaranteed
+    caught (it contains a stride-aligned full shingle of the earlier
+    doc); shorter overlaps catch probabilistically, exactly the
+    ``dedup_shared_shingles`` contract.
+    """
+    if shingle_len < 1 or stride < 1:
+        raise ValueError(f"shingle_len/stride must be >= 1: {shingle_len}/{stride}")
+    if max_doc_freq is not None and max_doc_freq < 2:
+        raise ValueError(f"max_doc_freq must be >= 2 to form any pair: {max_doc_freq}")
+    norm = df.select(
+        F.col(id_col), F.col(source_col), normalized(text_col).alias("__t")
+    ).filter(F.length("__t") >= shingle_len)
+    sh = norm.select(
+        id_col,
+        source_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(__t) - {shingle_len - 1}, 1), "
+                f"{stride}), i -> md5(substring(__t, i, {shingle_len})))"
+            )
+        ).alias("__sh"),
+    ).distinct()
+    postings = sh.groupBy("__sh").agg(
+        F.collect_set(F.struct(F.col(source_col).alias("s"), F.col(id_col).alias("i"))).alias(
+            "__m"
+        )
+    )
+    if max_doc_freq is not None:
+        postings = postings.filter(F.size("__m") <= max_doc_freq)
+    pairs = (
+        postings.select(F.explode("__m").alias("a"), "__m")
+        .select("a", F.explode("__m").alias("b"))
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(
+            F.col("a.s").alias("source_a"),
+            F.col("a.i").alias("id_a"),
+            F.col("b.s").alias("source_b"),
+            F.col("b.i").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1114,3 +1114,98 @@ def sample_importance(
         .filter(F.col("rank") <= k)
         .select(id_col, "n_tokens", "weight_micro", "sample_key", "rank")
     )
+
+
+def unigram_divergence(
+    df: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Jensen-Shannon divergence between each group's
+    hashed-unigram distribution and a TARGET corpus's — the mixture
+    diagnostic that complements :func:`importance_weights`: DSIR
+    scores individual documents against the target; this scores whole
+    SOURCES, answering "which sources are already target-like (low
+    JSD) and which would drag the mixture away (high JSD)" before any
+    reweighting is chosen.
+
+    Both distributions live in the same ``num_buckets`` hashed token
+    space as DSIR (namespaced ``"dsir:" || token`` — deliberately the
+    SAME space, so a source's divergence and its docs' importance
+    weights are statements about one model), Laplace-smoothed over the
+    full bucket domain:
+
+    ``p_b = (c_g(b)+1)/(N_g+B)``, ``q_b = (c_t(b)+1)/(N_t+B)``,
+    ``jsd_micro = Σ_b floor(5e5·p_b·ln(2p_b/(p_b+q_b)))
+                + floor(5e5·q_b·ln(2q_b/(p_b+q_b)))``
+
+    — each bucket's two contributions floored to integer micro-units
+    THEN integer-summed, the module's engine-reproducibility recipe
+    (BIGINT addition commutes; the only doubles are per-bucket
+    expressions with a fixed evaluation shape mirrored in the oracle
+    SQL).  Range ~[0, ln 2 ≈ 0.693]·1e6, biased at most B micro-units
+    low by the floors.  Blank docs are excluded exactly as in
+    :func:`importance_weights`.
+
+    Output: ``(group_col, n_tokens, jsd_micro)``, one row per group
+    with >= 1 token.
+
+    Shape: two explode+count aggregates reduce BOTH corpora to
+    bucket-count frames (map-side partials; ``<= groups x B`` and
+    ``<= B`` rows), the bucket domain materializes as ``groups x B``
+    rows (distinct groups cross-joined with a ``sequence(0, B-1)``
+    explode — thousands of rows, never corpus-sized), and every join
+    after the count aggregates is a broadcast.  The corpus is read
+    once per side; nothing downstream scales with document count.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    from ..functions.text import normalized
+
+    b = num_buckets
+
+    def toks(frame: DataFrame, *cols):
+        return (
+            frame.filter(F.length(normalized(text_col)) > 0)
+            .select(*cols, F.explode(_dsir_words(text_col)).alias("__tok"))
+            .select(
+                *cols,
+                hash_bucket(F.concat(F.lit("dsir:"), F.col("__tok")), b).alias("__b"),
+            )
+        )
+
+    gcnt = toks(df, F.col(group_col)).groupBy(group_col, "__b").agg(
+        F.count(F.lit(1)).alias("__cg")
+    )
+    gtot = gcnt.groupBy(group_col).agg(F.sum("__cg").alias("__ng"))
+    tcnt = toks(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    ttot = tcnt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
+
+    domain = (
+        df.select(group_col)
+        .distinct()
+        .select(group_col, F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__b"))
+    )
+    p = (F.coalesce(F.col("__cg"), F.lit(0)) + 1).cast("double") / (
+        F.col("__ng") + b
+    ).cast("double")
+    q = (F.coalesce(F.col("__ct"), F.lit(0)) + 1).cast("double") / (
+        F.col("__nt") + b
+    ).cast("double")
+    contrib = (
+        F.floor(F.lit(500000.0) * p * F.log((2 * p) / (p + q)))
+        + F.floor(F.lit(500000.0) * q * F.log((2 * q) / (p + q)))
+    ).cast("long")
+    return (
+        domain.join(F.broadcast(gcnt), on=[group_col, "__b"], how="left")
+        .join(F.broadcast(tcnt), on="__b", how="left")
+        .join(F.broadcast(gtot), on=group_col)
+        .join(F.broadcast(ttot))
+        .groupBy(group_col)
+        .agg(
+            F.max("__ng").cast("long").alias("n_tokens"),
+            F.sum(contrib).alias("jsd_micro"),
+        )
+    )

@@ -741,3 +741,76 @@ def filter_corpus(
         & (F.coalesce(top_bigram, F.lit(0.0)) <= max_top_bigram_frac)
     )
     return g.filter(keep).select(*df.columns)
+
+
+def ngram_coverage(
+    df: DataFrame,
+    target: DataFrame,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group recall of the TARGET corpus's distinct word-n-grams —
+    the source-granular complement of :func:`contamination_check`
+    (which scores each DOC's grams against a benchmark, this scores
+    each SOURCE against a target/exemplar): for every value of
+    ``group_col``, what fraction of the target's distinct grams appear
+    anywhere in that group.  The data-mixing diagnostic behind "which
+    source should supply more of the target's style": high coverage =
+    the source already spans the target's phrasing; near-zero coverage
+    = upweighting it cannot move the model toward the target.
+
+    Output: ``(group_col, n_matched, n_target_grams, coverage_micro)``
+    — one row per group (including zero-coverage groups);
+    ``coverage_micro = (n_matched * 1_000_000) DIV n_target_grams``,
+    exact integer division so the value hashes across engines.
+
+    Shape: the target reduces once to its distinct-gram set (exemplar
+    corpora are small by the same assumption DSIR makes — bounded,
+    broadcastable); the corpus reduces to distinct (group, gram) rows
+    — the ONE corpus-sized shuffle, keyed by gram string (the measured
+    :func:`contamination_check` trade: hashed keys lost 2.2x on this
+    explode-join shape).  The inner join then broadcasts the target
+    set, and the final aggregate is groups-bounded.  Nothing is
+    all-pairs; document bodies never shuffle.
+    """
+    from .dedup import _shingle_string_sets
+
+    tgt_ided = target.select(F.col(text_col)).withColumn(
+        "__tid", F.monotonically_increasing_id()
+    )
+    tgt_grams = (
+        _shingle_string_sets(tgt_ided, text_col, "__tid", n)
+        .select(F.explode("__sh").alias("__s"))
+        .distinct()
+    )
+    tgt_total = tgt_grams.agg(F.count(F.lit(1)).alias("n_target_grams"))
+    grp_grams = (
+        _shingle_string_sets(
+            df.select(F.col(group_col), F.col(text_col)), text_col, group_col, n
+        )
+        .select(F.col(group_col), F.explode("__sh").alias("__s"))
+        .distinct()
+    )
+    matched = (
+        grp_grams.join(tgt_grams, on="__s")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        df.select(group_col)
+        .distinct()
+        .join(matched, on=group_col, how="left")
+        .join(F.broadcast(tgt_total))
+        .select(
+            group_col,
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_matched"),
+            F.col("n_target_grams").cast("long").alias("n_target_grams"),
+            F.when(F.col("n_target_grams") == 0, F.lit(0))
+            .otherwise(
+                F.expr("(coalesce(n_matched, 0) * 1000000) div n_target_grams")
+            )
+            .cast("long")
+            .alias("coverage_micro"),
+        )
+    )

@@ -1409,6 +1409,61 @@ FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
 """
 
 
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance audit (rows-only this round; prepared oracle staged
+    for the r11 window): per source pair, how many cross-source doc
+    pairs share a copied >= 64-char span.  Every 10th document is
+    planted again under a synthetic aggregator source 'srcmirror'
+    (the dedup_containment planting pattern), so each real source has
+    a known overlap with the mirror; organic fixture dup groups that
+    happen to cross sources count too.  Floors while rows-only:
+    planted-count parity + hot-shingle-cap pytests
+    (tests/test_dedup_similarity.py::test_cross_source_*)."""
+    from ..operators.dedup import cross_source_overlap
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirror = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.lit("srcmirror").alias("source"),
+        F.col("text"),
+    )
+    return cross_source_overlap(
+        docs.unionByName(mirror), shingle_len=64, stride=16, max_doc_freq=20
+    )
+
+
+#: Staged for an r11 gate-window debut.  The shingle construction is
+#: byte-identical to ORACLE_DEDUP_SHARED_SHINGLES'; the HAVING cap
+#: mirrors cross_source_overlap's postings-list size bound.
+ORACLE_DEDUP_CROSS_SOURCE = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, 'srcmirror' AS source, text
+  FROM documents WHERE doc_id % 10 = 7
+),
+norm AS (
+  SELECT doc_id, source, {_NORM_SQL} AS t FROM corpus
+  WHERE length({_NORM_SQL}) >= 64
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, md5(substring(t, i, 64)) AS sh
+  FROM norm, LATERAL (
+    SELECT unnest(range(1, greatest(length(t) - 63, 1) + 1, 16)) AS i
+  ) g
+),
+kept AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 20),
+m AS (SELECT s.* FROM sh s JOIN kept USING (sh)),
+pairs AS (
+  SELECT DISTINCT a.source AS source_a, a.doc_id AS id_a,
+                  b.source AS source_b, b.doc_id AS id_b
+  FROM m a JOIN m b ON a.sh = b.sh AND a.source < b.source
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY source_a, source_b
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional n-gram containment dedup (the quote/doc-in-doc
     modality — Broder containment, which Jaccard misses): the corpus
@@ -2374,6 +2429,44 @@ GROUP BY c.doc_id, c.n_shingles
 """
 
 
+def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source recall of the 'src0' exemplar's distinct trigrams
+    (rows-only this round; prepared oracle staged for the r11 window)
+    — the source-granular complement of text_contamination: which
+    sources already span the target's phrasing.  src0 itself is kept
+    as the full-coverage sanity row.  Floors while rows-only: planted
+    superset/disjoint parity + determinism pytests
+    (tests/test_skew_text_hygiene.py::test_ngram_coverage_*)."""
+    from ..operators.textanalysis import ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_coverage(docs, docs.filter(F.col("source") == "src0"), n=3)
+
+
+#: Staged for an r11 gate-window debut.  The gram construction is
+#: byte-identical to ORACLE_TEXT_CONTAMINATION's; coverage_micro is
+#: exact integer division so values hash across engines.
+ORACLE_TEXT_NGRAM_COVERAGE = f"""
+WITH sh AS (
+  SELECT source, list_distinct([array_to_string(w[i:i+2], ' ')
+                 FOR i IN range(1, greatest(len(w) - 1, 1))]) AS grams
+  FROM (SELECT source, string_split_regex({_NORM_SQL}, '\\s+') AS w FROM documents)
+),
+tgt AS (SELECT DISTINCT unnest(grams) AS s FROM sh WHERE source = 'src0'),
+tt AS (SELECT count(*) AS n_target_grams FROM tgt),
+gg AS (SELECT DISTINCT source, unnest(grams) AS s FROM sh),
+m AS (SELECT g.source, count(*) AS n_matched FROM gg g JOIN tgt USING (s) GROUP BY 1)
+SELECT d.source,
+       CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       CAST(tt.n_target_grams AS BIGINT) AS n_target_grams,
+       CAST(CASE WHEN tt.n_target_grams = 0 THEN 0
+            ELSE (coalesce(m.n_matched, 0) * 1000000) // tt.n_target_grams
+            END AS BIGINT) AS coverage_micro
+FROM (SELECT DISTINCT source FROM documents) d
+LEFT JOIN m ON d.source = m.source, tt
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over the corpus with deterministically
     planted emails / IPs / phone numbers (the fixture text itself
@@ -2602,6 +2695,66 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         gumbel_scale=1.0,
     )
     return out.select("doc_id", "n_tokens", "weight_micro", "sample_key", "rank")
+
+
+def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence vs the 'src0' exemplar in
+    DSIR's hashed-unigram space (rows-only this round; the prepared
+    oracle below debuts through the r11 gate window, the r9->r10 DSIR
+    staging pattern).  Floors while rows-only: cross-engine parity on
+    a planted corpus + determinism + directional pytests
+    (tests/test_sampling.py::test_divergence_*)."""
+    from ..operators.sampling import unigram_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_divergence(
+        docs, docs.filter(F.col("source") == "src0"), num_buckets=256
+    )
+
+
+#: Staged for an r11 gate-window debut (never-green oracles must enter
+#: through the window; the r10 window is full).  The dsir:-namespaced
+#: hash space and the smoothed p/q shapes are byte-identical to
+#: ORACLE_SAMPLE_IMPORTANCE_WEIGHTS', so the source-level divergence
+#: and the doc-level importance weights can never disagree about the
+#: model.
+ORACLE_CORPUS_DIVERGENCE = f"""
+WITH docs AS (
+  SELECT source, text FROM documents WHERE length({_NORM_SQL}) > 0
+),
+tgt AS (SELECT text FROM docs WHERE source = 'src0'),
+gtok AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT) % 256 AS b
+  FROM docs, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS u(tok)
+),
+ttok AS (
+  SELECT CAST(('0x' || substr(md5('dsir:' || tok), 1, 8)) AS BIGINT) % 256 AS b
+  FROM tgt, unnest(string_split_regex({_NORM_SQL}, '\\s+')) AS u(tok)
+),
+gc AS (SELECT source, b, count(*) AS cg FROM gtok GROUP BY 1, 2),
+gt AS (SELECT source, sum(cg) AS ng FROM gc GROUP BY 1),
+tc AS (SELECT b, count(*) AS ct FROM ttok GROUP BY 1),
+tt AS (SELECT coalesce(sum(ct), 0) AS nt FROM tc),
+grid AS (
+  SELECT d.source, r.b
+  FROM (SELECT DISTINCT source FROM docs) d, (SELECT unnest(range(0, 256)) AS b) r
+),
+terms AS (
+  SELECT g.source, gt.ng,
+         CAST(coalesce(gc.cg, 0) + 1 AS DOUBLE) / (gt.ng + 256) AS p,
+         CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (tt.nt + 256) AS q
+  FROM grid g
+  LEFT JOIN gc ON g.source = gc.source AND g.b = gc.b
+  LEFT JOIN tc ON g.b = tc.b
+  JOIN gt ON g.source = gt.source, tt
+)
+SELECT source, CAST(ng AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor(500000.0 * p * ln((2 * p) / (p + q))) AS BIGINT)
+              + CAST(floor(500000.0 * q * ln((2 * q) / (p + q))) AS BIGINT))
+            AS BIGINT) AS jsd_micro
+FROM terms GROUP BY source, ng
+"""
 
 
 #: r10 debut twin of the weights oracle above (see its note).
@@ -3354,6 +3507,10 @@ QUERIES = {
     "sample_mixture_temperature": q_sample_mixture_temperature,
     "sample_importance_weights": q_sample_importance_weights,
     "sample_importance": q_sample_importance,
+    # rows-only this round; prepared oracles staged for the r11 window
+    "corpus_divergence": q_corpus_divergence,
+    "dedup_cross_source": q_dedup_cross_source,
+    "text_ngram_coverage": q_text_ngram_coverage,
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,

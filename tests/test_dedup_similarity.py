@@ -649,3 +649,67 @@ def test_pii_prevalence_counts(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.pii_type: (r.docs_with_hits, r.total_hits) for r in pii_prevalence(df).collect()}
     assert got == {"email": (2, 3), "ipv4": (1, 1), "phone": (0, 0)}
+
+
+def test_cross_source_overlap_counts_planted_copies_exactly(spark):
+    from spark_cdc_replication_spark.operators.dedup import cross_source_overlap
+
+    base = "alpha beta gamma delta " * 8  # 192 chars, >= 64 after norm
+    other = "omega psi chi phi upsilon " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, "web", base),
+            (2, "books", base),              # cross-source copy of 1
+            (3, "web", base),                # same-source copy of 1: NOT counted
+            (4, "books", other),
+            (5, "wiki", other),              # cross-source copy of 4
+            (6, "wiki", "tiny"),             # under shingle_len: ignored
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in cross_source_overlap(docs).collect()
+    }
+    # pairs: (1,2) web-books, (3,2) web-books, (4,5) books-wiki — and
+    # 1/3 vs 2 count as TWO distinct doc pairs under one source pair
+    assert out == {("books", "web"): 2, ("books", "wiki"): 1}
+
+
+def test_cross_source_overlap_hot_shingle_cap(spark):
+    from spark_cdc_replication_spark.operators.dedup import cross_source_overlap
+
+    hot = "kappa lambda mu nu xi omicron " * 6
+    docs = spark.createDataFrame(
+        [(i, f"s{i}", hot) for i in range(5)],
+        "doc_id long, source string, text string",
+    )
+    # every shingle lives in 5 docs: cap 4 drops them all
+    assert cross_source_overlap(docs, max_doc_freq=4).collect() == []
+    # cap >= 5 restores all C(5,2) cross-source pairs
+    full = cross_source_overlap(docs, max_doc_freq=5).collect()
+    assert sum(r.n_pairs for r in full) == 10
+
+
+def test_cross_source_cross_engine_parity_on_fixture(spark, sf_dir):
+    """Replay the EXACT prepared r11 oracle SQL at the test sf and
+    compare row-for-row against the registered query."""
+    import duckdb
+
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_DEDUP_CROSS_SOURCE,
+        q_dedup_cross_source,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    res = con.execute(ORACLE_DEDUP_CROSS_SOURCE)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+    got = {
+        tuple(r[c] for c in cols)
+        for r in q_dedup_cross_source(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

@@ -887,3 +887,65 @@ def test_dsir_cross_engine_parity_on_planted_corpus(spark):
             for r in df.collect()
         }
         assert got == want
+
+
+def test_divergence_directional_and_deterministic(spark):
+    """unigram_divergence: a target-voiced source scores strictly
+    lower JSD than a disjoint-vocabulary source; values are partition
+    invariant (BIGINT micro-unit sums commute)."""
+    from spark_cdc_replication_spark.operators.sampling import unigram_divergence
+
+    schema = "doc_id long, text string, source string"
+    docs = spark.createDataFrame(
+        [(i, t, "src0") for i, t in _DSIR_TARGET]
+        + [(i, t, "physics") for i, t in _DSIR_RAW[:2]]
+        + [(i, t, "cooking") for i, t in _DSIR_RAW[2:4]]
+        + [(5, "   ", "blankonly")],
+        schema,
+    )
+    out = unigram_divergence(docs, docs.filter(F.col("source") == "src0"))
+    rows = {r.source: r for r in out.collect()}
+    # all-blank sources have no tokens and no row (matches the oracle)
+    assert set(rows) == {"src0", "physics", "cooking"}
+    # self-divergence is the floor; target-voiced < disjoint-voiced
+    assert rows["src0"].jsd_micro < rows["physics"].jsd_micro < rows["cooking"].jsd_micro
+    again = {
+        r.source: r
+        for r in unigram_divergence(
+            docs.repartition(7), docs.filter(F.col("source") == "src0").repartition(3)
+        ).collect()
+    }
+    assert {(r.source, r.n_tokens, r.jsd_micro) for r in rows.values()} == {
+        (r.source, r.n_tokens, r.jsd_micro) for r in again.values()
+    }
+
+
+def test_divergence_cross_engine_parity_on_planted_corpus(spark):
+    """Replay the EXACT prepared r11 oracle SQL over a planted corpus
+    and compare row-for-row (the pre-debut proof the DSIR pair got in
+    r9)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.operators.sampling import unigram_divergence
+    from spark_cdc_replication_spark.workloads.llmdata import ORACLE_CORPUS_DIVERGENCE
+
+    docs = pd.DataFrame(
+        [(i, t, "src0") for i, t in _DSIR_TARGET]
+        + [(i, t, "srcA") for i, t in _DSIR_RAW[:2]]
+        + [(i, t, "srcB") for i, t in _DSIR_RAW[2:]],
+        columns=["doc_id", "text", "source"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    res = con.execute(ORACLE_CORPUS_DIVERGENCE)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+    sdocs = spark.createDataFrame(docs)
+    got = {
+        tuple(r[c] for c in cols)
+        for r in unigram_divergence(
+            sdocs, sdocs.filter(F.col("source") == "src0")
+        ).collect()
+    }
+    assert got == want

@@ -115,3 +115,50 @@ def test_bigram_logprob_values_and_plan(spark):
     assert got[2].n_bigrams == 2
     assert got[2].logprob_micro == lp_ab + lp_bc
     assert 3 not in got  # single-word doc: no bigrams, no row
+
+
+def test_ngram_coverage_superset_disjoint_and_parity(spark):
+    """ngram_coverage floors: a source containing every target doc
+    covers 1.0 (1e6 micro); a disjoint-vocabulary source covers 0;
+    and the planted corpus replays the EXACT prepared r11 oracle SQL
+    row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.operators.textanalysis import ngram_coverage
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_TEXT_NGRAM_COVERAGE,
+    )
+
+    t1 = "quantum field theory entangles boson and fermion states"
+    t2 = "the boson lattice couples every fermion field"
+    docs = pd.DataFrame(
+        [
+            (1, t1, "src0"),
+            (2, t2, "src0"),
+            (3, t1 + " " + t2, "superset"),  # contains both target docs
+            (4, "simmer the onion butter sauce then whisk it", "disjoint"),
+        ],
+        columns=["doc_id", "text", "source"],
+    )
+    sdocs = spark.createDataFrame(docs)
+    out = {
+        r.source: r
+        for r in ngram_coverage(
+            sdocs, sdocs.filter(F.col("source") == "src0"), n=3
+        ).collect()
+    }
+    assert out["src0"].coverage_micro == 1_000_000
+    assert out["disjoint"].coverage_micro == 0 and out["disjoint"].n_matched == 0
+    # the superset doc covers every gram except the two spanning the
+    # concatenation seam it introduces — still strictly > 0.9
+    assert out["superset"].n_matched >= out["superset"].n_target_grams - 2
+    assert all(r.n_target_grams == out["src0"].n_target_grams for r in out.values())
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    res = con.execute(ORACLE_TEXT_NGRAM_COVERAGE)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+    got = {tuple(r[c] for c in cols) for r in out.values()}
+    assert got == want
