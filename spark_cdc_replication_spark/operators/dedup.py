@@ -1184,15 +1184,21 @@ def cross_source_overlap(
     source_b`` (string order) — one row per source pair with at least
     one cross-source duplicated span; bounded by ``sources²``.
 
-    Shape: the corpus reduces to distinct ``(source, id, md5(shingle))``
-    postings (stride bounds the explode at ``len/stride`` rows per doc;
-    32-byte hash keys, never text), then ONE ``collect_set`` aggregate
-    per shingle hash builds the postings list, and pairs explode from
-    lists of ``<= max_doc_freq`` entries — the :func:`containment_pairs`
-    cap: a boilerplate shingle shared by k docs would otherwise emit k²
-    join rows, and the cap bounds every list at ``cap²`` pair
-    candidates.  After the postings aggregate only (source, id) pairs
-    shuffle; the final aggregate is sources²-bounded.
+    Shape: the corpus explodes to ``(source, id, md5(shingle))`` rows
+    (stride bounds the fan-out at ``len/stride`` rows per doc; 32-byte
+    hash keys, never text), then ONE ``collect_set`` aggregate per
+    shingle hash builds the postings list — ``collect_set`` of
+    ``(source, id)`` structs dedups repeated in-doc shingles itself,
+    so there is NO separate ``distinct`` shuffle before it — and pairs
+    explode from lists of ``<= max_doc_freq`` entries (the
+    :func:`containment_pairs` cap: a boilerplate shingle shared by k
+    docs would otherwise emit k² join rows; the cap bounds every list
+    at ``cap²`` pair candidates).  The final step is one
+    ``count_distinct`` aggregate keyed by the source pair (map-side
+    partial dedup of repeated doc pairs, no standalone distinct
+    shuffle); only (source, id) pairs ever shuffle after the postings
+    aggregate, and the output is sources²-bounded.  Total: two
+    exchanges end to end.
 
     A shared span >= ``shingle_len + stride`` chars is guaranteed
     caught (it contains a stride-aligned full shingle of the earlier
@@ -1215,7 +1221,7 @@ def cross_source_overlap(
                 f"{stride}), i -> md5(substring(__t, i, {shingle_len})))"
             )
         ).alias("__sh"),
-    ).distinct()
+    )
     postings = sh.groupBy("__sh").agg(
         F.collect_set(F.struct(F.col(source_col).alias("s"), F.col(id_col).alias("i"))).alias(
             "__m"
@@ -1233,8 +1239,7 @@ def cross_source_overlap(
             F.col("b.s").alias("source_b"),
             F.col("b.i").alias("id_b"),
         )
-        .distinct()
     )
     return pairs.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("n_pairs")
+        F.count_distinct(F.col("id_a"), F.col("id_b")).alias("n_pairs")
     )

@@ -1154,11 +1154,14 @@ def unigram_divergence(
 
     Shape: two explode+count aggregates reduce BOTH corpora to
     bucket-count frames (map-side partials; ``<= groups x B`` and
-    ``<= B`` rows), the bucket domain materializes as ``groups x B``
-    rows (distinct groups cross-joined with a ``sequence(0, B-1)``
-    explode — thousands of rows, never corpus-sized), and every join
-    after the count aggregates is a broadcast.  The corpus is read
-    once per side; nothing downstream scales with document count.
+    ``<= B`` rows); EVERYTHING downstream derives from those two
+    frames — the smoothed ``groups x B`` domain comes from the
+    per-group totals frame (itself a fold over the count frame, so
+    exchange reuse serves it; deriving it from the raw corpus would
+    re-tokenize — the DSIR totals lesson) via a ``sequence(0, B-1)``
+    explode, and every join after the count aggregates is a
+    broadcast.  The corpus is read once per side; nothing downstream
+    scales with document count.
     """
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
@@ -1183,10 +1186,10 @@ def unigram_divergence(
     tcnt = toks(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     ttot = tcnt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
 
-    domain = (
-        df.select(group_col)
-        .distinct()
-        .select(group_col, F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__b"))
+    domain = gtot.select(
+        group_col,
+        "__ng",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__b"),
     )
     p = (F.coalesce(F.col("__cg"), F.lit(0)) + 1).cast("double") / (
         F.col("__ng") + b
@@ -1201,7 +1204,6 @@ def unigram_divergence(
     return (
         domain.join(F.broadcast(gcnt), on=[group_col, "__b"], how="left")
         .join(F.broadcast(tcnt), on="__b", how="left")
-        .join(F.broadcast(gtot), on=group_col)
         .join(F.broadcast(ttot))
         .groupBy(group_col)
         .agg(
