@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -220,8 +221,16 @@ def main() -> None:
         except (OSError, ValueError, AttributeError):
             return None
 
+    def _round_no(path: str) -> int:
+        # newest = highest PARSED round number, not lexicographic name
+        # order (the adjudicate.py lesson: BENCH_r9.json would sort
+        # after BENCH_r10.json)
+        m = re.search(r"BENCH_r(\d+)", path)
+        return int(m.group(1)) if m else -1
+
     candidates = sorted(
-        f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json")
+        (f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json")),
+        key=lambda f: (_round_no(f), f),
     )
     same_sf = [f for f in candidates if _recorded_sf(f) == sf_val]
     baseline_path = os.environ.get(
