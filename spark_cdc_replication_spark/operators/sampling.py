@@ -1165,25 +1165,59 @@ def unigram_divergence(
     """
     if num_buckets < 2:
         raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    return divergence_from_counts(
+        dsir_bucket_counts(df, num_buckets, text_col, (group_col,)),
+        dsir_bucket_counts(target, num_buckets, text_col),
+        num_buckets,
+        group_col=group_col,
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    num_buckets: int,
+    text_col: str = "text",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """``(group_cols..., __b, __n)``: blank-filtered, ``dsir:``-
+    namespaced hashed-unigram bucket counts — the ONE tokenize+bucket
+    implementation :func:`unigram_divergence` and the streaming
+    divergence monitor share, so batch and stream can never disagree
+    about the token model.  Map-side-partial aggregate bounded at
+    ``groups x num_buckets`` rows."""
     from ..functions.text import normalized
 
-    b = num_buckets
-
-    def toks(frame: DataFrame, *cols):
-        return (
-            frame.filter(F.length(normalized(text_col)) > 0)
-            .select(*cols, F.explode(_dsir_words(text_col)).alias("__tok"))
-            .select(
-                *cols,
-                hash_bucket(F.concat(F.lit("dsir:"), F.col("__tok")), b).alias("__b"),
-            )
+    cols = [F.col(c) for c in group_cols]
+    return (
+        df.filter(F.length(normalized(text_col)) > 0)
+        .select(*cols, F.explode(_dsir_words(text_col)).alias("__tok"))
+        .select(
+            *cols,
+            hash_bucket(
+                F.concat(F.lit("dsir:"), F.col("__tok")), num_buckets
+            ).alias("__b"),
         )
-
-    gcnt = toks(df, F.col(group_col)).groupBy(group_col, "__b").agg(
-        F.count(F.lit(1)).alias("__cg")
+        .groupBy(*group_cols, "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
     )
+
+
+def divergence_from_counts(
+    group_counts: DataFrame,
+    target_counts: DataFrame,
+    num_buckets: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group JSD report from ALREADY-AGGREGATED bucket counts
+    (``(group_col, __b, __n)`` vs ``(__b, __n)``) — the exact tail of
+    :func:`unigram_divergence`, factored out so the streaming monitor's
+    incrementally-maintained counts produce the identical report (the
+    ``drift_from_counts`` batch≡stream pattern).  Everything here is
+    bucket-frame sized; nothing scales with the corpus."""
+    b = num_buckets
+    gcnt = group_counts.select(group_col, "__b", F.col("__n").alias("__cg"))
+    tcnt = target_counts.select("__b", F.col("__n").alias("__ct"))
     gtot = gcnt.groupBy(group_col).agg(F.sum("__cg").alias("__ng"))
-    tcnt = toks(target).groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     ttot = tcnt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
 
     domain = gtot.select(

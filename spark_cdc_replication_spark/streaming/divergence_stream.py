@@ -1,0 +1,159 @@
+"""Continuously-maintained corpus-divergence monitor: the streaming
+twin of ``operators/sampling.unigram_divergence`` ([EXT], no reference
+counterpart — the reference has no quality surface at all).
+
+The mixture-diagnostic version of ``drift_stream``: as document
+batches land, maintain per-source hashed-unigram bucket counts and a
+per-source Jensen-Shannon divergence report against a PINNED target
+model (the ``src0``-exemplar bucket counts, passed as a static
+``(__b, __n)`` relation).  Production shape: the ingestion side of a
+training-data pipeline watches "which sources are drifting away from
+the quality exemplar" continuously instead of re-tokenizing the
+full corpus per audit.
+
+A stream of document rows maintains TWO artifacts per epoch:
+
+* the **bucket counts** (``(group, __b) -> running count`` over
+  everything streamed so far) — additive IVM: each epoch adds the
+  batch's counts to the previous epoch's (full outer join + sum),
+  bounded at ``groups x num_buckets`` rows regardless of corpus size,
+  and
+* the **divergence report**, re-derived each epoch from the merged
+  counts via :func:`~..operators.sampling.divergence_from_counts` —
+  the SAME function the batch operator ends in, so after any prefix
+  of batches the stream's report equals ``unigram_divergence(union
+  of batches so far, target)`` exactly (pinned in
+  ``tests/test_divergence_stream.py``).
+
+Tokenization/hashing is :func:`~..operators.sampling
+.dsir_bucket_counts` on BOTH sides — batch and stream share one
+token model by construction, the ``drift_from_counts`` lesson.
+
+Epoch commit protocol — identical to ``drift_stream``'s (counts
+first, report second, reader takes the largest epoch present in BOTH,
+replay overwrites both), including the per-batch content fingerprint:
+a replayed batch id carrying different data (a wiped checkpoint
+re-packing source files under old ids) RAISES instead of silently
+dropping rows; a bit-identical replay is a no-op.
+
+Scale: state is ``groups x num_buckets`` BIGINTs (the DSIR bounded-
+model property carried into streaming); per batch, only the batch's
+own map-side-partial count scales with its row count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sampling import divergence_from_counts, dsir_bucket_counts
+from .rollup_stream import latest_epoch
+
+
+def read_divergence_report(
+    spark: SparkSession, counts_dir: str, report_dir: str
+) -> DataFrame:
+    """Latest committed divergence report (largest epoch in BOTH dirs)."""
+    e = latest_epoch(counts_dir, report_dir)
+    if e is None:
+        raise FileNotFoundError(f"no committed epoch under {report_dir}")
+    return spark.read.parquet(os.path.join(report_dir, f"epoch={e}"))
+
+
+def divergence_stream(
+    docs: DataFrame,
+    target_counts: DataFrame,
+    counts_dir: str,
+    report_dir: str,
+    checkpoint_dir: str,
+    num_buckets: int = 256,
+    group_col: str = "source",
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Monitor ``docs`` (a streaming DataFrame of documents) against
+    ``target_counts`` — a static ``(__b, __n)`` relation from
+    :func:`dsir_bucket_counts` over the pinned exemplar corpus.
+
+    Report orientation matches ``unigram_divergence(observed,
+    target)``: the stream is the observed corpus, the exemplar the
+    target model.
+    """
+    tgt = target_counts.select("__b", "__n")
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        prev = latest_epoch(counts_dir, report_dir)
+        batch_counts = dsir_bucket_counts(
+            batch, num_buckets, text_col, (group_col,)
+        )
+        fp_path = os.path.join(counts_dir, f"batch={batch_id}")
+        if prev is not None and prev >= batch_id:
+            # Duplicate delivery of an already-committed epoch id: the
+            # id alone does not prove the content matches (a wiped
+            # checkpoint may re-pack source files under old ids), so
+            # compare against the stored per-epoch fingerprint and only
+            # then no-op — the drift_stream replay guard verbatim.
+            try:
+                stored = {
+                    (r[group_col], r["__b"], r["__n"])
+                    for r in spark.read.parquet(fp_path).collect()
+                }
+            except Exception as exc:
+                raise RuntimeError(
+                    f"divergence_stream: replayed batch {batch_id} has no "
+                    f"stored fingerprint under {counts_dir} — checkpoint was "
+                    "wiped with a different source packing; start a fresh "
+                    "counts/report/checkpoint trio instead"
+                ) from exc
+            current = {
+                (r[group_col], r["__b"], r["__n"]) for r in batch_counts.collect()
+            }
+            if current != stored:
+                raise RuntimeError(
+                    f"divergence_stream: replayed batch {batch_id} carries "
+                    "different data than the committed epoch; the epoch "
+                    "guard is only safe while the checkpoint is preserved — "
+                    "start a fresh counts/report/checkpoint trio"
+                )
+            return  # bit-identical replay: a true no-op
+        # Fingerprint FIRST (only consulted for ids <= the committed
+        # frontier; a crash between fingerprint and counts overwrites
+        # harmlessly on replay).
+        batch_counts.write.mode("overwrite").parquet(fp_path)
+        batch_counts = spark.read.parquet(fp_path)
+        if prev is None:
+            counts = batch_counts
+        else:
+            old = spark.read.parquet(os.path.join(counts_dir, f"epoch={prev}"))
+            counts = (
+                old.select(group_col, "__b", F.col("__n").alias("__old"))
+                .join(batch_counts, [group_col, "__b"], "full_outer")
+                .select(
+                    group_col,
+                    "__b",
+                    (
+                        F.coalesce("__old", F.lit(0)) + F.coalesce("__n", F.lit(0))
+                    ).alias("__n"),
+                )
+            )
+        # counts first, report second: the reader's frontier moves only
+        # once both exist; a replayed epoch overwrites both.
+        counts.write.mode("overwrite").parquet(
+            os.path.join(counts_dir, f"epoch={batch_id}")
+        )
+        merged = spark.read.parquet(os.path.join(counts_dir, f"epoch={batch_id}"))
+        divergence_from_counts(
+            merged, tgt, num_buckets, group_col=group_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(report_dir, f"epoch={batch_id}")
+        )
+
+    writer = docs.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trigger = {"availableNow": True} if available_now else {}
+    return writer.trigger(**trigger).start()

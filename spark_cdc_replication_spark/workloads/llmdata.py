@@ -2712,6 +2712,91 @@ def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIVERGENCE_STORE: dict[tuple, tuple] = {}
+
+
+def _divergence_report_store(spark: SparkSession, sf_dir: str) -> str:
+    """Committed streaming-divergence artifact root for the fixture —
+    the events `_drift_report_store` pattern on the documents table:
+    identity_version dir tag, stale-sibling sweep, clean-slate rebuild,
+    never cache a half-built root."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from glob import glob
+
+    from ..operators.sampling import dsir_bucket_counts
+    from ..streaming.divergence_stream import divergence_stream
+
+    ident, version = _table_key(spark, sf_dir, "documents")
+    hit = _DIVERGENCE_STORE.get(ident)
+    if hit is not None and hit[0] != version:
+        shutil.rmtree(hit[1], ignore_errors=True)  # corpus was rewritten
+        hit = None
+    if hit is None:
+        ident_tag = hashlib.md5(repr(ident[1:]).encode()).hexdigest()[:12]
+        ver_tag = hashlib.md5(repr(version).encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_jsd_{ident_tag}")
+        root = f"{base}_{ver_tag}"
+        for stale in glob(f"{base}_*"):
+            if stale != root:
+                shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        tgt_counts = dsir_bucket_counts(
+            docs.filter(F.col("source") == "src0"), 256
+        )
+        # The file-stream source takes a DIRECTORY; the fixture is a
+        # single parquet file, so stage it (unmodified) under the root.
+        src = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isfile(src):
+            land = os.path.join(root, "src")
+            os.makedirs(land, exist_ok=True)
+            shutil.copy(src, os.path.join(land, "documents.parquet"))
+            src = land
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .parquet(src)
+            .select("doc_id", "source", "text")
+        )
+        q = divergence_stream(
+            stream,
+            tgt_counts,
+            os.path.join(root, "counts"),
+            os.path.join(root, "report"),
+            os.path.join(root, "ckpt"),
+            num_buckets=256,
+        )
+        if not q.awaitTermination(300):
+            q.stop()  # never cache (or serve) a half-built artifact root
+            shutil.rmtree(root, ignore_errors=True)
+            raise TimeoutError("divergence artifact build did not finish within 300s")
+        hit = (version, root)
+        _DIVERGENCE_STORE[ident] = hit
+    return hit[1]
+
+
+def q_corpus_divergence_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_divergence`` SERVED from the streaming monitor's
+    committed artifact instead of recomputed (rows-only this round;
+    when it debuts it shares ORACLE_CORPUS_DIVERGENCE — the
+    ``events_drift_psi_served`` precedent): an ``availableNow``
+    ``divergence_stream`` run ingests the documents fixture against
+    the pinned src0 bucket counts, and this query reads the latest
+    committed epoch's report.  Proves counts-first/report-second epoch
+    commit + additive (group, bucket) count IVM end-to-end on the
+    mixture monitor, not just batch≡stream in pytest."""
+    import os
+
+    from ..streaming.divergence_stream import read_divergence_report
+
+    root = _divergence_report_store(spark, sf_dir)
+    return read_divergence_report(
+        spark, os.path.join(root, "counts"), os.path.join(root, "report")
+    )
+
+
 #: Staged for an r11 gate-window debut (never-green oracles must enter
 #: through the window; the r10 window is full).  The dsir:-namespaced
 #: hash space and the smoothed p/q shapes are byte-identical to
@@ -3509,6 +3594,7 @@ QUERIES = {
     "sample_importance": q_sample_importance,
     # rows-only this round; prepared oracles staged for the r11 window
     "corpus_divergence": q_corpus_divergence,
+    "corpus_divergence_served": q_corpus_divergence_served,
     "dedup_cross_source": q_dedup_cross_source,
     "text_ngram_coverage": q_text_ngram_coverage,
     "sample_token_budget": q_sample_token_budget,
