@@ -49,6 +49,9 @@ FAMILIES: dict[str, tuple[str, ...]] = {
         "split_temporal",
         "pack_",
         "corpus_shuffle",
+        # the DSIR-companion mixture diagnostics live in this family
+        # (same hashed-unigram model as sample_importance*)
+        "corpus_divergence",
     ),
     "privacy": ("pii_",),
     "contamination/repetition": (
