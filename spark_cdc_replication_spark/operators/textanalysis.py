@@ -773,6 +773,13 @@ def ngram_coverage(
     explode-join shape).  The inner join then broadcasts the target
     set, and the final aggregate is groups-bounded.  Nothing is
     all-pairs; document bodies never shuffle.
+
+    Measured (r10, interleaved A/B at sf1): an xxhash64-keyed variant
+    of the distinct+join is wall-identical on local[32] (9.5-11.9 s
+    both ways — the distinct's sort/hash work dominates, not key
+    bytes), so the exact string keys stay: they cost nothing here and
+    carry no collision caveat.  On a real network the 8-byte keys
+    shrink the one corpus-sized shuffle ~3x — revisit there.
     """
     from .dedup import _shingle_string_sets
 
