@@ -949,3 +949,91 @@ def test_divergence_cross_engine_parity_on_planted_corpus(spark):
         ).collect()
     }
     assert got == want
+
+
+def bestfit_model(sizes: list[int], budget: int) -> list[int]:
+    """Pure-python BFD spec: place in (size desc, position asc) order
+    into the tightest-fitting open pack (capacity ties -> lowest id)."""
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    packs: list[int] = []  # remaining per pack id
+    out = [0] * len(sizes)
+    for i in order:
+        t = sizes[i]
+        fits = [(rem, pid) for pid, rem in enumerate(packs) if rem >= t]
+        if fits:
+            rem, pid = min(fits)
+        else:
+            pid = len(packs)
+            packs.append(max(budget, t))
+            rem = packs[pid]
+        packs[pid] = rem - t
+        out[i] = pid
+    return out
+
+
+def test_pack_bestfit_matches_python_model_and_never_overflows(spark, sf_dir):
+    from spark_cdc_replication_spark.operators.sampling import pack_bestfit
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 2048
+    rows = pack_bestfit(
+        docs, token_col="n_chars", budget=budget,
+        part_cols=["source"], id_cols=["doc_id"],
+    ).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, members in by_source.items():
+        members.sort(key=lambda r: r.doc_id)
+        want = bestfit_model([int(r.n_chars) for r in members], budget)
+        assert [r.pack_id for r in members] == want, source
+        fills: dict[int, list[int]] = {}
+        for r in members:
+            fills.setdefault(r.pack_id, []).append(int(r.n_chars))
+        for sizes in fills.values():
+            assert sum(sizes) <= budget or len(sizes) == 1
+
+
+def test_pack_bestfit_beats_greedy_on_the_fixture(spark, sf_dir):
+    """Not a theorem (neither order dominates per-instance), but on the
+    real fixture's length mix BFD must use no MORE packs than greedy —
+    the reason the operator exists."""
+    from spark_cdc_replication_spark.operators.sampling import (
+        pack_bestfit,
+        pack_greedy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 2048
+    n_bfd = (
+        pack_bestfit(docs, "n_chars", budget, ["source"], ["doc_id"])
+        .select("source", "pack_id").distinct().count()
+    )
+    n_greedy = (
+        pack_greedy(docs, "n_chars", budget, ["doc_id"], ["source"], ["doc_id"])
+        .select("source", "pack_id").distinct().count()
+    )
+    assert n_bfd <= n_greedy
+    # same rows, same token totals — only the arrangement differs
+    assert (
+        pack_bestfit(docs, "n_chars", budget, ["source"], ["doc_id"]).count()
+        == docs.count()
+    )
+
+
+def test_pack_bestfit_deterministic_under_repartitioning(spark, sf_dir):
+    from spark_cdc_replication_spark.operators.sampling import pack_bestfit
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(
+        map(tuple, pack_bestfit(docs, "n_chars", 2048, ["source"], ["doc_id"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_bestfit(
+                docs.repartition(13), "n_chars", 2048, ["source"], ["doc_id"]
+            ).collect(),
+        )
+    )
+    assert a == b
