@@ -134,6 +134,7 @@ def main() -> None:
     # streaming/index_stream.py — the steady-state cost is the probe).
     from spark_cdc_replication_spark.workloads.cdc import release_changes, warm_changes
     from spark_cdc_replication_spark.workloads.llmdata import (
+        release_dsir_weights,
         release_indexes,
         release_pq_indexes,
         release_sigs,
@@ -178,6 +179,8 @@ def main() -> None:
         # the PQ tiers' last consumer comes well before the IVF
         # index's — release them separately (code review r8)
         "similarity_pq_topk": release_pq_indexes,
+        # the DSIR weights store's last consumer (r10)
+        "sample_importance": release_dsir_weights,
     }
 
     # Each query is timed as min-of-RUNS so a one-off GC pause / session

@@ -1120,6 +1120,7 @@ def sample_importance(
     gumbel_scale: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR selection on top of :func:`importance_weights`: keep the
     ``k`` raw documents with the largest ``mean log importance weight
@@ -1155,7 +1156,14 @@ def sample_importance(
         raise ValueError(f"k must be >= 1, got {k}")
     if gumbel_scale < 0:
         raise ValueError(f"gumbel_scale must be >= 0, got {gumbel_scale}")
-    w = importance_weights(
+    # ``weights``: a precomputed :func:`importance_weights` frame
+    # (id_col, n_tokens, weight_micro) — the materialize-once serve
+    # path: production pipelines score the corpus once and sample
+    # against the stored weights repeatedly (different k, different
+    # temperature), so the ranking must not force a re-tokenize.
+    # Values are identical either way (the weights frame IS the
+    # function's output); None recomputes inline.
+    w = weights if weights is not None else importance_weights(
         df, target, num_buckets=num_buckets, text_col=text_col, id_col=id_col
     )
     u = (
