@@ -146,3 +146,64 @@ def sample_frames(media: DataFrame, every_n: int = 8) -> DataFrame:
 
     videos = media.filter(F.col("meta.media_type") == "video/mp4")
     return videos.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = "doc_id bigint, window_idx int, energy bigint, voiced boolean"
+
+
+def audio_windows(
+    media: DataFrame, window: int = 16, hop: int = 8
+) -> DataFrame:
+    """Audio framing stub over audio rows: one output row per FULL
+    ``window``-byte frame at ``hop``-byte stride (the 25 ms-window /
+    10 ms-hop framing every VAD / feature frontend uses, expressed in
+    bytes because the codec is stubbed) — the third modality's
+    ``mapInPandas`` fan-out, completing image (``resize_images``) and
+    video (``sample_frames``).
+
+    ``energy`` is a clearly-marked deterministic stand-in for RMS
+    energy: ``md5`` of the window's LOWERCASE hex, first 8 hex digits
+    mod 1e6 (hex-string hashing because the DuckDB oracle can md5 only
+    VARCHAR — the ``sample_frames`` frame_hex technique); ``voiced``
+    is ``energy >= 500000``, a ~50 % pseudo-VAD.  A real deployment
+    replaces the energy line with ``np.frombuffer(win, '<i2')`` RMS
+    and a threshold — the framing loop, the Arrow batch shape, and
+    every downstream aggregate stay identical.
+
+    Docs shorter than one window emit nothing (no partial frames —
+    partial-window energy would depend on padding policy, which is a
+    codec concern the stub must not invent).
+    """
+    if window < 1 or hop < 1:
+        raise ValueError(f"window/hop must be >= 1: {window}/{hop}")
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                for start in range(0, len(payload) - window + 1, hop):
+                    win = payload[start : start + window]
+                    e = (
+                        int(
+                            hashlib.md5(win.hex().encode()).hexdigest()[:8], 16
+                        )
+                        % 1_000_000
+                    )
+                    ids.append(int(row["doc_id"]))
+                    idxs.append(start)
+                    energies.append(e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "voiced": pd.Series(
+                        [e >= 500_000 for e in energies], dtype="bool"
+                    ),
+                }
+            )
+
+    audio = media.filter(F.col("meta.media_type") == "audio/wav")
+    return audio.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)

@@ -2481,6 +2481,51 @@ LEFT JOIN m ON d.source = m.source, tt
 """
 
 
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-audio-doc pseudo-VAD summary (rows-only this round; prepared
+    oracle staged for the r11 window): 16-byte windows at 8-byte hop
+    over the synthesized audio payloads, per-doc voiced-window ratio in
+    exact integer micro-units.  The audio modality's end-to-end path —
+    attach -> frame -> per-window feature -> per-doc aggregate — with
+    the decode stubbed per the module contract."""
+    from ..operators.multimodal import attach_binary, audio_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = audio_windows(attach_binary(docs), window=16, hop=8)
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("voiced").cast("long")).alias("n_voiced"),
+        F.expr(
+            "(sum(cast(voiced as long)) * 1000000) div count(1)"
+        ).cast("long").alias("voiced_ratio_micro"),
+    )
+
+
+#: Staged for an r11 gate-window debut.  Window energies are md5 over
+#: the window's LOWERCASE hex (the multimodal_frames frame_hex
+#: technique — DuckDB's md5 takes only VARCHAR), so both engines hash
+#: identical strings; the ratio is exact integer division.
+ORACLE_MULTIMODAL_AUDIO_VAD = """
+WITH a AS (
+  SELECT doc_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(substring(h, i::INT * 2 + 1, 32)), 1, 8))
+              AS BIGINT) % 1000000 AS energy
+  FROM a, LATERAL (SELECT unnest(range(0, greatest(n - 15, 0), 8)) AS i) g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN energy >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_voiced,
+       CAST((sum(CASE WHEN energy >= 500000 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS voiced_ratio_micro
+FROM w GROUP BY doc_id
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over the corpus with deterministically
     planted emails / IPs / phone numbers (the fixture text itself
@@ -3636,6 +3681,7 @@ QUERIES = {
     "corpus_divergence_served": q_corpus_divergence_served,
     "dedup_cross_source": q_dedup_cross_source,
     "text_ngram_coverage": q_text_ngram_coverage,
+    "multimodal_audio_vad": q_multimodal_audio_vad,
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,
