@@ -72,6 +72,14 @@ HEADLINE = [
     "embedding_separation",
     "embedding_quantize",
     "multimodal_features",
+    # r11 debuts (oracle-paired this round; sf-curve probes in SCALE.md;
+    # corpus_divergence_served stays un-benched — the
+    # events_drift_psi_served precedent: a read of a committed artifact
+    # times the artifact build scheduling, not an engine plan)
+    "corpus_divergence",
+    "dedup_cross_source",
+    "text_ngram_coverage",
+    "multimodal_audio_vad",
 ]
 
 

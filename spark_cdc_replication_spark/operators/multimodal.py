@@ -182,6 +182,11 @@ def audio_windows(
         for pdf in batches:
             ids, idxs, energies = [], [], []
             for _, row in pdf.iterrows():
+                # NULL payload (attach_binary over a NULL text) emits
+                # nothing — the same contract as sub-window payloads
+                # (r10 ADVICE: bytes(None) would kill the Arrow worker)
+                if row["payload"] is None:
+                    continue
                 payload = bytes(row["payload"])
                 for start in range(0, len(payload) - window + 1, hop):
                     win = payload[start : start + window]

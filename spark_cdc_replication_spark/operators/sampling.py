@@ -1226,8 +1226,10 @@ def unigram_divergence(
     THEN integer-summed, the module's engine-reproducibility recipe
     (BIGINT addition commutes; the only doubles are per-bucket
     expressions with a fixed evaluation shape mirrored in the oracle
-    SQL).  Range ~[0, ln 2 ≈ 0.693]·1e6, biased at most B micro-units
-    low by the floors.  Blank docs are excluded exactly as in
+    SQL).  Range ~[0, ln 2 ≈ 0.693]·1e6, biased at most 2·B micro-units
+    low by the floors (each bucket contributes TWO independent floors —
+    the p-term and the q-term — so the worst case is two units per
+    bucket, not one).  Blank docs are excluded exactly as in
     :func:`importance_weights`.
 
     Output: ``(group_col, n_tokens, jsd_micro)``, one row per group

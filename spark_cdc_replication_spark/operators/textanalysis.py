@@ -771,7 +771,9 @@ def ngram_coverage(
     — the ONE corpus-sized shuffle, keyed by gram string (the measured
     :func:`contamination_check` trade: hashed keys lost 2.2x on this
     explode-join shape).  The inner join then broadcasts the target
-    set, and the final aggregate is groups-bounded.  Nothing is
+    set — hinted explicitly (``F.broadcast``), so the documented plan
+    shape no longer depends on AQE's size estimate of a post-distinct
+    frame (r10 ADVICE) — and the final aggregate is groups-bounded.  Nothing is
     all-pairs; document bodies never shuffle.
 
     Measured (r10, interleaved A/B at sf1): an xxhash64-keyed variant
@@ -800,7 +802,7 @@ def ngram_coverage(
         .distinct()
     )
     matched = (
-        grp_grams.join(tgt_grams, on="__s")
+        grp_grams.join(F.broadcast(tgt_grams), on="__s")
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n_matched"))
     )

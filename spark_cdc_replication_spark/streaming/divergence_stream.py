@@ -31,10 +31,16 @@ token model by construction, the ``drift_from_counts`` lesson.
 
 Epoch commit protocol — identical to ``drift_stream``'s (counts
 first, report second, reader takes the largest epoch present in BOTH,
-replay overwrites both), including the per-batch content fingerprint:
-a replayed batch id carrying different data (a wiped checkpoint
-re-packing source files under old ids) RAISES instead of silently
-dropping rows; a bit-identical replay is a no-op.
+replay overwrites both), but the per-batch replay fingerprint is
+CONTENT-bound, not profile-bound: per group, the batch's row count
+plus an exact decimal sum of a per-row ``md5(group || text)`` prefix
+(order- and partition-independent).  A replayed batch id carrying
+different documents (a wiped checkpoint re-packing source files under
+old ids) RAISES instead of silently double-counting — even when the
+re-pack happens to reproduce the old batch's aggregated
+(group, bucket, count) profile, the collision the bucket-count
+fingerprint could not see (r10 ADVICE); a bit-identical replay is a
+no-op.
 
 Scale: state is ``groups x num_buckets`` BIGINTs (the DSIR bounded-
 model property carried into streaming); per batch, only the batch's
@@ -51,6 +57,41 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.sampling import divergence_from_counts, dsir_bucket_counts
 from .rollup_stream import latest_epoch
+
+
+def _content_fingerprint(
+    batch: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group content checksum for the replay guard: row count plus
+    an EXACT ``decimal(38,0)`` sum of the first 14 md5 hex digits of
+    ``group || 0x1f || text`` per row (56 bits/row — no overflow at any
+    realistic batch size, and decimal addition commutes, so the value
+    is independent of row order and partitioning).
+
+    Binding to the documents themselves rather than to the aggregated
+    (group, bucket, count) profile closes the r10 ADVICE collision: two
+    different corpora can share a bucket-count profile, but a matching
+    per-row hash sum + count means matching content up to md5-prefix
+    collision odds.  (group, text) is the full input of the maintained
+    state, so fingerprinting exactly those columns is content-complete.
+    """
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f", F.col(group_col).cast("string"), F.col(text_col)
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return batch.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.sum(row_hash).cast("decimal(38,0)").alias("__csum"),
+    )
 
 
 def read_divergence_report(
@@ -90,16 +131,18 @@ def divergence_stream(
         batch_counts = dsir_bucket_counts(
             batch, num_buckets, text_col, (group_col,)
         )
-        fp_path = os.path.join(counts_dir, f"batch={batch_id}")
+        fp_path = os.path.join(counts_dir, f"fp={batch_id}")
         if prev is not None and prev >= batch_id:
             # Duplicate delivery of an already-committed epoch id: the
             # id alone does not prove the content matches (a wiped
             # checkpoint may re-pack source files under old ids), so
-            # compare against the stored per-epoch fingerprint and only
-            # then no-op — the drift_stream replay guard verbatim.
+            # compare against the stored CONTENT fingerprint — count +
+            # per-row hash sum per group, not the bucket-count profile
+            # (two different corpora can share a profile; r10 ADVICE) —
+            # and only then no-op.
             try:
                 stored = {
-                    (r[group_col], r["__b"], r["__n"])
+                    (r[group_col], r["__rows"], r["__csum"])
                     for r in spark.read.parquet(fp_path).collect()
                 }
             except Exception as exc:
@@ -110,7 +153,8 @@ def divergence_stream(
                     "counts/report/checkpoint trio instead"
                 ) from exc
             current = {
-                (r[group_col], r["__b"], r["__n"]) for r in batch_counts.collect()
+                (r[group_col], r["__rows"], r["__csum"])
+                for r in _content_fingerprint(batch, group_col, text_col).collect()
             }
             if current != stored:
                 raise RuntimeError(
@@ -119,12 +163,18 @@ def divergence_stream(
                     "guard is only safe while the checkpoint is preserved — "
                     "start a fresh counts/report/checkpoint trio"
                 )
-            return  # bit-identical replay: a true no-op
+            return  # content-identical replay: a true no-op
         # Fingerprint FIRST (only consulted for ids <= the committed
         # frontier; a crash between fingerprint and counts overwrites
-        # harmlessly on replay).
-        batch_counts.write.mode("overwrite").parquet(fp_path)
-        batch_counts = spark.read.parquet(fp_path)
+        # harmlessly on replay), then the batch's own counts — written
+        # once and read back so the merge consumes a materialized frame
+        # instead of re-evaluating the tokenize lineage.
+        _content_fingerprint(batch, group_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(fp_path)
+        counts_path = os.path.join(counts_dir, f"batch={batch_id}")
+        batch_counts.write.mode("overwrite").parquet(counts_path)
+        batch_counts = spark.read.parquet(counts_path)
         if prev is None:
             counts = batch_counts
         else:

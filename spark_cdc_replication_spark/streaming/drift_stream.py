@@ -28,6 +28,19 @@ checkpoint re-packing source files under old ids — RAISES instead of
 silently dropping the new rows (ADVICE r7); a bit-identical replay
 remains a no-op.
 
+Collision window of THIS guard, explicitly: the fingerprint is the
+batch's aggregated category-count profile, so a re-pack whose batch
+happens to reproduce the committed batch's exact per-category counts
+passes as a replay even if the underlying rows differ.  For THIS
+monitor that is benign for the epoch itself — the maintained state is
+exactly those counts, so the no-op leaves state identical to
+re-processing — but rows shuffled ACROSS the re-packed batch boundary
+can then double-count in later epochs.  The divergence monitor
+(``divergence_stream``), whose per-group corpora make profile
+collisions more plausible, binds its guard to content (per-row hash
+sum + count) instead; port ``_content_fingerprint`` here if a
+deployment replays re-packed event feeds against preserved artifacts.
+
 Scale: the only state is the category-count relation (bytes per
 distinct category); the report is the same size.  Nothing here scales
 with row count except the batch's own map-side-partial count.  The

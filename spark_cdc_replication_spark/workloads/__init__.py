@@ -18,88 +18,94 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-10 window (every name must carry a full rows+schema+hash
+#: Round-11 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 30 queries whose last driver-green row is r7 — at the
-#:   staleness bound, exactly what `tools/check_coverage.py --plan`
-#:   printed when CORRECTNESS_r09.json landed: mandatory, all in;
-#: * 5 family-floor fills (the mandatory 30 cover NO cdc / dedup /
-#:   privacy / contamination / hygiene query), all r8-greens so they
-#:   double as pull-forwards: `cdc_snapshot_merge` (also the r8
-#:   creep-watch query — its fresh driver row re-certifies it),
-#:   `dedup_containment`, `pii_prevalence` (alternating with
-#:   `pii_scrub`, green r9), `decontaminate_corpus`, `clean_corpus`;
-#: * THREE debuts (never-green oracles must be in-window) — all staged
-#:   rows-only in r9 with prepared, pytest-pinned oracle SQL:
-#:   `sample_importance_weights` + `sample_importance` (the DSIR
-#:   hashed-unigram pair) and `embedding_outliers` (per-label outlier
-#:   queue sharing `embedding_separation`'s integer arithmetic);
-#: * 12 more r8-greens pulled forward so r11's mandatory list shrinks
-#:   to 32 (= 49 - 17 r8-greens refreshed here), chosen to keep the
-#:   creep-watch CDC pair fresh and to spread family coverage.
+#: * the 32 queries whose last driver-green row is r8 — at the
+#:   staleness bound, exactly what `tools/check_coverage.py` printed
+#:   when CORRECTNESS_r10.json landed: mandatory, all in;
+#: * FIVE debuts (never-green oracles must be in-window) — all staged
+#:   rows-only in r10 with prepared oracle SQL hash-verified at sf0.01
+#:   by both the r10 builder and the r10 judge: `corpus_divergence` +
+#:   `corpus_divergence_served` (per-source JSD in DSIR's
+#:   hashed-unigram space, batch and streaming-artifact-served twins
+#:   sharing one oracle), `dedup_cross_source` (postings-plan
+#:   copied-span audit per source pair), `text_ngram_coverage`
+#:   (per-source trigram recall of the exemplar), and
+#:   `multimodal_audio_vad` (windowed pseudo-VAD framing — it also
+#:   holds the multimodal family floor);
+#: * 3 family-floor fills (the mandatory 32 + debuts cover NO privacy /
+#:   contamination / hygiene query), all r9-greens so they double as
+#:   pull-forwards: `pii_scrub` (alternating with `pii_prevalence`,
+#:   green r10), `text_contamination`, `prepare_corpus`;
+#: * 10 more r9-greens pulled forward so r12's mandatory list shrinks
+#:   to 37 (= 50 - 13 r9-greens refreshed here), chosen to keep the
+#:   adjudication-watch lines fresh (`q18_large_orders` was a r10
+#:   creep flag; `dedup_semantic` flagged at sf1 in r10's bench) and
+#:   to spread family coverage.
 #:
-#: The steady 3-round cycle over the ~132-oracle registry: each
+#: The steady 3-round cycle over the 137-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r7 (30, mandatory)
-    "embedding_project",
-    "events_anomaly_days",
-    "events_drift_psi",
-    "funnel_conversion",
-    "multimodal_frames",
-    "pack_sequences",
-    "q2_best_supplier_per_part",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_signup_views",
-    "rollup_incremental",
-    "sample_quality_bands",
-    "sample_stratified",
-    "sample_token_budget",
-    "similarity_hard_negatives",
-    "similarity_ivf_all",
-    "similarity_ivf_int8_all",
-    "similarity_knn_label",
-    "split_temporal",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "text_filter_corpus",
-    "text_language_id",
-    "text_line_dedup",
-    "text_quality_score",
-    "top_words_salted",
-    "user_behavior_topk",
-    "validate_orders",
-    # family-floor fills the mandatory 30 miss (all r8-greens)
-    "cdc_snapshot_merge",
-    "dedup_containment",
-    "pii_prevalence",
-    "decontaminate_corpus",
-    "clean_corpus",
-    # the three r10 debuts (never-green oracles must be in-window)
-    "sample_importance_weights",
-    "sample_importance",
-    "embedding_outliers",
-    # 12 more r8-greens pulled forward (r11 mandatory drops to 32)
-    "cdc_merge_incremental",
-    "cdc_antijoin_survivors",
-    "dedup_exact",
-    "dedup_representatives",
-    "events_sessionize",
-    "events_session_window",
-    "multimodal_features",
-    "pack_padding_waste",
-    "embedding_separation",
-    "text_quality_calibrate_binned",
-    "similarity_pq_all",
-    "sample_mixture_temperature",
+    # at the staleness bound — last driver-green r8 (32, mandatory)
+    "asof_purchase_view",
+    "cdc_increment_append",
+    "cdc_last_writer_wins",
+    "cdc_raw_partition_stats",
+    "customer_retention_setops",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_shared_shingles",
+    "events_drift_psi_daily",
+    "events_drift_psi_served",
+    "events_hopping_6h_2h",
+    "pivot_status_revenue",
+    "profile_orders",
+    "q11_important_part_value",
+    "q12_ship_priority_dist",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_dominant_suppliers",
+    "q22_sales_opportunity",
+    "q7_volume_shipping",
+    "sample_k_per_source",
+    "similarity_hard_negatives_ivf_all",
+    "similarity_lsh_all",
+    "text_gopher_flags",
+    "text_quality_calibrate",
+    "yoy_customer_diff",
+    # the five r11 debuts (never-green oracles must be in-window;
+    # multimodal_audio_vad holds the multimodal family floor)
+    "corpus_divergence",
+    "corpus_divergence_served",
+    "dedup_cross_source",
+    "text_ngram_coverage",
+    "multimodal_audio_vad",
+    # family-floor fills the mandatory 32 + debuts miss (all r9-greens)
+    "pii_scrub",
+    "text_contamination",
+    "prepare_corpus",
+    # 10 more r9-greens pulled forward (r12 mandatory drops to 37)
+    "cdc_snapshot_asof",
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "dedup_semantic",
+    "similarity_ivfpq_all",
+    "text_unigram_logprob",
+    "embedding_quantize",
+    "sample_mixture",
+    "top_words",
+    "multimodal_resize",
 )
 
 

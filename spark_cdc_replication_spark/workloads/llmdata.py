@@ -3676,7 +3676,7 @@ QUERIES = {
     "sample_mixture_temperature": q_sample_mixture_temperature,
     "sample_importance_weights": q_sample_importance_weights,
     "sample_importance": q_sample_importance,
-    # rows-only this round; prepared oracles staged for the r11 window
+    # staged rows-only in r10; oracle-registered r11 debuts
     "corpus_divergence": q_corpus_divergence,
     "corpus_divergence_served": q_corpus_divergence_served,
     "dedup_cross_source": q_dedup_cross_source,
@@ -3771,6 +3771,15 @@ ORACLE = {
     "text_line_dedup": ORACLE_TEXT_LINE_DEDUP,
     "text_filter_corpus": ORACLE_TEXT_FILTER_CORPUS,
     "prepare_corpus": ORACLE_PREPARE_CORPUS,
+    # r11 debuts — staged rows-only in r10 with these prepared oracles,
+    # hash-verified at sf0.01 by builder (r10 build) AND judge (r10
+    # verdict) before entering the gate window; the served twin shares
+    # the batch oracle (the events_drift_psi_served precedent)
+    "corpus_divergence": ORACLE_CORPUS_DIVERGENCE,
+    "corpus_divergence_served": ORACLE_CORPUS_DIVERGENCE,
+    "dedup_cross_source": ORACLE_DEDUP_CROSS_SOURCE,
+    "text_ngram_coverage": ORACLE_TEXT_NGRAM_COVERAGE,
+    "multimodal_audio_vad": ORACLE_MULTIMODAL_AUDIO_VAD,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

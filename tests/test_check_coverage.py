@@ -55,19 +55,27 @@ def test_next_round_plan_projects_the_window_forward():
 
     oracles = {"cdc_a", "dedup_b", "text_c", "pii_d"}
     history = {1: {"cdc_a", "dedup_b"}, 2: {"text_c"}, 3: {"pii_d"}}
-    # window greens {text_c} at r4 -> at r5: cdc_a/dedup_b last r1
-    # (4 rounds stale) are mandatory; pii_d (r3) and text_c (r4) not.
-    mandatory, floors = next_round_plan(oracles, window={"text_c"}, history=history)
-    assert mandatory == ["cdc_a", "dedup_b"]
-    # floor hits name which mandatory queries can hold each family
+    # this round is r4: cdc_a/dedup_b (last r1, 3 rounds stale) must be
+    # in THIS round's window; with {text_c} greening at r4, nothing
+    # else hits the bound at r5 (pii_d r3 is exactly at it).
+    due_now, due_next, floors = next_round_plan(
+        oracles, window={"text_c"}, history=history
+    )
+    assert due_now == ["cdc_a", "dedup_b"]
+    assert due_next == []
+    # floor hits name which debt queries can hold each family
     assert floors["cdc merge algebra"] == ["cdc_a"]
     assert floors["dedup"] == ["dedup_b"]
-    assert floors["privacy"] == []  # pii_d is not mandatory -> gap
-    # a never-green oracle is always mandatory (must debut in-window)
-    mandatory2, _ = next_round_plan(
+    assert floors["privacy"] == []  # pii_d is not in the debt -> gap
+    # a never-green oracle out of window is due NOW (must debut
+    # in-window), and a query aging to the bound lands in due_next
+    due_now2, due_next2, _ = next_round_plan(
         oracles | {"text_new"}, window=set(), history=history
     )
-    assert "text_new" in mandatory2
+    assert "text_new" in due_now2
+    assert "text_c" in due_next2  # r2-green, bound-stale at r5
+    # the two horizons never overlap
+    assert not set(due_now2) & set(due_next2)
 
 
 def test_next_round_plan_matches_the_live_registry():
@@ -81,12 +89,15 @@ def test_next_round_plan_matches_the_live_registry():
     oracles = set(entry.oracle_sql())
     window = set(list(entry.queries())[:50])
     history = load_history()
-    mandatory, _ = next_round_plan(oracles, window, history)
-    # simulate this round landing: every in-window oracle greens
+    due_now, due_next, _ = next_round_plan(oracles, window, history)
+    # a rotated window has no same-round debt left
+    assert due_now == []
+    # simulate this round landing: every in-window oracle greens —
+    # then a next window of exactly the due-next pool clears the bound
     nxt = max(history) + 1
     simulated = dict(history)
     simulated[nxt] = window & oracles
-    assert stale_queries(oracles, set(mandatory), simulated) == []
+    assert stale_queries(oracles, set(due_next), simulated) == []
 
 
 def test_adjudicate_baseline_pick_is_sf_aware(tmp_path):

@@ -117,6 +117,59 @@ def test_divergence_stream_duplicate_delivery_is_noop(spark, tmp_path):
     )
 
 
+def test_divergence_stream_replay_same_profile_different_content_raises(
+    spark, tmp_path
+):
+    """The r10 ADVICE collision: a wiped-checkpoint re-pack whose batch
+    0 reproduces the committed batch's aggregated (group, bucket,
+    count) profile EXACTLY but carries different documents.  The old
+    profile-bound guard no-opped here (and later batches could
+    double-count); the content-bound guard must raise."""
+    import shutil
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    # same token multiset per doc (word order permuted) -> identical
+    # bucket counts; different text -> different content
+    permuted = [
+        (1, "physics", "boson and fermion field states entangle in the lattice"),
+        (2, "cooking", "the simmer onion butter sauce then whisk the roux"),
+    ]
+    prof = lambda rows: {  # noqa: E731
+        tuple(r)
+        for r in dsir_bucket_counts(
+            spark.createDataFrame(rows, SCHEMA), B, group_cols=("source",)
+        ).collect()
+    }
+    assert prof(permuted) == prof(BATCH1), "fixture must collide on profile"
+    assert {t for *_, t in permuted} != {t for *_, t in BATCH1}
+
+    src = str(tmp_path / "src")
+    dirs = {k: str(tmp_path / k) for k in ("counts", "report", "ckpt")}
+    spark.createDataFrame(BATCH1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, dirs)
+    shutil.rmtree(dirs["ckpt"])
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(permuted, SCHEMA).coalesce(1).write.mode("append").parquet(
+        src2
+    )
+    q = divergence_stream(
+        spark.readStream.schema(SCHEMA).parquet(src2),
+        _target_counts(spark),
+        dirs["counts"],
+        dirs["report"],
+        dirs["ckpt"],
+        num_buckets=B,
+    )
+    try:
+        q.awaitTermination(120)
+        raised = q.exception() is not None
+    except (StreamingQueryException, Py4JJavaError):
+        raised = True
+    assert raised, "profile-colliding re-pack with different content must fail"
+
+
 def test_divergence_stream_replay_with_different_packing_raises(spark, tmp_path):
     import shutil
 

@@ -57,6 +57,21 @@ def test_audio_windows_filters_to_audio_rows(spark):
     assert {r.doc_id for r in rows} == {1, 4}
 
 
+def test_audio_windows_skips_null_payloads(spark):
+    """NULL text -> attach_binary yields a NULL payload; the framing
+    loop must emit nothing for that row instead of killing the Arrow
+    worker with bytes(None) (r10 ADVICE)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a reasonably long text payload for the framing loop"),
+            (4, None),  # doc_id % 3 == 1 -> audio/wav, NULL payload
+        ],
+        "doc_id long, text string",
+    )
+    rows = audio_windows(attach_binary(docs)).collect()
+    assert {r.doc_id for r in rows} == {1}
+
+
 def test_audio_windows_validates_params(spark):
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="window/hop"):

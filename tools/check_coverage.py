@@ -121,11 +121,20 @@ def next_round_plan(
     window: set[str],
     history: dict[int, set[str]],
     max_stale_rounds: int = MAX_STALE_ROUNDS,
-) -> tuple[list[str], dict[str, list[str]]]:
-    """Plan the NEXT round's window before this round's driver runs:
-    assume every in-window oracle query greens this round, then return
-    (next round's mandatory rotations, family -> queries that could
-    hold its floor among them).  Pure function, like
+) -> tuple[list[str], list[str], dict[str, list[str]]]:
+    """Split the rotation debt into the two horizons the builder
+    actually plans against (r10 VERDICT: the old single list conflated
+    them into an impossible-looking window):
+
+    * ``due_now`` — queries that MUST be in THIS round's window or the
+      staleness gate fails (the same predicate as
+      :func:`stale_queries`: at the bound already, or never-green);
+    * ``due_next`` — queries that become mandatory the FOLLOWING round
+      assuming every in-window oracle query greens this round: the
+      pull-forward candidate pool.
+
+    ``floor_hits`` maps each family to the queries of the combined
+    debt that could hold its floor.  Pure function, like
     :func:`stale_queries`, so tests can feed synthetic histories."""
     this_round = (max(history) + 1) if history else 1
     last = {
@@ -135,18 +144,26 @@ def next_round_plan(
         )
         for n in oracles
     }
-    for n in window & oracles:
-        last[n] = this_round
-    mandatory = sorted(
+    due_now = sorted(
         n
         for n in oracles
-        if last[n] is None or (this_round + 1) - last[n] > max_stale_rounds
+        if n not in window
+        and (last[n] is None or this_round - last[n] > max_stale_rounds)
     )
+    for n in window & oracles:
+        last[n] = this_round
+    due_next = sorted(
+        n
+        for n in oracles
+        if n not in due_now
+        and (last[n] is None or (this_round + 1) - last[n] > max_stale_rounds)
+    )
+    combined = due_now + due_next
     floor_hits = {
-        family: [n for n in mandatory if any(n.startswith(p) for p in prefixes)]
+        family: [n for n in combined if any(n.startswith(p) for p in prefixes)]
         for family, prefixes in FAMILIES.items()
     }
-    return mandatory, floor_hits
+    return due_now, due_next, floor_hits
 
 
 def main() -> int:
@@ -158,24 +175,38 @@ def main() -> int:
 
     if "--plan" in sys.argv:
         window = set(list(entry.queries())[:50])
-        mandatory, floors = next_round_plan(oracles, window, load_history())
+        due_now, due_next, floors = next_round_plan(oracles, window, load_history())
+        if due_now:
+            print(
+                f"MANDATORY for THIS round's window ({len(due_now)}) — at the "
+                f"staleness bound or never-green; rotate in before the driver "
+                f"runs or the gate fails:"
+            )
+            for n in due_now:
+                print("  ", n)
+        else:
+            print(
+                "mandatory for THIS round's window: none — the current "
+                "window already covers every at-bound query"
+            )
         print(
-            f"next round's mandatory rotations ({len(mandatory)}), assuming "
-            f"the current window greens this round:"
+            f"due the FOLLOWING round ({len(due_next)}), assuming the current "
+            f"window greens this round — the pull-forward candidate pool:"
         )
-        for n in mandatory:
+        for n in due_next:
             print("  ", n)
         gaps = sorted(f for f, hits in floors.items() if not hits)
         print(
-            f"family floors NOT covered by the mandatory set ({len(gaps)}) — "
+            f"family floors NOT covered by the combined debt ({len(gaps)}) — "
             f"fill each from a recent-green or debut:"
         )
         for f in gaps:
             print("  ", f)
-        free = 50 - len(mandatory) - len(gaps)
+        free = 50 - len(due_now) - len(gaps)
         print(
-            f"slots after mandatory + one query per floor gap: ~{free} "
-            f"(pull-forwards and debuts; keep exactly 50)"
+            f"THIS round's window math: 50 slots - {len(due_now)} mandatory "
+            f"- {len(gaps)} floor fills = ~{free} free (pull-forwards from "
+            f"the due-next pool + debuts; keep exactly 50)"
         )
         return 0
 
