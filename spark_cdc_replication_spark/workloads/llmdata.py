@@ -1424,8 +1424,8 @@ FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
 
 
 def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Provenance audit (rows-only this round; prepared oracle staged
-    for the r11 window): per source pair, how many cross-source doc
+    """Provenance audit (r11 oracle debut, staged rows-only in r10 —
+    ORACLE_DEDUP_CROSS_SOURCE): per source pair, how many cross-source doc
     pairs share a copied >= 64-char span.  Every 10th document is
     planted again under a synthetic aggregator source 'srcmirror'
     (the dedup_containment planting pattern), so each real source has
@@ -1446,7 +1446,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Staged for an r11 gate-window debut.  The shingle construction is
+#: r11 gate-window debut (staged r10).  The shingle construction is
 #: byte-identical to ORACLE_DEDUP_SHARED_SHINGLES'; the HAVING cap
 #: mirrors cross_source_overlap's postings-list size bound.
 ORACLE_DEDUP_CROSS_SOURCE = f"""
@@ -2204,6 +2204,41 @@ def q_similarity_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_hybrid_rrf_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-green bound on the COMPOSED index-served hybrid (staged
+    rows-only for an r12 gate-window debut; when it debuts it shares
+    ``ORACLE_SIMILARITY_HYBRID_RRF`` — the ``similarity_ivf_all``
+    lossless-config precedent): ``nprobe = num_centroids`` probes every
+    IVF cell so the vector leg can exclude no candidate and must equal
+    brute force exactly, and the BM25 leg's bucket pruning is lossless
+    by construction — so the fused, index-served ranking must reproduce
+    the EXACT hybrid's driver hash end to end.  Bounds the token-index
+    serve, IVF probe + cell join, both rankings, and the RRF fusion in
+    one oracle; IVF cell *selectivity* stays with the rows-only
+    ``similarity_hybrid_rrf_ivf``'s recall floor."""
+    from ..operators.search import bm25_topk_from_index, rrf_fuse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, stats = _token_index_store(spark, sf_dir)
+    terms = spark.createDataFrame(_BM25_QUERIES, "query_id int, term string")
+    kw = bm25_topk_from_index(
+        spark.read.parquet(path), terms, k=20, stats=stats, prune_buckets=True
+    )
+    cents, assigned = _ivf_index(spark, sf_dir, emb)
+    qvecs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    vec = ivf_topk(emb, qvecs, cents, k=20, nprobe=16, assigned=assigned).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([kw, vec], id_col="doc_id", k=10).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "doc_id",
+        "rrf_score",
+        "rank",
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-label embedding centroids — the vector-aggregation primitive
 # (class prototypes / cluster summaries).  Elements are quantized to
@@ -2445,8 +2480,9 @@ GROUP BY c.doc_id, c.n_shingles
 
 def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source recall of the 'src0' exemplar's distinct trigrams
-    (rows-only this round; prepared oracle staged for the r11 window)
-    — the source-granular complement of text_contamination: which
+    (r11 oracle debut, staged rows-only in r10 —
+    ORACLE_TEXT_NGRAM_COVERAGE) — the source-granular complement of
+    text_contamination: which
     sources already span the target's phrasing.  src0 itself is kept
     as the full-coverage sanity row.  Floors while rows-only: planted
     superset/disjoint parity + determinism pytests
@@ -2457,7 +2493,7 @@ def q_text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_coverage(docs, docs.filter(F.col("source") == "src0"), n=3)
 
 
-#: Staged for an r11 gate-window debut.  The gram construction is
+#: r11 gate-window debut (staged r10).  The gram construction is
 #: byte-identical to ORACLE_TEXT_CONTAMINATION's; coverage_micro is
 #: exact integer division so values hash across engines.
 ORACLE_TEXT_NGRAM_COVERAGE = f"""
@@ -2482,8 +2518,8 @@ LEFT JOIN m ON d.source = m.source, tt
 
 
 def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-audio-doc pseudo-VAD summary (rows-only this round; prepared
-    oracle staged for the r11 window): 16-byte windows at 8-byte hop
+    """Per-audio-doc pseudo-VAD summary (r11 oracle debut, staged
+    rows-only in r10 — ORACLE_MULTIMODAL_AUDIO_VAD): 16-byte windows at 8-byte hop
     over the synthesized audio payloads, per-doc voiced-window ratio in
     exact integer micro-units.  The audio modality's end-to-end path —
     attach -> frame -> per-window feature -> per-doc aggregate — with
@@ -2501,7 +2537,7 @@ def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Staged for an r11 gate-window debut.  Window energies are md5 over
+#: r11 gate-window debut (staged r10).  Window energies are md5 over
 #: the window's LOWERCASE hex (the multimodal_frames frame_hex
 #: technique — DuckDB's md5 takes only VARCHAR), so both engines hash
 #: identical strings; the ratio is exact integer division.
@@ -2783,9 +2819,9 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Jensen-Shannon divergence vs the 'src0' exemplar in
-    DSIR's hashed-unigram space (rows-only this round; the prepared
-    oracle below debuts through the r11 gate window, the r9->r10 DSIR
-    staging pattern).  Floors while rows-only: cross-engine parity on
+    DSIR's hashed-unigram space (r11 oracle debut, staged rows-only
+    in r10 — ORACLE_CORPUS_DIVERGENCE, the r9->r10 DSIR staging
+    pattern).  Floors beyond the hash check: cross-engine parity on
     a planted corpus + determinism + directional pytests
     (tests/test_sampling.py::test_divergence_*)."""
     from ..operators.sampling import unigram_divergence
@@ -2863,8 +2899,8 @@ def _divergence_report_store(spark: SparkSession, sf_dir: str) -> str:
 
 def q_corpus_divergence_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``corpus_divergence`` SERVED from the streaming monitor's
-    committed artifact instead of recomputed (rows-only this round;
-    when it debuts it shares ORACLE_CORPUS_DIVERGENCE — the
+    committed artifact instead of recomputed (r11 oracle debut,
+    sharing ORACLE_CORPUS_DIVERGENCE with the batch twin — the
     ``events_drift_psi_served`` precedent): an ``availableNow``
     ``divergence_stream`` run ingests the documents fixture against
     the pinned src0 bucket counts, and this query reads the latest
@@ -2881,8 +2917,8 @@ def q_corpus_divergence_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Staged for an r11 gate-window debut (never-green oracles must enter
-#: through the window; the r10 window is full).  The dsir:-namespaced
+#: r11 gate-window debut (staged r10 — never-green oracles must enter
+#: through the window, and the r10 window was full).  The dsir:-namespaced
 #: hash space and the smoothed p/q shapes are byte-identical to
 #: ORACLE_SAMPLE_IMPORTANCE_WEIGHTS', so the source-level divergence
 #: and the doc-level importance weights can never disagree about the
@@ -3691,6 +3727,9 @@ QUERIES = {
     "similarity_knn_label": q_similarity_knn_label,
     "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
     "similarity_hybrid_rrf_ivf": q_similarity_hybrid_rrf_ivf,
+    # staged rows-only in r11; shares ORACLE_SIMILARITY_HYBRID_RRF when
+    # it debuts in the r12 window (never-green oracles enter in-window)
+    "similarity_hybrid_rrf_ivf_all": q_similarity_hybrid_rrf_ivf_all,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_corpus": q_dedup_corpus,

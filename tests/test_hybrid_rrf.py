@@ -9,6 +9,7 @@ from __future__ import annotations
 from spark_cdc_replication_spark.workloads.llmdata import (
     q_similarity_hybrid_rrf,
     q_similarity_hybrid_rrf_ivf,
+    q_similarity_hybrid_rrf_ivf_all,
 )
 
 
@@ -27,3 +28,19 @@ def test_ivf_hybrid_recall_vs_exact_hybrid(spark, sf_dir):
     # ranking must be deterministic across runs
     again = {(r.query_id, r.doc_id, r.rank) for r in q_similarity_hybrid_rrf_ivf(spark, sf_dir).collect()}
     assert again == {(r.query_id, r.doc_id, r.rank) for r in a_rows}
+
+
+def test_full_probe_hybrid_equals_exact_hybrid(spark, sf_dir):
+    """The staged hash-green bound (r12 debut): nprobe = num_centroids
+    makes the IVF leg lossless and bucket pruning already is, so the
+    fully index-served hybrid must equal the exact hybrid ROW FOR ROW
+    — ids, ranks, and fused scores — not just at a recall floor."""
+    exact = {
+        (r.query_id, r.doc_id, r.rank, r.rrf_score)
+        for r in q_similarity_hybrid_rrf(spark, sf_dir).collect()
+    }
+    full = {
+        (r.query_id, r.doc_id, r.rank, r.rrf_score)
+        for r in q_similarity_hybrid_rrf_ivf_all(spark, sf_dir).collect()
+    }
+    assert full == exact
