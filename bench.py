@@ -119,6 +119,23 @@ def flag_for(t: float, p: float, host_scale: float) -> str | None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Host-state guard (r11): a recording taken while the machine is
+    # still busy (e.g. a test suite's load average decaying) prints a
+    # dozen spurious flags that all adjudicate to noise — say so UP
+    # FRONT so the reader weighs the flag table accordingly, and stamp
+    # the load into the JSON for post-hoc adjudication.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    if load1 is not None and load1 > 2.0:
+        print(
+            f"WARN: load average {load1} at start — the host is not idle; "
+            f"treat this recording's flag table as suspect and prefer "
+            f"re-recording (r11: a busy-host run printed 18 flags that "
+            f"all adjudicated to noise)",
+            file=sys.stderr,
+        )
     from spark_cdc_replication_spark.session import get_spark
     from spark_cdc_replication_spark.workloads import collect_registry
 
@@ -356,6 +373,10 @@ def main() -> None:
                 # host (since r6) — divide cross-round query ratios by
                 # the calib ratio to remove VM speed differences
                 "calib_sec": calib,
+                # 1-min load average when the run STARTED (since r11):
+                # >2 means the host wasn't idle and the flag table is
+                # suspect — see the startup WARN
+                "load1": load1,
             }
         )
     )
