@@ -1,8 +1,10 @@
-"""Property-based checks of the r10 mixture/provenance diagnostics
-against FULL independent Python reimplementations (oracle-independent
-floors — the model shares no code with the operators, only the
-published spec: md5 bucketing, Laplace smoothing, floored micro-unit
-JSD terms; char shingles, stride, doc-freq cap, cross-source pairing).
+"""Property-based checks of the r10/r11 mixture/provenance/coverage
+diagnostics against FULL independent Python reimplementations
+(oracle-independent floors — the model shares no code with the
+operators, only the published spec: md5 bucketing, Laplace smoothing,
+floored micro-unit JSD terms; char shingles, stride, doc-freq cap,
+cross-source pairing; word-n-gram target coverage with exact integer
+division).
 """
 
 from __future__ import annotations
@@ -162,3 +164,64 @@ def test_cross_source_matches_all_pairs_model(spark, rows, cap):
         ).collect()
     }
     assert got == model_cross_source(rows, cap)
+
+
+# --- ngram_coverage vs an independent model ----------------------------
+
+N_GRAM = 2  # bigrams so short random docs actually produce grams
+
+
+def _word_grams(text: str, n: int = N_GRAM) -> set:
+    toks = _norm(text).split(" ") if _norm(text) else []
+    return {
+        " ".join(toks[i : i + n]) for i in range(0, len(toks) - n + 1)
+    }
+
+
+def model_coverage(rows, target_texts, n: int = N_GRAM):
+    """Spec: one row per df group value — (n_matched, n_target_grams)
+    where n_matched = |distinct grams anywhere in the group ∩ target
+    gram set| and the target set unions over all target docs."""
+    tgt = set()
+    for t in target_texts:
+        tgt |= _word_grams(t, n)
+    by_src: dict[str, set] = {}
+    for s, t in rows:
+        by_src.setdefault(s, set()).update(_word_grams(t, n))
+    return {s: (len(g & tgt), len(tgt)) for s, g in by_src.items()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus_strategy,
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_ngram_coverage_matches_python_model(spark, rows, target_texts):
+    from spark_cdc_replication_spark.operators.textanalysis import ngram_coverage
+
+    docs = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(1000 + i, "tgt", t) for i, t in enumerate(target_texts)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.source: (r.n_matched, r.n_target_grams, r.coverage_micro)
+        for r in ngram_coverage(docs, tgt, n=N_GRAM).collect()
+    }
+    want = model_coverage(rows, target_texts)
+    assert set(got) == {s for s, _ in rows}  # every group, incl. zero rows
+    for s, (m, nt, cov) in got.items():
+        wm, wnt = want[s]
+        assert (m, nt) == (wm, wnt), s
+        assert cov == (0 if wnt == 0 else (wm * 1_000_000) // wnt), s
