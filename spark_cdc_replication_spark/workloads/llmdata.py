@@ -3510,6 +3510,122 @@ def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYGIENE_STORE: dict[tuple, tuple] = {}
+
+
+def _hygiene_corpus_store(spark: SparkSession, sf_dir: str) -> str:
+    """Committed streaming-hygiene corpus root for the fixture — the
+    ``_divergence_report_store`` pattern on ``corpus_dedup_stream``:
+    identity-version dir tag, stale-sibling sweep, clean-slate rebuild,
+    never cache a half-built root.
+
+    The synthesized train corpus (q_prepare_corpus's exact recipe) is
+    landed as ONE parquet file so ``availableNow`` packs a single
+    batch: the stream's within-batch min-id-per-fingerprint rule then
+    coincides with batch dedup's lowest-id-survives exactly.  Filter
+    and decontaminate options mirror ``q_prepare_corpus``'s
+    byte-for-byte, so the landed corpus must equal the batch pipeline's
+    survivors on this fixture (where every planted near-dup normalizes
+    away, LSH-at-0.999 dedup ≡ exact-fingerprint dedup — the same
+    equivalence ORACLE_PREPARE_CORPUS itself relies on)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    from glob import glob
+
+    from ..streaming.corpus_ingest import corpus_dedup_stream
+
+    ident, version = _table_key(spark, sf_dir, "documents")
+    hit = _HYGIENE_STORE.get(ident)
+    if hit is not None and hit[0] != version:
+        shutil.rmtree(hit[1], ignore_errors=True)  # corpus was rewritten
+        hit = None
+    if hit is None:
+        ident_tag = hashlib.md5(repr(ident[1:]).encode()).hexdigest()[:12]
+        ver_tag = hashlib.md5(repr(version).encode()).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"spark_graft_hyg_{ident_tag}")
+        root = f"{base}_{ver_tag}"
+        for stale in glob(f"{base}_*"):
+            if stale != root:
+                shutil.rmtree(stale, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        base_docs = docs.filter(F.col("doc_id") % 50 != 0)
+
+        def perturb(d: DataFrame, off: int) -> DataFrame:
+            return d.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+            )
+
+        train = base_docs.unionByName(
+            perturb(base_docs.filter(F.col("doc_id") % 20 == 0), 10_000_000)
+        ).unionByName(perturb(bench, 30_000_000))
+        land = os.path.join(root, "src")
+        train.coalesce(1).write.mode("overwrite").parquet(land)
+        bench_p = bench.persist()
+        bench_p.count()
+        try:
+            stream = spark.readStream.schema(train.schema).parquet(land)
+            q = corpus_dedup_stream(
+                stream,
+                os.path.join(root, "corpus"),
+                os.path.join(root, "ckpt"),
+                bench=bench_p,
+                decontaminate_opts=dict(
+                    num_hashes=16,
+                    shingle_n=3,
+                    num_bands=8,
+                    min_est_jaccard=0.99,
+                    min_jaccard=0.999,
+                ),
+                filter_opts=dict(
+                    min_quality=0.5,
+                    langs=("en",),
+                    min_words=20,
+                    min_distinct_word_frac=0.3,
+                    max_top_bigram_frac=0.2,
+                ),
+            )
+            if not q.awaitTermination(300):
+                q.stop()  # never cache (or serve) a half-built root
+                shutil.rmtree(root, ignore_errors=True)
+                raise TimeoutError(
+                    "hygiene artifact build did not finish within 300s"
+                )
+        finally:
+            bench_p.unpersist()
+        hit = (version, root)
+        _HYGIENE_STORE[ident] = hit
+    return hit[1]
+
+
+def q_prepare_corpus_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``prepare_corpus`` SERVED from the streaming hygiene triad's
+    landed corpus instead of recomputed (staged rows-only for an r12
+    gate-window debut; when it debuts it shares ORACLE_PREPARE_CORPUS
+    — the ``corpus_divergence_served`` / ``events_drift_psi_served``
+    precedent): an ``availableNow`` ``corpus_dedup_stream`` run with
+    ingest-time quality filter + exact-fingerprint dedup + fuzzy
+    decontamination lands the survivors, and this query reads them
+    back.  Proves the STREAMING ingest path — the shape a 100 TB crawl
+    actually runs, where junk/dups/leaks never enter the corpus —
+    end-to-end under the batch pipeline's driver hash, not just the
+    fingerprint-level equivalence pytest.  Floors while rows-only:
+    row-for-row equality with ``q_prepare_corpus`` in
+    tests/test_corpus_dedup_stream.py, and the shared oracle already
+    hash-matches at sf0.01 (verified at staging time)."""
+    import os
+
+    root = _hygiene_corpus_store(spark, sf_dir)
+    corpus = spark.read.parquet(os.path.join(root, "corpus"))
+    return corpus.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_fp")
+    )
+
+
 _PREPARE_TRAIN_CTE = """train AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
   UNION ALL
@@ -3736,6 +3852,9 @@ QUERIES = {
     "text_line_dedup": q_text_line_dedup,
     "text_filter_corpus": q_text_filter_corpus,
     "prepare_corpus": q_prepare_corpus,
+    # staged rows-only in r11; shares ORACLE_PREPARE_CORPUS when it
+    # debuts in the r12 window (never-green oracles enter in-window)
+    "prepare_corpus_served": q_prepare_corpus_served,
 }
 
 ORACLE = {

@@ -233,3 +233,27 @@ def test_streaming_ingest_full_hygiene_triad_equals_batch(spark, sf_dir, tmp_pat
     assert fps(got) == fps(batch_survivors)
     # and the stream's exact-dedup held: one row per fingerprint
     assert got.count() == got.select("fp").distinct().count()
+
+
+def test_prepare_corpus_served_equals_batch_pipeline(spark, sf_dir):
+    """The staged hash-green bound (r12 debut, shares
+    ORACLE_PREPARE_CORPUS): the streaming hygiene triad's landed corpus
+    — ingest-time filter + exact-fingerprint dedup + fuzzy
+    decontamination over q_prepare_corpus's exact synthesized fixture —
+    must reproduce the BATCH prepare_corpus pipeline ROW FOR ROW (ids
+    and text fingerprints), not just at fingerprint-set equivalence.
+    On this fixture every planted near-dup normalizes away, so
+    LSH-at-0.999 dedup and exact-fingerprint dedup pick the same
+    survivors; a drift in stage order, filter thresholds, or the
+    dedup/decontaminate composition breaks the equality."""
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        q_prepare_corpus,
+        q_prepare_corpus_served,
+    )
+
+    batch = sorted(tuple(r) for r in q_prepare_corpus(spark, sf_dir).collect())
+    served = sorted(
+        tuple(r) for r in q_prepare_corpus_served(spark, sf_dir).collect()
+    )
+    assert len(batch) > 0
+    assert served == batch
