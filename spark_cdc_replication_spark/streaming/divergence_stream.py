@@ -74,6 +74,10 @@ def _content_fingerprint(
     per-row hash sum + count means matching content up to md5-prefix
     collision odds.  (group, text) is the full input of the maintained
     state, so fingerprinting exactly those columns is content-complete.
+    Known (harmless) equivalence: ``concat_ws`` skips NULLs, so a
+    NULL-text row fingerprints like an empty-text row — both carry zero
+    tokens through ``dsir_bucket_counts``, so batches differing only in
+    that distinction commit identical state anyway.
     """
     row_hash = F.conv(
         F.substring(
