@@ -277,3 +277,28 @@ def test_calibrate_binned_broadcasts_cut_table_fact_unshuffled(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "source" in ln, ln
+
+
+def test_ngram_coverage_broadcasts_target_no_sort_merge(spark, sf_dir):
+    """The r11 ADVICE fix, locked in mechanically: the target gram set
+    and the target-total scalar both join via BROADCAST (the hint is
+    now explicit — the documented plan must not depend on AQE's size
+    estimate of a post-distinct frame), and nothing in the coverage
+    plan falls back to a corpus-shuffling sort-merge join."""
+    from spark_cdc_replication_spark.workloads import llmdata
+
+    plan = final_plan(llmdata.q_text_ngram_coverage(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_corpus_divergence_joins_all_broadcast(spark, sf_dir):
+    """The divergence diagnostic's 100 TB contract: both corpora reduce
+    to bounded count frames BEFORE anything joins, so every join in the
+    plan is a broadcast of a post-aggregate frame — a sort-merge join
+    here would mean a corpus-sized relation reached a join input."""
+    from spark_cdc_replication_spark.workloads import llmdata
+
+    plan = final_plan(llmdata.q_corpus_divergence(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
