@@ -776,6 +776,18 @@ def ngram_coverage(
     frame (r10 ADVICE) — and the final aggregate is groups-bounded.  Nothing is
     all-pairs; document bodies never shuffle.
 
+    SIZE CONTRACT on ``target`` (r11 ADVICE): the explicit hint
+    removes AQE's size-based fallback, so the target's distinct-gram
+    set MUST stay driver-broadcastable (well under
+    ``spark.sql.autoBroadcastJoinThreshold``-scale; hard 8 GB Spark
+    broadcast ceiling).  ``target`` is contractually the small pinned
+    exemplar/benchmark set — the same boundedness DSIR assumes of its
+    target model — NOT a second corpus.  To compare two corpora,
+    use :func:`~..operators.dedup.cross_source_duplication` or the
+    bounded-count divergence operators instead; a corpus-sized
+    ``target`` here would force a driver-side broadcast OOM where the
+    un-hinted plan would merely have degraded to a shuffle join.
+
     Measured (r10, interleaved A/B at sf1): an xxhash64-keyed variant
     of the distinct+join is wall-identical on local[32] (9.5-11.9 s
     both ways — the distinct's sort/hash work dominates, not key

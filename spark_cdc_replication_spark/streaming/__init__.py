@@ -1,0 +1,39 @@
+"""Structured-Streaming operators and artifact-store helpers."""
+
+from __future__ import annotations
+
+
+def finish_artifact_build(
+    q, root: str, timeout_s: int = 300, what: str = "artifact"
+) -> None:
+    """Block until an ``availableNow`` artifact-build query terminates,
+    guaranteeing the artifact root never outlives a failed build.
+
+    Closes two teardown races in the build-once-serve-many stores
+    (r11 ADVICE): ``StreamingQuery.stop()`` is asynchronous, so an
+    immediate ``shutil.rmtree(root)`` could race in-flight stream
+    writers — after ``stop()`` this re-awaits termination (unbounded;
+    a stopped query terminates promptly) before deleting; and a
+    ``StreamingQueryException`` raised by ``awaitTermination`` used to
+    leave a half-built root on disk until the next rebuild's
+    stale-sibling sweep — the exception path now cleans the root too
+    before re-raising, so a later session can never mistake a
+    half-built root for a committed artifact.
+    """
+    import shutil
+
+    try:
+        finished = q.awaitTermination(timeout_s)
+    except Exception:
+        # the query died mid-build (already terminated) — never leave
+        # a half-built root behind; re-raise the streaming error
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    if not finished:
+        q.stop()  # asynchronous — do NOT rmtree until termination
+        try:
+            q.awaitTermination()  # prompt once stop() is requested
+        except Exception:
+            pass  # the timeout below is the error we surface
+        shutil.rmtree(root, ignore_errors=True)
+        raise TimeoutError(f"{what} build did not finish within {timeout_s}s")

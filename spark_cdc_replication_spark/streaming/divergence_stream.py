@@ -42,6 +42,20 @@ re-pack happens to reproduce the old batch's aggregated
 fingerprint could not see (r10 ADVICE); a bit-identical replay is a
 no-op.
 
+FORMAT BREAK (deliberate, r11): the fingerprint moved from the
+profile-bound ``counts_dir/batch={id}`` frame to the content-bound
+``counts_dir/fp={id}`` frame.  Replaying against a counts/report/
+checkpoint trio committed by the PRE-r11 monitor raises "no stored
+fingerprint" even for a bit-identical replay — loud, and in the safe
+direction (refuse rather than risk double-counting), but it means old
+trios cannot be resumed in place.  There is intentionally NO fallback
+to the legacy ``batch={id}`` profile: the profile is exactly the
+fingerprint whose collision window the r10 ADVICE flagged, so
+honoring it would silently downgrade the guarantee on the replays
+that need it most.  Migration: start a fresh trio (the monitor
+rebuilds its bounded state from the stream), or re-run the legacy
+monitor version to drain in-flight epochs first.
+
 Scale: state is ``groups x num_buckets`` BIGINTs (the DSIR bounded-
 model property carried into streaming); per batch, only the batch's
 own map-side-partial count scales with its row count.
@@ -152,8 +166,11 @@ def divergence_stream(
             except Exception as exc:
                 raise RuntimeError(
                     f"divergence_stream: replayed batch {batch_id} has no "
-                    f"stored fingerprint under {counts_dir} — checkpoint was "
-                    "wiped with a different source packing; start a fresh "
+                    f"stored fingerprint under {counts_dir} — either the "
+                    "checkpoint was wiped with a different source packing, "
+                    "or this trio was committed by the pre-r11 monitor "
+                    "(profile fingerprints under batch={id}; see the module "
+                    "docstring's FORMAT BREAK note). Start a fresh "
                     "counts/report/checkpoint trio instead"
                 ) from exc
             current = {

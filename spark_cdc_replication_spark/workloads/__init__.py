@@ -18,94 +18,101 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-11 window (every name must carry a full rows+schema+hash
+#: Round-12 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 32 queries whose last driver-green row is r8 — at the
-#:   staleness bound, exactly what `tools/check_coverage.py` printed
-#:   when CORRECTNESS_r10.json landed: mandatory, all in;
-#: * FIVE debuts (never-green oracles must be in-window) — all staged
-#:   rows-only in r10 with prepared oracle SQL hash-verified at sf0.01
-#:   by both the r10 builder and the r10 judge: `corpus_divergence` +
-#:   `corpus_divergence_served` (per-source JSD in DSIR's
-#:   hashed-unigram space, batch and streaming-artifact-served twins
-#:   sharing one oracle), `dedup_cross_source` (postings-plan
-#:   copied-span audit per source pair), `text_ngram_coverage`
-#:   (per-source trigram recall of the exemplar), and
-#:   `multimodal_audio_vad` (windowed pseudo-VAD framing — it also
-#:   holds the multimodal family floor);
-#: * 3 family-floor fills (the mandatory 32 + debuts cover NO privacy /
-#:   contamination / hygiene query), all r9-greens so they double as
-#:   pull-forwards: `pii_scrub` (alternating with `pii_prevalence`,
-#:   green r10), `text_contamination`, `prepare_corpus`;
-#: * 10 more r9-greens pulled forward so r12's mandatory list shrinks
-#:   to 37 (= 50 - 13 r9-greens refreshed here), chosen to keep the
-#:   adjudication-watch lines fresh (`q18_large_orders` was a r10
-#:   creep flag; `dedup_semantic` flagged at sf1 in r10's bench) and
-#:   to spread family coverage.
+#: * the 37 queries whose last driver-green row is r9 — at the
+#:   staleness bound, exactly what `tools/check_coverage.py --plan`
+#:   printed under "MANDATORY for THIS round" once
+#:   CORRECTNESS_r11.json landed: mandatory, all in;
+#: * TWO debuts (never-green oracles must be in-window), both staged
+#:   rows-only in r11 with shared oracles hash-verified at sf0.01 by
+#:   both the r11 builder and the r11 judge:
+#:   `similarity_hybrid_rrf_ivf_all` (full-probe nprobe=16=all-cells
+#:   index-served hybrid — lossless, so it shares
+#:   ORACLE_SIMILARITY_HYBRID_RRF, the `similarity_ivf_all`
+#:   precedent) and `prepare_corpus_served` (the streaming hygiene
+#:   triad's landed corpus — single availableNow batch makes
+#:   min-id-per-fp == lowest-id-survives, so it shares
+#:   ORACLE_PREPARE_CORPUS; `prepare_corpus_served` also holds the
+#:   hygiene family floor this round);
+#: * 2 family-floor fills (the mandatory 37 + debuts cover NO privacy
+#:   or multimodal query): `pii_prevalence` (alternating with
+#:   `pii_scrub`, green r11) and `multimodal_features` — both
+#:   r10-greens from the due-next pool, so they double as
+#:   pull-forwards;
+#: * 9 more r10-greens pulled forward so r13's mandatory list shrinks
+#:   to 39 (= 50 due-next - 11 refreshed here), chosen to keep the
+#:   adjudication-watch lines fresh (`cdc_merge_incremental` was the
+#:   r11 driver-bench CREEP line, adjudicated to noise;
+#:   `similarity_pq_all` keeps the PQ family's watch fixture warm;
+#:   `rollup_incremental` was sf3's worst calibrated line) and to
+#:   spread family coverage (`multimodal_frames` keeps both modality
+#:   fixtures fresh, `clean_corpus` doubles the hygiene floor).
 #:
-#: The steady 3-round cycle over the 137-oracle registry: each
+#: The steady 3-round cycle over the 139-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r8 (32, mandatory)
-    "asof_purchase_view",
-    "cdc_increment_append",
-    "cdc_last_writer_wins",
-    "cdc_raw_partition_stats",
-    "customer_retention_setops",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_shared_shingles",
-    "events_drift_psi_daily",
-    "events_drift_psi_served",
-    "events_hopping_6h_2h",
-    "pivot_status_revenue",
-    "profile_orders",
-    "q11_important_part_value",
-    "q12_ship_priority_dist",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q20_dominant_suppliers",
-    "q22_sales_opportunity",
-    "q7_volume_shipping",
-    "sample_k_per_source",
-    "similarity_hard_negatives_ivf_all",
-    "similarity_lsh_all",
-    "text_gopher_flags",
-    "text_quality_calibrate",
-    "yoy_customer_diff",
-    # the five r11 debuts (never-green oracles must be in-window;
-    # multimodal_audio_vad holds the multimodal family floor)
-    "corpus_divergence",
-    "corpus_divergence_served",
-    "dedup_cross_source",
-    "text_ngram_coverage",
-    "multimodal_audio_vad",
-    # family-floor fills the mandatory 32 + debuts miss (all r9-greens)
-    "pii_scrub",
-    "text_contamination",
-    "prepare_corpus",
-    # 10 more r9-greens pulled forward (r12 mandatory drops to 37)
-    "cdc_snapshot_asof",
-    "q1_pricing_summary",
-    "q18_large_orders",
-    "dedup_semantic",
-    "similarity_ivfpq_all",
-    "text_unigram_logprob",
-    "embedding_quantize",
-    "sample_mixture",
-    "top_words",
-    "multimodal_resize",
+    # at the staleness bound — last driver-green r9 (37, mandatory)
+    "approx_distinct_bound",
+    "approx_percentile_bound",
+    "asof_forward_tolerance",
+    "cdc_coalesce_updates",
+    "cdc_json_flatten",
+    "cdc_name_sanitize",
+    "cdc_route_ops",
+    "cdc_union_dedup",
+    "chunk_documents",
+    "cohort_retention",
+    "corpus_shuffle",
+    "corpus_stats",
+    "cube_revenue",
+    "customer_deciles",
+    "daily_revenue_trend",
+    "decontaminate_fuzzy",
+    "dedup_corpus",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
+    "embedding_label_centroids",
+    "events_tumbling_6h",
+    "fuzzy_join_parts",
+    "q10_returned_revenue",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rollup_revenue",
+    "sample_quality_weighted",
+    "similarity_hybrid_rrf",
+    "similarity_topk",
+    "split_assign",
+    "text_fingerprints",
+    "text_lang_stats",
+    "text_repetition",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_orders_per_customer",
+    # the two r12 debuts (never-green oracles must be in-window;
+    # prepare_corpus_served holds the hygiene family floor)
+    "similarity_hybrid_rrf_ivf_all",
+    "prepare_corpus_served",
+    # family-floor fills the mandatory 37 + debuts miss (both
+    # r10-greens from the due-next pool, so they double as pulls)
+    "pii_prevalence",
+    "multimodal_features",
+    # 9 more r10-greens pulled forward (r13 mandatory drops to 39)
+    "cdc_merge_incremental",
+    "cdc_snapshot_merge",
+    "multimodal_frames",
+    "clean_corpus",
+    "similarity_pq_all",
+    "rollup_incremental",
+    "q6_revenue_forecast",
+    "events_drift_psi",
+    "sample_stratified",
 )
 
 

@@ -688,13 +688,11 @@ def _drift_report_store(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(root, "report"),
             os.path.join(root, "ckpt"),
         )
-        if not q.awaitTermination(300):
-            # never cache (or serve) a half-built artifact root
-            q.stop()
-            shutil.rmtree(root, ignore_errors=True)
-            raise TimeoutError(
-                "drift artifact build did not finish within 300s"
-            )
+        from ..streaming import finish_artifact_build
+
+        # never cache (or serve) a half-built artifact root — timeout
+        # AND streaming-error paths both clean it (r11 ADVICE)
+        finish_artifact_build(q, root, what="drift artifact")
         hit = (version, root)
         _DRIFT_STORE[ident] = hit
     return hit[1]

@@ -2888,10 +2888,11 @@ def _divergence_report_store(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(root, "ckpt"),
             num_buckets=256,
         )
-        if not q.awaitTermination(300):
-            q.stop()  # never cache (or serve) a half-built artifact root
-            shutil.rmtree(root, ignore_errors=True)
-            raise TimeoutError("divergence artifact build did not finish within 300s")
+        from ..streaming import finish_artifact_build
+
+        # never cache (or serve) a half-built artifact root — timeout
+        # AND streaming-error paths both clean it (r11 ADVICE)
+        finish_artifact_build(q, root, what="divergence artifact")
         hit = (version, root)
         _DIVERGENCE_STORE[ident] = hit
     return hit[1]
@@ -3589,12 +3590,11 @@ def _hygiene_corpus_store(spark: SparkSession, sf_dir: str) -> str:
                     max_top_bigram_frac=0.2,
                 ),
             )
-            if not q.awaitTermination(300):
-                q.stop()  # never cache (or serve) a half-built root
-                shutil.rmtree(root, ignore_errors=True)
-                raise TimeoutError(
-                    "hygiene artifact build did not finish within 300s"
-                )
+            from ..streaming import finish_artifact_build
+
+            # never cache (or serve) a half-built root — timeout AND
+            # streaming-error paths both clean it (r11 ADVICE)
+            finish_artifact_build(q, root, what="hygiene artifact")
         finally:
             bench_p.unpersist()
         hit = (version, root)
@@ -3843,8 +3843,8 @@ QUERIES = {
     "similarity_knn_label": q_similarity_knn_label,
     "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
     "similarity_hybrid_rrf_ivf": q_similarity_hybrid_rrf_ivf,
-    # staged rows-only in r11; shares ORACLE_SIMILARITY_HYBRID_RRF when
-    # it debuts in the r12 window (never-green oracles enter in-window)
+    # r12 debut — shares ORACLE_SIMILARITY_HYBRID_RRF (staged
+    # rows-only in r11; lossless full-probe config, see the query doc)
     "similarity_hybrid_rrf_ivf_all": q_similarity_hybrid_rrf_ivf_all,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
@@ -3852,8 +3852,8 @@ QUERIES = {
     "text_line_dedup": q_text_line_dedup,
     "text_filter_corpus": q_text_filter_corpus,
     "prepare_corpus": q_prepare_corpus,
-    # staged rows-only in r11; shares ORACLE_PREPARE_CORPUS when it
-    # debuts in the r12 window (never-green oracles enter in-window)
+    # r12 debut — shares ORACLE_PREPARE_CORPUS (staged rows-only in
+    # r11; single-batch streaming twin lands batch-identical rows)
     "prepare_corpus_served": q_prepare_corpus_served,
 }
 
@@ -3938,6 +3938,17 @@ ORACLE = {
     "dedup_cross_source": ORACLE_DEDUP_CROSS_SOURCE,
     "text_ngram_coverage": ORACLE_TEXT_NGRAM_COVERAGE,
     "multimodal_audio_vad": ORACLE_MULTIMODAL_AUDIO_VAD,
+    # r12 debuts — staged rows-only in r11 with shared oracles,
+    # hash-verified at sf0.01 by builder (r11 build) AND judge (r11
+    # verdict) before entering the gate window: the full-probe hybrid
+    # is lossless (nprobe=16=all cells, the similarity_ivf_all
+    # precedent) so it shares the exact hybrid's oracle, and the
+    # streaming-served hygiene twin lands byte-identical rows to the
+    # batch pipeline (single availableNow batch: min-id-per-fp ==
+    # lowest-id-survives) so it shares the batch oracle (the
+    # events_drift_psi_served / corpus_divergence_served precedent).
+    "similarity_hybrid_rrf_ivf_all": ORACLE_SIMILARITY_HYBRID_RRF,
+    "prepare_corpus_served": ORACLE_PREPARE_CORPUS,
     # dedup_minhash_lsh, dedup_simhash, similarity_lsh_topk,
     # similarity_ivf_topk: rows-only (approximate / hash-seeded by design)
 }

@@ -38,7 +38,14 @@ def test_no_history_requires_everything_in_window():
 
 def test_current_repo_window_holds_the_bound():
     """The real registry + real CORRECTNESS history must pass — this is
-    the same check tools/check_coverage.py runs per-round."""
+    the same check tools/check_coverage.py runs per-round.
+
+    DESIGNED TRIPWIRE (one of a TWIN, with
+    test_next_round_plan_matches_the_live_registry): both go red
+    together when a new CORRECTNESS_r*.json lands and the window has
+    not been rotated yet — "2 failed" at round start is the alarm
+    firing as designed, not a regression. Rotating GATE_WINDOW per
+    `python tools/check_coverage.py --plan` clears both."""
     import __spark_entry__ as entry
 
     oracles = set(entry.oracle_sql())
@@ -81,7 +88,13 @@ def test_next_round_plan_projects_the_window_forward():
 def test_next_round_plan_matches_the_live_registry():
     """The --plan output for the CURRENT repo must agree with the
     staleness checker: making next round's window = (its mandatory
-    list + anything) clears the bound."""
+    list + anything) clears the bound.
+
+    DESIGNED TRIPWIRE TWIN of test_current_repo_window_holds_the_bound:
+    the two redden TOGETHER when a new CORRECTNESS_r*.json lands before
+    the window rotates (this one's `due_now == []` assertion prints the
+    next round's mandatory rotation list). Seeing exactly these two
+    fail at round start is the designed alarm, not a regression."""
     import __spark_entry__ as entry
 
     from tools.check_coverage import next_round_plan, stale_queries
