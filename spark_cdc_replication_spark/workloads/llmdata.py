@@ -1598,6 +1598,74 @@ SELECT 'phone', CAST(count(CASE WHEN n_phone > 0 THEN 1 END) AS BIGINT),
 """
 
 
+def q_pii_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit of the customer table under the
+    release-grade quasi-identifier tuple (nation, market segment,
+    account-balance band of width 1000) — the structured-data privacy
+    audit next to the text scrubbers: per Sweeney threshold k in
+    {2, 5, 10, 25}, how many equivalence classes / rows fall below k,
+    the suppression cost of reaching k-anonymity by deletion, and the
+    exact prosecutor-model re-identification rate.  All-integer
+    output (micro-unit rates) so the report hashes cross-engine.
+
+    Staged r13 oracle debut: registered rows-only this round with
+    ``ORACLE_PII_KANONYMITY`` prepared below (the DSIR /
+    corpus_divergence staging precedent) and parity-pinned on a
+    planted fixture in ``tests/test_text_hygiene.py``.
+    """
+    from ..operators.privacy import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__acct_band"),
+        ],
+        ks=(2, 5, 10, 25),
+    )
+
+
+#: Prepared for the r13 debut (rows-only until then).  floor() of an
+#: IEEE-exact double division is bit-identical in both engines; every
+#: output column is BIGINT/INT so the hash cannot drift.
+ORACLE_PII_KANONYMITY = """
+WITH cls AS (
+  SELECT count(*) AS sz
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+),
+tot AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(sz) AS BIGINT) AS min_class_size
+  FROM cls
+),
+ks AS (SELECT unnest([2, 5, 10, 25]) AS k),
+per_k AS (
+  SELECT ks.k AS k,
+         CAST(coalesce(sum(CASE WHEN cls.sz < ks.k THEN 1 END), 0) AS BIGINT)
+           AS classes_below,
+         CAST(coalesce(sum(CASE WHEN cls.sz < ks.k THEN cls.sz END), 0) AS BIGINT)
+           AS rows_below
+  FROM ks CROSS JOIN cls
+  GROUP BY ks.k
+)
+SELECT CAST(per_k.k AS INTEGER) AS k,
+       tot.n_rows,
+       tot.n_classes,
+       tot.min_class_size,
+       per_k.classes_below,
+       per_k.rows_below,
+       CAST((per_k.rows_below * 1000000) // tot.n_rows AS BIGINT)
+         AS suppression_micro,
+       CAST((tot.n_classes * 1000000) // tot.n_rows AS BIGINT)
+         AS prosecutor_risk_micro
+FROM per_k CROSS JOIN tot
+"""
+
+
 def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus thinning: each document kept with
     probability equal to its quality score — the composition of the
@@ -3823,6 +3891,10 @@ QUERIES = {
     "text_contamination": q_text_contamination,
     "pii_scrub": q_pii_scrub,
     "pii_prevalence": q_pii_prevalence,
+    # staged rows-only in r12; shares nothing — ORACLE_PII_KANONYMITY
+    # is prepared and parity-pinned, debuting in the r13 window
+    # (never-green oracles enter in-window)
+    "pii_kanonymity": q_pii_kanonymity,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
     "sample_mixture_temperature": q_sample_mixture_temperature,

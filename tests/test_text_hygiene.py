@@ -569,3 +569,106 @@ def test_fuzzy_block_keys_split_on_any_whitespace(spark):
         first_token(F.col("name")).alias("f"), last_token(F.col("name")).alias("l")
     ).first()
     assert row.f == "foo" and row.l == "bar"
+
+
+def test_k_anonymity_planted_classes(spark):
+    """Hand-computable fixture: QI = (city), classes CHI=3, NYC=2,
+    LA=1 -> n=6, classes=3, min=1; at k=2 one class (LA, 1 row) is
+    below; at k=3 two classes (LA + NYC, 3 rows); prosecutor risk is
+    exactly n_classes/n = 3/6 = 0.5."""
+    from spark_cdc_replication_spark.operators.privacy import k_anonymity
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(
+            ["chi", "chi", "chi", "nyc", "nyc", "la"]
+        )],
+        "id long, city string",
+    )
+    got = {r.k: r for r in k_anonymity(df, ["city"], ks=(2, 3)).collect()}
+    assert set(got) == {2, 3}
+    for r in got.values():
+        assert (r.n_rows, r.n_classes, r.min_class_size) == (6, 3, 1)
+        assert r.prosecutor_risk_micro == 500_000
+    assert (got[2].classes_below, got[2].rows_below) == (1, 1)
+    assert got[2].suppression_micro == 1_000_000 // 6
+    assert (got[3].classes_below, got[3].rows_below) == (2, 3)
+    assert got[3].suppression_micro == 500_000
+
+
+def test_k_anonymity_null_qi_groups_and_invariance(spark):
+    """NULL quasi-identifier values form ONE class (deterministic
+    audit of sparse attributes), and the all-integer report is
+    partition-invariant."""
+    from spark_cdc_replication_spark.operators.privacy import k_anonymity
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id long, attr string"
+    )
+    rows = {r.k: r for r in k_anonymity(df, ["attr"], ks=(2,)).collect()}
+    # NULLs group together: classes = {NULL: 2, x: 1}
+    assert (rows[2].n_classes, rows[2].classes_below, rows[2].rows_below) == (2, 1, 1)
+    base = sorted(map(tuple, k_anonymity(df, ["attr"]).collect()))
+    again = sorted(map(tuple, k_anonymity(df.repartition(7), ["attr"]).collect()))
+    assert base == again
+
+
+def test_k_anonymity_monotone_in_k_and_empty_input(spark):
+    from spark_cdc_replication_spark.operators.privacy import k_anonymity
+
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    rows = sorted(k_anonymity(df, ["bucket"], ks=(2, 5, 6, 7)).collect())
+    for a, b in zip(rows, rows[1:]):
+        assert a.classes_below <= b.classes_below
+        assert a.rows_below <= b.rows_below
+        assert a.suppression_micro <= b.suppression_micro
+    # 40 rows over 7 buckets: sizes are 6x5 + 1x... -> 40 = 5*5 + 2*...
+    # exact: buckets 0..4 get 6 rows (id%7 in 0..4 for ids 0..39), 5,6 get 5
+    assert rows[-1].n_classes == 7
+    # empty input: vacuous audit, len(ks) rows, zero counts, NULL rates
+    empty = spark.createDataFrame([], "id long, bucket long")
+    erows = k_anonymity(empty, ["bucket"], ks=(2, 5)).collect()
+    assert len(erows) == 2
+    for r in erows:
+        assert (r.n_rows, r.n_classes, r.classes_below, r.rows_below) == (0, 0, 0, 0)
+        assert r.suppression_micro is None and r.prosecutor_risk_micro is None
+
+
+def test_k_anonymity_cross_engine_parity_on_planted_customer(spark):
+    """Replay the EXACT prepared r13 oracle SQL over a planted
+    customer table and compare row-for-row against the registered
+    query's operator call — the pre-debut proof every staged oracle
+    gets (DSIR / corpus_divergence precedent)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.operators.privacy import k_anonymity
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_PII_KANONYMITY,
+    )
+
+    cust = pd.DataFrame(
+        [
+            (i, f"Customer#{i}", i % 4, (i * 997.13) % 5000 - 1000,
+             ["AUTO", "HOUSE", "SHIP"][i % 3])
+            for i in range(60)
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    con = duckdb.connect()
+    con.register("customer", cust)
+    res = con.execute(ORACLE_PII_KANONYMITY)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+    sdf = k_anonymity(
+        spark.createDataFrame(cust),
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__acct_band"),
+        ],
+        ks=(2, 5, 10, 25),
+    )
+    got = {tuple(r[c] for c in cols) for r in sdf.collect()}
+    assert got == want
