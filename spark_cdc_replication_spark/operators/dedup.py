@@ -476,13 +476,25 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Blocking: split the 64-bit hash into ``num_bands`` 16-bit bands; by
-    pigeonhole any pair within Hamming distance < num_bands shares at
-    least one exact band, so the self-join on ``(band_id, band_bits)``
-    finds all such pairs without an all-pairs comparison.
+    Blocking: split the 64-bit hash into ``num_bands`` bands of
+    ``64 // num_bands`` bits; by pigeonhole any pair within Hamming
+    distance < num_bands shares at least one exact band, so the
+    self-join on ``(band_id, band_bits)`` finds all such pairs without
+    an all-pairs comparison.  Recall is therefore EXACT while
+    ``max_hamming < num_bands`` and no bucket is capped.
+
+    ``max_bucket`` is the scale knob (the ``containment_pairs``
+    ``max_doc_freq`` precedent): a band value shared by more than
+    ``max_bucket`` hashes would contribute O(bucket²) candidate pairs
+    — at crawl scale a degenerate value (e.g. the all-zero band of
+    empty payloads) turns the self-join quadratic.  Capped buckets are
+    dropped BEFORE the join; pairs whose every shared band was capped
+    are missed (documented recall trade, same contract as LSH row
+    caps).  ``None`` (default) keeps exact recall.
     """
     width = 64 // num_bands
     mask = (1 << width) - 1
@@ -497,6 +509,18 @@ def simhash_candidates(
         "simhash",
         F.posexplode(band_arr).alias("band_id", "band_bits"),
     )
+    if max_bucket is not None:
+        # one extra bounded aggregate over the bands relation; the
+        # surviving-bucket set joins back on the same (band_id,
+        # band_bits) key the candidate join uses, so AQE plans both
+        # shuffles on one partitioning
+        small = (
+            bands.groupBy("band_id", "band_bits")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band_id", "band_bits")
+        )
+        bands = bands.join(small, on=["band_id", "band_bits"])
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "band_id", "band_bits"
     )

@@ -212,3 +212,98 @@ def audio_windows(
 
     audio = media.filter(F.col("meta.media_type") == "audio/wav")
     return audio.mapInPandas(run, schema=AUDIO_WINDOW_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id bigint, phash bigint"
+
+
+def phash_stub(payload: bytes) -> int:
+    """Deterministic 64-bit perceptual hash over the raw byte stream —
+    average-hash (aHash) with the payload standing in for the decoded
+    thumbnail: split the bytes into 64 near-equal buckets (the 8x8
+    grid a real pHash would DCT), bit i = 1 iff bucket i's mean byte
+    value exceeds the global mean.
+
+    Unlike ``extract_features``'s md5 checksum this is LOCALITY-
+    SENSITIVE — a localized edit moves few bucket means across the
+    global mean, so near-identical payloads land at small Hamming
+    distance — which is the property the banded near-dup join needs.
+    A real deployment replaces this with DCT-based pHash over decoded
+    pixels (PIL + a DCT); the 64-bit contract and everything
+    downstream stay identical.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return 0
+    bounds = np.linspace(0, arr.size, 65).astype(np.int64)
+    g = float(arr.mean())
+    val = 0
+    for i in range(64):
+        chunk = arr[bounds[i] : bounds[i + 1]]
+        if chunk.size and float(chunk.mean()) > g:
+            val |= 1 << i
+    if val >= 1 << 63:  # two's-complement into a Spark LongType
+        val -= 1 << 64
+    return val
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """``(doc_id, phash)`` over image rows (``mapInPandas``, Arrow-
+    batched like every payload crossing in this module).  The
+    metadata predicate filters non-image rows BEFORE any bytes move —
+    at parquet scale that prunes row groups ahead of decode.  NULL
+    payloads are skipped (the ``audio_windows`` contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf["payload"].notna()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf.loc[keep, "doc_id"].astype("int64"),
+                    "phash": [
+                        phash_stub(bytes(p)) for p in pdf.loc[keep, "payload"]
+                    ],
+                }
+            )
+
+    images = media.filter(F.col("meta.media_type") == "image/png")
+    return images.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    media: DataFrame,
+    max_hamming: int = 6,
+    num_bands: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance
+    — the image-modality sibling of text MinHash/SimHash dedup and a
+    core crawl-curation operator (re-encoded / lightly-edited copies
+    of one image share most of the corpus's image bytes at 100 TB).
+
+    Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b``, every pair
+    at ``Hamming(phash) <= max_hamming``.
+
+    Plan: one ``mapInPandas`` scan computes the 64-bit hash (payload
+    bytes never survive past it — only 8-byte hashes shuffle), then
+    :func:`~.dedup.simhash_candidates` does the banded self-join:
+    pigeonhole-exact recall while ``max_hamming < num_bands`` and no
+    bucket is capped; ``max_bucket`` bounds degenerate band values
+    (all-black thumbnails …) at the documented recall cost.  Nothing
+    is all-pairs; the only corpus-sized exchange carries
+    ``num_bands`` 16-byte rows per image.
+    """
+    from .dedup import simhash_candidates
+
+    hashes = image_phash(media).select(
+        "doc_id", F.col("phash").alias("simhash")
+    )
+    return simhash_candidates(
+        hashes,
+        id_col="doc_id",
+        max_hamming=max_hamming,
+        num_bands=num_bands,
+        max_bucket=max_bucket,
+    )

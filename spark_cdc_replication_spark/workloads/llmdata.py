@@ -1927,6 +1927,32 @@ FROM m
 """
 
 
+def q_multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance
+    — image-modality dedup over a deterministically planted corpus:
+    every 4th-and-image document gets a twin (id + 48,000,000 — a
+    multiple of 3 so ``attach_binary`` assigns the twin the SAME media
+    type) whose payload differs by one same-length byte edit, the
+    lightly-re-encoded-copy shape crawl image dedup exists for.
+
+    Rows-only by contract (the dedup_minhash_lsh/similarity_lsh_topk
+    precedent): the banded join's recall is pigeonhole-exact below
+    ``num_bands`` but the aHash stub's Hamming values are not
+    SQL-expressible over BLOBs; floors live in
+    ``tests/test_multimodal.py`` — planted-twin recall, brute-force
+    pair-set equality, bucket-cap behavior, partition invariance.
+    """
+    from ..operators.multimodal import attach_binary, phash_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 3 == 0)).select(
+        (F.col("doc_id") + 48_000_000).alias("doc_id"),
+        F.concat(F.lit("X"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    media = attach_binary(docs.unionByName(twins))
+    return phash_near_dup(media, max_hamming=6, num_bands=8)
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize plumbing (mapInPandas, stub decode): the binary
     payload round-trips Spark -> Arrow -> pandas -> Arrow -> Spark and
@@ -3906,6 +3932,9 @@ QUERIES = {
     "dedup_cross_source": q_dedup_cross_source,
     "text_ngram_coverage": q_text_ngram_coverage,
     "multimodal_audio_vad": q_multimodal_audio_vad,
+    # rows-only by contract (aHash over BLOB bytes has no SQL twin);
+    # floors in tests/test_multimodal.py
+    "multimodal_phash_dups": q_multimodal_phash_dups,
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,

@@ -78,3 +78,97 @@ def test_audio_windows_validates_params(spark):
         audio_windows(attach_binary(docs), window=0)
     with pytest.raises(ValueError, match="window/hop"):
         audio_windows(attach_binary(docs), hop=0)
+
+
+def test_phash_stub_is_locality_sensitive():
+    """The stub must behave like a perceptual hash, not a checksum: a
+    same-length localized edit flips few bits; disjoint content lands
+    far away.  (This property is what the banded near-dup join
+    dedupes on — md5 would put every edit at ~32 bits.)"""
+    from spark_cdc_replication_spark.operators.multimodal import phash_stub
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    t = ("the quick brown fox jumps over the lazy dog " * 10).encode()
+    assert ham(phash_stub(t), phash_stub(t)) == 0
+    assert ham(phash_stub(t), phash_stub(b"X" + t[1:])) <= 2
+    u = ("completely different content with other words entirely " * 9).encode()
+    assert ham(phash_stub(t), phash_stub(u)) > 6
+    assert phash_stub(b"") == 0  # empty payload is the zero hash
+
+
+def test_phash_near_dup_equals_brute_force(spark):
+    """Pigeonhole recall proof on a planted corpus: with max_hamming <
+    num_bands and no bucket cap, the banded join's pair set must equal
+    the all-pairs brute force EXACTLY (the simhash_candidates bound,
+    now exercised through the image path)."""
+    from spark_cdc_replication_spark.operators.multimodal import (
+        attach_binary,
+        image_phash,
+        phash_near_dup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    # ids multiples of 3 -> every row is an image; same-length edits
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (3, "X" + base[1:]),            # twin of 0
+            (6, base[:-1] + "Z"),           # twin of 0 (tail edit)
+            (9, "another corpus of words that shares nothing at all " * 9),
+            (12, None),                      # NULL payload: skipped
+        ],
+        "doc_id long, text string",
+    )
+    media = attach_binary(docs)
+    hashes = {r.doc_id: r.phash for r in image_phash(media).collect()}
+    assert 12 not in hashes  # NULL payload skipped
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(hashes)
+    want = {
+        (a, b, ham(hashes[a], hashes[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(hashes[a], hashes[b]) <= 6
+    }
+    got = {
+        tuple(r) for r in phash_near_dup(media, max_hamming=6, num_bands=8).collect()
+    }
+    assert got == want and {(0, 3), (0, 6)} <= {(a, b) for a, b, _ in got}
+    # partition invariance
+    again = {
+        tuple(r)
+        for r in phash_near_dup(
+            media.repartition(7), max_hamming=6, num_bands=8
+        ).collect()
+    }
+    assert again == got
+
+
+def test_phash_near_dup_bucket_cap_drops_degenerate_buckets(spark):
+    """A degenerate band value (byte-identical payloads) explodes the
+    self-join quadratically at scale; max_bucket drops the crowded
+    bucket BEFORE the join at a documented recall cost, and must not
+    touch pairs found through uncapped buckets."""
+    from spark_cdc_replication_spark.operators.multimodal import (
+        attach_binary,
+        phash_near_dup,
+    )
+
+    same = "identical payload text repeated for every clone here " * 8
+    docs = spark.createDataFrame(
+        [(3 * i, same) for i in range(12)],  # 12 byte-identical images
+        "doc_id long, text string",
+    )
+    media = attach_binary(docs)
+    full = phash_near_dup(media, max_hamming=6, num_bands=8).collect()
+    assert len(full) == 12 * 11 // 2  # uncapped: all clone pairs
+    capped = phash_near_dup(
+        media, max_hamming=6, num_bands=8, max_bucket=5
+    ).collect()
+    # every band bucket holds all 12 clones -> all capped away
+    assert capped == []
