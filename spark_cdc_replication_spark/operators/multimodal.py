@@ -274,8 +274,8 @@ def image_phash(media: DataFrame) -> DataFrame:
 
 def phash_near_dup(
     media: DataFrame,
-    max_hamming: int = 6,
-    num_bands: int = 8,
+    max_hamming: int = 3,
+    num_bands: int = 4,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash Hamming distance
@@ -294,6 +294,15 @@ def phash_near_dup(
     (all-black thumbnails …) at the documented recall cost.  Nothing
     is all-pairs; the only corpus-sized exchange carries
     ``num_bands`` 16-byte rows per image.
+
+    BAND-WIDTH TRADE (measured r12, SCALE.md): band width is
+    ``64 // num_bands`` bits, so widening the radius shrinks the band
+    domain and inflates every bucket — at sf3, radius 3 with 4×16-bit
+    bands returns the IDENTICAL pair set 3.0× faster than with
+    8×8-bit bands (14.2 s vs 42.0 s), because 8-bit bands have only
+    256 values and every bucket goes O(N/256)².  Default is the
+    measured-efficient (3, 4); raise ``num_bands`` past 4 only when
+    the radius truly must exceed 3, and cap buckets when you do.
     """
     from .dedup import simhash_candidates
 

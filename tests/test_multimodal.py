@@ -139,6 +139,10 @@ def test_phash_near_dup_equals_brute_force(spark):
         tuple(r) for r in phash_near_dup(media, max_hamming=6, num_bands=8).collect()
     }
     assert got == want and {(0, 3), (0, 6)} <= {(a, b) for a, b, _ in got}
+    # the shipped default (radius 3, 4x16-bit bands — the measured r12
+    # A/B winner) must equal ITS brute force too
+    want3 = {t for t in want if t[2] <= 3}
+    assert {tuple(r) for r in phash_near_dup(media).collect()} == want3
     # partition invariance
     again = {
         tuple(r)
