@@ -672,3 +672,28 @@ def test_k_anonymity_cross_engine_parity_on_planted_customer(spark):
     )
     got = {tuple(r[c] for c in cols) for r in sdf.collect()}
     assert got == want
+
+
+def test_k_anonymity_suppression_is_sufficient(spark):
+    """Semantic property behind suppression_micro: deleting exactly
+    the rows of below-k classes must leave a k-anonymous table (the
+    re-audit reports zero classes below k), and the deleted fraction
+    must equal the original audit's suppression_micro."""
+    from spark_cdc_replication_spark.operators.privacy import k_anonymity
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 23).alias("attr"),  # ragged classes
+    )
+    k = 8
+    audit = {r.k: r for r in k_anonymity(df, ["attr"], ks=(k,)).collect()}[k]
+    sizes = df.groupBy("attr").count()
+    survivors = (
+        df.join(sizes.filter(F.col("count") >= k).select("attr"), on="attr")
+        .select("id", "attr")
+    )
+    n_kept = survivors.count()
+    assert audit.n_rows - n_kept == audit.rows_below
+    re_audit = {r.k: r for r in k_anonymity(survivors, ["attr"], ks=(k,)).collect()}[k]
+    assert re_audit.classes_below == 0 and re_audit.rows_below == 0
+    assert re_audit.min_class_size is None or re_audit.min_class_size >= k
