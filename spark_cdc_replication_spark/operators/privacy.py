@@ -186,6 +186,91 @@ def k_anonymity(
     return totals.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols,
+    sensitive_col,
+    ls=(2, 3, 5),
+) -> DataFrame:
+    """l-diversity risk audit — the homogeneity-attack companion to
+    :func:`k_anonymity` (Machanavajjhala et al.): a class can be large
+    (k-anonymous) yet leak its sensitive attribute outright if every
+    member shares one value.  Per Sweeney-style threshold ``l``, how
+    many equivalence classes carry fewer than ``l`` DISTINCT sensitive
+    values, and how many rows sit in them.
+
+    ``quasi_cols`` as in :func:`k_anonymity` (NULL QI values group
+    together).  A NULL ``sensitive_col`` value does NOT count toward a
+    class's diversity — ``count(DISTINCT …)`` ignores NULLs in Spark
+    and ANSI SQL alike, so an all-NULL class has diversity 0 and is
+    below every ``l`` (conservative: an attribute nobody disclosed
+    cannot attest diversity).
+
+    Output: one row per ``l``, columns ``(l, n_rows, n_classes,
+    min_distinct_sensitive, classes_below, rows_below,
+    homogeneous_rows, suppression_micro)`` — ``homogeneous_rows`` is
+    the l-independent count of rows whose class has <= 1 distinct
+    sensitive value (the outright-disclosure set), and
+    ``suppression_micro`` the fraction of rows (x 1e6, exact integer
+    division) to delete for distinct-l-diversity by suppression alone.
+    All-integer, hashes identically cross-engine.
+
+    Shape at scale: ONE corpus-sized shuffle — a single
+    ``groupBy(QI).agg(count, count_distinct(sensitive))`` (Spark plans
+    the distinct via a partial expand on the same key partitioning;
+    the class relation out of it is QI-domain-bounded) — then the same
+    bounded single-row reduce + unpivot as :func:`k_anonymity`.  No
+    joins, no collect; empty input returns the vacuous report (guarded
+    divisions, ANSI-safe).
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.count_distinct(
+            F.col(sensitive_col) if isinstance(sensitive_col, str) else sensitive_col
+        ).alias("__nd"),
+    )
+    aggs = [
+        F.coalesce(F.sum("__sz"), F.lit(0)).cast("long").alias("__n_rows"),
+        F.count(F.lit(1)).cast("long").alias("__n_classes"),
+        F.min("__nd").cast("long").alias("__min_nd"),
+        F.coalesce(F.sum(F.when(F.col("__nd") <= 1, F.col("__sz"))), F.lit(0))
+        .cast("long")
+        .alias("__homog"),
+    ]
+    for l in ls:
+        below = F.col("__nd") < int(l)
+        aggs.append(
+            F.coalesce(F.sum(F.when(below, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"__cb_{l}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(below, F.col("__sz"))), F.lit(0))
+            .cast("long")
+            .alias(f"__rb_{l}")
+        )
+    totals = classes.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(l)).cast("int").alias("l"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col("__n_classes").alias("n_classes"),
+                F.col("__min_nd").alias("min_distinct_sensitive"),
+                F.col(f"__cb_{l}").alias("classes_below"),
+                F.col(f"__rb_{l}").alias("rows_below"),
+                F.col("__homog").alias("homogeneous_rows"),
+                # guarded like k_anonymity: ANSI div-0 on empty input
+                F.expr(
+                    f"CASE WHEN __n_rows > 0 THEN (__rb_{l} * 1000000) div __n_rows END"
+                ).alias("suppression_micro"),
+            )
+            for l in ls
+        ]
+    )
+    return totals.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
 def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace every ``PII_PATTERNS`` match in ``text_col`` in place —
     the write-path twin of :func:`pii_stats` for producing the cleaned

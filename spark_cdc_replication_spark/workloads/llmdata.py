@@ -1627,6 +1627,72 @@ def q_pii_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity risk audit of the customer table — the
+    homogeneity-attack companion to ``pii_kanonymity``: under the
+    quasi-identifier tuple (nation, account-balance band), per
+    threshold l in {2, 3, 5}, how many equivalence classes carry fewer
+    than l DISTINCT market segments (the sensitive attribute), how
+    many rows sit in them, and the outright-disclosure row count
+    (classes with <= 1 distinct value).  All-integer output.
+
+    Staged oracle debut (rows-only until a window slot opens —
+    capacity-gated, the pii_kanonymity r13 debut takes precedence):
+    ``ORACLE_PII_LDIVERSITY`` prepared below and parity-pinned on a
+    planted fixture in ``tests/test_text_hygiene.py``.
+    """
+    from ..operators.privacy import l_diversity
+
+    cust = load_table(spark, sf_dir, "customer")
+    return l_diversity(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__acct_band"),
+        ],
+        "c_mktsegment",
+        ls=(2, 3, 5),
+    )
+
+
+#: Prepared for a capacity-gated later debut (rows-only until then).
+ORACLE_PII_LDIVERSITY = """
+WITH cls AS (
+  SELECT count(*) AS sz, count(DISTINCT c_mktsegment) AS nd
+  FROM customer
+  GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+),
+tot AS (
+  SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(nd) AS BIGINT) AS min_distinct_sensitive,
+         CAST(coalesce(sum(CASE WHEN nd <= 1 THEN sz END), 0) AS BIGINT)
+           AS homogeneous_rows
+  FROM cls
+),
+ls AS (SELECT unnest([2, 3, 5]) AS l),
+per_l AS (
+  SELECT ls.l AS l,
+         CAST(coalesce(sum(CASE WHEN cls.nd < ls.l THEN 1 END), 0) AS BIGINT)
+           AS classes_below,
+         CAST(coalesce(sum(CASE WHEN cls.nd < ls.l THEN cls.sz END), 0) AS BIGINT)
+           AS rows_below
+  FROM ls CROSS JOIN cls
+  GROUP BY ls.l
+)
+SELECT CAST(per_l.l AS INTEGER) AS l,
+       tot.n_rows,
+       tot.n_classes,
+       tot.min_distinct_sensitive,
+       per_l.classes_below,
+       per_l.rows_below,
+       tot.homogeneous_rows,
+       CAST((per_l.rows_below * 1000000) // tot.n_rows AS BIGINT)
+         AS suppression_micro
+FROM per_l CROSS JOIN tot
+"""
+
+
 #: Prepared for the r13 debut (rows-only until then).  floor() of an
 #: IEEE-exact double division is bit-identical in both engines; every
 #: output column is BIGINT/INT so the hash cannot drift.
@@ -3924,6 +3990,9 @@ QUERIES = {
     # is prepared and parity-pinned, debuting in the r13 window
     # (never-green oracles enter in-window)
     "pii_kanonymity": q_pii_kanonymity,
+    # staged rows-only in r12 with ORACLE_PII_LDIVERSITY prepared;
+    # debut capacity-gated behind pii_kanonymity (139/150 surface)
+    "pii_ldiversity": q_pii_ldiversity,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
     "sample_mixture_temperature": q_sample_mixture_temperature,

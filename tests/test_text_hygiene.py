@@ -697,3 +697,92 @@ def test_k_anonymity_suppression_is_sufficient(spark):
     re_audit = {r.k: r for r in k_anonymity(survivors, ["attr"], ks=(k,)).collect()}[k]
     assert re_audit.classes_below == 0 and re_audit.rows_below == 0
     assert re_audit.min_class_size is None or re_audit.min_class_size >= k
+
+
+def test_l_diversity_planted_classes(spark):
+    """Hand-computable: class A = {x,x,y} (2 distinct), B = {z,z}
+    (1 distinct, homogeneous), C = {w} (1 distinct, homogeneous).
+    n=6, classes=3, min diversity 1, homogeneous rows = 3."""
+    from spark_cdc_replication_spark.operators.privacy import l_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "x"), (2, "A", "x"), (3, "A", "y"),
+            (4, "B", "z"), (5, "B", "z"),
+            (6, "C", "w"),
+        ],
+        "id long, qi string, sens string",
+    )
+    got = {r.l: r for r in l_diversity(df, ["qi"], "sens", ls=(2, 3)).collect()}
+    for r in got.values():
+        assert (r.n_rows, r.n_classes, r.min_distinct_sensitive) == (6, 3, 1)
+        assert r.homogeneous_rows == 3
+    assert (got[2].classes_below, got[2].rows_below) == (2, 3)
+    assert got[2].suppression_micro == 500_000
+    assert (got[3].classes_below, got[3].rows_below) == (3, 6)
+    assert got[3].suppression_micro == 1_000_000
+
+
+def test_l_diversity_null_sensitive_and_invariance(spark):
+    """NULL sensitive values do NOT attest diversity (count DISTINCT
+    ignores NULLs in Spark and ANSI SQL alike): an all-NULL class has
+    diversity 0 and is below every l.  All-integer output is
+    partition-invariant."""
+    from spark_cdc_replication_spark.operators.privacy import l_diversity
+
+    df = spark.createDataFrame(
+        [(1, "A", None), (2, "A", None), (3, "B", "x"), (4, "B", "y")],
+        "id long, qi string, sens string",
+    )
+    rows = {r.l: r for r in l_diversity(df, ["qi"], "sens", ls=(2,)).collect()}
+    assert rows[2].min_distinct_sensitive == 0  # the all-NULL class
+    assert (rows[2].classes_below, rows[2].rows_below) == (1, 2)
+    assert rows[2].homogeneous_rows == 2
+    base = sorted(map(tuple, l_diversity(df, ["qi"], "sens").collect()))
+    again = sorted(
+        map(tuple, l_diversity(df.repartition(5), ["qi"], "sens").collect())
+    )
+    assert base == again
+    # empty input: vacuous audit, guarded divisions
+    empty = spark.createDataFrame([], "id long, qi string, sens string")
+    erows = l_diversity(empty, ["qi"], "sens", ls=(2,)).collect()
+    assert len(erows) == 1 and erows[0].n_rows == 0
+    assert erows[0].suppression_micro is None
+
+
+def test_l_diversity_cross_engine_parity_on_planted_customer(spark):
+    """Replay the EXACT prepared oracle SQL over a planted customer
+    table and compare row-for-row (the staging proof every prepared
+    oracle gets)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.operators.privacy import l_diversity
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_PII_LDIVERSITY,
+    )
+
+    cust = pd.DataFrame(
+        [
+            (i, f"Customer#{i}", i % 5, (i * 739.07) % 4000 - 500,
+             ["AUTO", "HOUSE", "SHIP", "FOOD"][i % 4] if i % 11 else None)
+            for i in range(80)
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    con = duckdb.connect()
+    con.register("customer", cust)
+    res = con.execute(ORACLE_PII_LDIVERSITY)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+    sdf = l_diversity(
+        spark.createDataFrame(cust),
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__acct_band"),
+        ],
+        "c_mktsegment",
+        ls=(2, 3, 5),
+    )
+    got = {tuple(r[c] for c in cols) for r in sdf.collect()}
+    assert got == want
