@@ -271,6 +271,96 @@ def l_diversity(
     return totals.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
+def k_anonymize(
+    df: DataFrame,
+    levels,
+    out_names,
+    carry_cols,
+    k: int = 5,
+    max_suppression_micro: int = 50_000,
+) -> DataFrame:
+    """Make a table k-anonymous — the WRITE-path companion to
+    :func:`k_anonymity`'s audit (redact : pii_stats :: k_anonymize :
+    k_anonymity): Samarati-style global recoding over a lockstep
+    generalization ladder, plus suppression of the below-k remainder.
+
+    ``levels`` is the ladder: ``levels[i]`` is the full QI tuple (one
+    Column expression per QI attribute, all over the ORIGINAL columns)
+    at coarseness ``i`` — level 0 finest, e.g. ``(nation, segment,
+    floor(bal/1000))`` → ``(nation, segment, floor(bal/5000))`` →
+    ``(nation, segment, NULL)``.  The chosen level is the FINEST whose
+    below-k row fraction is at most ``max_suppression_micro`` (x 1e-6);
+    if none qualifies the coarsest level is used and its remainder
+    suppressed anyway (loud in the audit, silent here by design — a
+    release pipeline wants a table out, and the re-audit proves what
+    it got).  Rows in below-k classes AT the chosen level are dropped
+    (suppression), so the output is k-anonymous BY CONSTRUCTION under
+    ``(out_names)`` — pinned by the re-audit property test.
+
+    Output: ``carry_cols`` (non-identifying payload columns, kept
+    verbatim) + the chosen level's QI expressions aliased to
+    ``out_names``.  The original QI columns must NOT be in
+    ``carry_cols`` — re-attaching them would undo the recoding.
+
+    Shape at scale: ONE corpus-sized shuffle — a single aggregate
+    grouped by EVERY level's expressions at once (per input row all
+    ladder values are computed together, so the grouped frame's
+    cardinality is the finest level's class count, QI-domain-bounded)
+    — then per-level roll-ups and the level decision happen on that
+    bounded frame (``len(levels)`` two-scalar driver actions); finally
+    one projection pass with a left-anti join against the chosen
+    level's below-k class keys (AQE broadcasts the key set when small;
+    by construction it covers at most the suppression budget's rows —
+    deliberately NOT hint-forced, the ngram_coverage lesson).
+    """
+    if not levels or not all(len(lvl) == len(out_names) for lvl in levels):
+        raise ValueError("levels must be non-empty, each matching out_names")
+    lvl_names = [
+        [f"__l{i}_{j}" for j in range(len(out_names))] for i in range(len(levels))
+    ]
+    flat = [
+        e.alias(n)
+        for lvl, names in zip(levels, lvl_names)
+        for e, n in zip(lvl, names)
+    ]
+    combined = (
+        df.groupBy(*flat).agg(F.count(F.lit(1)).alias("__n")).localCheckpoint()
+    )
+    chosen = len(levels) - 1
+    for i, names in enumerate(lvl_names):
+        cls = combined.groupBy(*names).agg(F.sum("__n").alias("__sz"))
+        row = cls.agg(
+            F.coalesce(F.sum("__sz"), F.lit(0)).alias("__tot"),
+            F.coalesce(
+                F.sum(F.when(F.col("__sz") < k, F.col("__sz"))), F.lit(0)
+            ).alias("__below"),
+        ).collect()[0]
+        tot, below_rows = row["__tot"], row["__below"]
+        if tot == 0 or below_rows * 1_000_000 <= max_suppression_micro * tot:
+            chosen = i
+            break
+    names = lvl_names[chosen]
+    below = (
+        combined.groupBy(*names)
+        .agg(F.sum("__n").alias("__sz"))
+        .filter(F.col("__sz") < k)
+        .select(*[F.col(n).alias(f"__b_{o}") for n, o in zip(names, out_names)])
+    )
+    gen = df.select(
+        *[F.col(c) for c in carry_cols],
+        *[e.alias(o) for e, o in zip(levels[chosen], out_names)],
+    )
+    # NULL-SAFE anti-join: a ladder rung may generalize an attribute
+    # to NULL (fully suppressed column); plain equality would never
+    # match those class keys and the below-k rows would dodge
+    # suppression
+    cond = None
+    for o in out_names:
+        c = gen[o].eqNullSafe(below[f"__b_{o}"])
+        cond = c if cond is None else cond & c
+    return gen.join(below, on=cond, how="left_anti")
+
+
 def redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace every ``PII_PATTERNS`` match in ``text_col`` in place —
     the write-path twin of :func:`pii_stats` for producing the cleaned

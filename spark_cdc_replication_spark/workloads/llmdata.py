@@ -1627,6 +1627,38 @@ def q_pii_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_kanonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy WRITE path: release a 5-anonymous view of the
+    customer table via the Samarati ladder (balance band 1000 →
+    band 5000 → fully generalized; then segment too), suppressing at
+    most 5% of rows — ``k_anonymize`` picks the finest rung whose
+    below-k remainder fits the budget, data-dependently but
+    deterministically.  Rows-only by contract (the chosen rung is a
+    data-dependent CONTROL-flow decision — two Spark jobs and a
+    driver comparison — not a single SQL expression); floors in
+    ``tests/test_text_hygiene.py`` pin rung choice, suppression
+    exactness, NULL-rung null-safety, and the re-audit
+    k-anonymity-by-construction property.
+    """
+    from ..operators.privacy import k_anonymize
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation, seg, bal = F.col("c_nationkey"), F.col("c_mktsegment"), F.col("c_acctbal")
+    return k_anonymize(
+        cust,
+        levels=[
+            [nation, seg, F.floor(bal / F.lit(1000.0))],
+            [nation, seg, F.floor(bal / F.lit(5000.0))],
+            [nation, seg, F.lit(None).cast("long")],
+            [nation, F.lit(None).cast("string"), F.lit(None).cast("long")],
+        ],
+        out_names=["nation", "segment", "balance_band"],
+        carry_cols=["c_custkey"],
+        k=5,
+        max_suppression_micro=50_000,
+    )
+
+
 def q_pii_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity risk audit of the customer table — the
     homogeneity-attack companion to ``pii_kanonymity``: under the
@@ -3993,6 +4025,9 @@ QUERIES = {
     # staged rows-only in r12 with ORACLE_PII_LDIVERSITY prepared;
     # debut capacity-gated behind pii_kanonymity (139/150 surface)
     "pii_ldiversity": q_pii_ldiversity,
+    # rows-only BY CONTRACT (data-dependent ladder-rung control flow);
+    # floors in tests/test_text_hygiene.py
+    "pii_kanonymize": q_pii_kanonymize,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
     "sample_mixture_temperature": q_sample_mixture_temperature,

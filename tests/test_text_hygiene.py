@@ -3,6 +3,7 @@ audit, PII scrub, deterministic epoch shuffle."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from spark_cdc_replication_spark.operators.privacy import pii_stats, redact
@@ -786,3 +787,110 @@ def test_l_diversity_cross_engine_parity_on_planted_customer(spark):
     )
     got = {tuple(r[c] for c in cols) for r in sdf.collect()}
     assert got == want
+
+
+def test_k_anonymize_picks_finest_passing_level(spark):
+    """Ladder choice: level 0 (zip, all singletons) cannot meet k=3
+    with a zero suppression budget; level 1 (city, classes of 4) can —
+    the output must be recoded at city granularity, keep every row,
+    and re-audit k-anonymous."""
+    from spark_cdc_replication_spark.operators.privacy import (
+        k_anonymity,
+        k_anonymize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"z{i}", ["chi", "nyc", "la"][i % 3]) for i in range(12)],
+        "id long, zip string, city string",
+    )
+    out = k_anonymize(
+        df,
+        levels=[[F.col("zip")], [F.col("city")]],
+        out_names=["area"],
+        carry_cols=["id"],
+        k=3,
+        max_suppression_micro=0,
+    )
+    rows = out.collect()
+    assert len(rows) == 12 and {r.area for r in rows} == {"chi", "nyc", "la"}
+    assert {r.id for r in rows} == set(range(12))  # carry col intact
+    audit = k_anonymity(out, ["area"], ks=(3,)).collect()[0]
+    assert audit.classes_below == 0 and audit.min_class_size >= 3
+
+
+def test_k_anonymize_suppresses_within_budget(spark):
+    """When the finest level's below-k fraction fits the budget, it is
+    chosen and exactly the below-k rows are suppressed."""
+    from spark_cdc_replication_spark.operators.privacy import k_anonymize
+
+    df = spark.createDataFrame(
+        [(i, "A") for i in range(5)] + [(99, "B")],
+        "id long, g string",
+    )
+    out = k_anonymize(
+        df,
+        levels=[[F.col("g")]],
+        out_names=["g2"],
+        carry_cols=["id"],
+        k=2,
+        max_suppression_micro=200_000,  # 1/6 of rows ~ 166,667 fits
+    )
+    rows = out.collect()
+    assert {r.id for r in rows} == set(range(5))  # the singleton B row dropped
+    assert all(r.g2 == "A" for r in rows)
+
+
+def test_k_anonymize_coarsest_fallback_suppresses_remainder(spark):
+    """If even the coarsest rung cannot meet the budget, it is used
+    anyway and ITS below-k remainder suppressed — the output is
+    k-anonymous by construction (possibly empty)."""
+    from spark_cdc_replication_spark.operators.privacy import k_anonymize
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id long, g string")
+    out = k_anonymize(
+        df,
+        levels=[[F.col("g")]],
+        out_names=["g2"],
+        carry_cols=["id"],
+        k=2,
+        max_suppression_micro=0,
+    )
+    assert out.collect() == []
+
+
+def test_k_anonymize_null_rung_is_null_safe(spark):
+    """A ladder rung that generalizes an attribute to NULL produces
+    NULL-keyed classes; suppression must still reach them (null-safe
+    anti-join) — plain equality would let every below-k NULL-keyed
+    class dodge the drop."""
+    from spark_cdc_replication_spark.operators.privacy import k_anonymize
+
+    df = spark.createDataFrame(
+        [(i, "x", i * 100) for i in range(5)] + [(9, "y", 900)],
+        "id long, seg string, bal long",
+    )
+    out = k_anonymize(
+        df,
+        # single rung: keep seg, fully generalize bal to NULL
+        levels=[[F.col("seg"), F.lit(None).cast("long")]],
+        out_names=["seg2", "band"],
+        carry_cols=["id"],
+        k=2,
+        max_suppression_micro=1_000_000,
+    )
+    rows = out.collect()
+    # class (y, NULL) has size 1 < k and MUST be suppressed
+    assert {r.id for r in rows} == set(range(5))
+    assert all(r.band is None for r in rows)
+
+
+def test_k_anonymize_validates_ladder(spark):
+    from spark_cdc_replication_spark.operators.privacy import k_anonymize
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="levels"):
+        k_anonymize(df, levels=[], out_names=["g2"], carry_cols=["id"])
+    with pytest.raises(ValueError, match="levels"):
+        k_anonymize(
+            df, levels=[[F.col("g"), F.col("g")]], out_names=["g2"], carry_cols=["id"]
+        )
