@@ -478,6 +478,64 @@ def split_assign(
     return df.withColumn(out_col, expr)
 
 
+def split_cluster_safe(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    key_col: str = "doc_id",
+    out_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Leakage-safe hash split over duplicate CLUSTERS — the third
+    member of the split family (:func:`split_assign` hashes documents,
+    :func:`split_temporal` purges time): when near-duplicates of one
+    document land on both sides of a train/test split, the test set is
+    contaminated no matter how carefully it was sampled — the known
+    LLM-eval failure :func:`split_assign` cannot prevent because it
+    hashes each doc independently.  Here every member of a connected
+    near-dup component (via :func:`~.dedup.dup_clusters` over
+    ``pairs``, the verified candidate edges from MinHash/SimHash/pHash
+    dedup) is keyed by its cluster REPRESENTATIVE (the component-min
+    id), so the whole cluster lands in one split, transitively
+    (A~B, B~C ⇒ A, B, C together even if A and C were never a pair).
+
+    Documents in no pair keep ``rep = own key``, and the bucket uses
+    the SAME ``"split:"`` namespace as :func:`split_assign` — so their
+    assignment is IDENTICAL to a plain hash split (pytest-pinned):
+    adding dedup awareness only ever MOVES cluster members, never
+    reshuffles the non-duplicated corpus.  NULL keys get a NULL split
+    (the :func:`split_assign` contract).
+
+    Shape at scale: ``dup_clusters``'s label propagation shuffles only
+    ``(node, label)`` longs over the pair-touched subset; attaching
+    reps is one left join of the corpus against that (much smaller)
+    labels frame — AQE broadcasts it when it fits, and the split
+    itself is one codegen'd projection.  Nothing scales with document
+    payloads.
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(pairs, id_a=id_a, id_b=id_b, **cluster_kwargs).select(
+        F.col("doc_id").alias("__ck"), F.col("cluster_id").alias("__rep_label")
+    )
+    with_rep = (
+        df.join(clusters, F.col(key_col) == F.col("__ck"), "left")
+        .withColumn(
+            "__rep", F.coalesce(F.col("__rep_label"), F.col(key_col).cast("long"))
+        )
+        .drop("__ck", "__rep_label")
+    )
+    return split_assign(
+        with_rep, weights=weights, key_col="__rep", out_col=out_col
+    ).drop("__rep")
+
+
 def split_temporal(
     df: DataFrame,
     ts_col: str,

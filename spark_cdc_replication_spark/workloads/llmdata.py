@@ -1825,6 +1825,87 @@ FROM documents
 """
 
 
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split over the dedup_clusters planted corpus: the
+    MinHash-LSH + exact-verify edges cluster each source doc with its
+    two perturbation twins, and every 3-member cluster must land in
+    ONE split keyed by its representative — while unclustered docs
+    split exactly as plain ``split_assign`` would (same namespace).
+
+    Staged oracle debut (rows-only until a window slot opens,
+    capacity-gated like pii_ldiversity): ``ORACLE_SPLIT_CLUSTER_SAFE``
+    below recomputes the ground-truth components from normalized-text
+    equality (the ORACLE_DEDUP_CLUSTERS precedent — the LSH path must
+    reproduce them transitively) and replays the split arithmetic on
+    the coalesced representative.
+    """
+    from ..operators.sampling import split_cluster_safe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(near1).unionByName(near2)
+    sigs = minhash_signatures(corpus, num_hashes=32, shingle_n=3).cache()
+    cands = minhash_lsh_candidates(sigs, num_bands=8, min_est_jaccard=0.99)
+    verified = ngram_jaccard_pairs(
+        corpus, cands.select("id_a", "id_b"), n=3, min_jaccard=0.999
+    )
+    out = split_cluster_safe(
+        corpus,
+        verified.select("id_a", "id_b"),
+        weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    )
+    return out.select("doc_id", "split")
+
+
+_REP_SPLIT_BUCKET_SQL = (
+    "(('0x' || substr(md5('split:' || CAST(rep AS VARCHAR)), 1, 8))"
+    "::BIGINT % 10000)"
+)
+
+#: Prepared for a capacity-gated later debut (rows-only until then) —
+#: ground-truth components by normalized-text equality (the
+#: ORACLE_DEDUP_CLUSTERS recipe), representative = coalesce(component
+#: min, own id), then split_assign's exact bucket arithmetic on it.
+ORACLE_SPLIT_CLUSTER_SAFE = f"""
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+normed AS (
+  SELECT doc_id, {_norm_sql_of('text')} AS norm FROM planted
+  WHERE len(string_split_regex({_norm_sql_of('text')}, '\\s+')) >= 3
+),
+comp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS cluster_id,
+         count(*) OVER (PARTITION BY norm) AS n
+  FROM normed
+),
+reps AS (
+  SELECT p.doc_id,
+         coalesce(CASE WHEN c.n > 1 THEN c.cluster_id END, p.doc_id) AS rep
+  FROM planted p LEFT JOIN comp c ON p.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CASE WHEN rep IS NULL THEN NULL
+            WHEN {_REP_SPLIT_BUCKET_SQL} < 9000 THEN 'train'
+            WHEN {_REP_SPLIT_BUCKET_SQL} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM reps
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offset-based sequence packing: per source, documents in doc_id
     order are laid out end-to-end and cut into 2048-char packs by
@@ -4006,6 +4087,9 @@ QUERIES = {
     "sample_k_per_source": q_sample_k_per_source,
     "sample_quality_weighted": q_sample_quality_weighted,
     "split_assign": q_split_assign,
+    # staged rows-only in r12 with ORACLE_SPLIT_CLUSTER_SAFE prepared;
+    # debut capacity-gated (139/150 surface)
+    "split_cluster_safe": q_split_cluster_safe,
     "pack_sequences": q_pack_sequences,
     "pack_padding_waste": q_pack_padding_waste,
     "text_quality_calibrate": q_text_quality_calibrate,

@@ -1037,3 +1037,99 @@ def test_pack_bestfit_deterministic_under_repartitioning(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_split_cluster_safe_coplaces_transitively(spark):
+    """The leakage guard: a chain of verified pairs (A~B, B~C) must
+    land all three members in ONE split even though A and C were never
+    a pair — and a doc in no pair keeps exactly split_assign's
+    assignment (same namespace), so dedup awareness never reshuffles
+    the non-duplicated corpus."""
+    from spark_cdc_replication_spark.operators.sampling import (
+        split_assign,
+        split_cluster_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(3, 17), (17, 29), (5, 11)], "id_a long, id_b long"
+    )
+    weights = (("train", 0.5), ("val", 0.25), ("test", 0.25))
+    got = {
+        r.doc_id: r.split
+        for r in split_cluster_safe(docs, pairs, weights=weights).collect()
+    }
+    assert got[3] == got[17] == got[29]  # the transitive chain
+    assert got[5] == got[11]
+    plain = {
+        r.doc_id: r.split for r in split_assign(docs, weights=weights).collect()
+    }
+    clustered = {3, 17, 29, 5, 11}
+    for d in set(got) - clustered:
+        assert got[d] == plain[d]
+    # cluster members adopt the REPRESENTATIVE's plain assignment
+    assert got[3] == plain[3] and got[5] == plain[5]
+    # determinism under repartitioning
+    again = {
+        r.doc_id: r.split
+        for r in split_cluster_safe(
+            docs.repartition(7), pairs.repartition(3), weights=weights
+        ).collect()
+    }
+    assert again == got
+
+
+def test_split_cluster_safe_null_key_and_empty_pairs(spark):
+    from spark_cdc_replication_spark.operators.sampling import (
+        split_assign,
+        split_cluster_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "keyless")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r.text: r.split for r in split_cluster_safe(docs, pairs).collect()}
+    assert got["keyless"] is None  # the split_assign NULL contract
+    # with no pairs at all the result IS split_assign
+    plain = {r.text: r.split for r in split_assign(docs).collect()}
+    assert got == plain
+
+
+def test_split_cluster_safe_cross_engine_parity_on_planted_corpus(spark):
+    """Replay the EXACT prepared oracle SQL over a planted corpus and
+    compare row-for-row (the staging proof every prepared oracle
+    gets): ground-truth components by normalized-text equality must
+    agree with the LSH + verify + dup_clusters + rep-keyed split."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_SPLIT_CLUSTER_SAFE,
+        q_split_cluster_safe,
+    )
+
+    base = [
+        (i, f"planted document number {i} with several distinct words here")
+        for i in range(0, 60)
+    ]
+    docs = pd.DataFrame(base, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", docs)
+    res = con.execute(ORACLE_SPLIT_CLUSTER_SAFE)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/documents.parquet"
+        )
+        got = {
+            tuple(r[c] for c in cols)
+            for r in q_split_cluster_safe(spark, td).collect()
+        }
+    assert got == want
