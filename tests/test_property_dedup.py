@@ -159,3 +159,53 @@ def test_containment_pairs_matches_python_model(spark, docs, cap):
     }
     want = _py_containment(docs, n=3, min_containment=0.0, max_doc_freq=cap)
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=2, max_value=24),
+    edges=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 23)), max_size=20
+    ),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_split_cluster_safe_never_splits_a_component(spark, n, edges):
+    """Property: under ANY pair graph, two docs connected by a path of
+    pair edges land in the same split, and docs in no edge keep
+    split_assign's assignment exactly."""
+    from spark_cdc_replication_spark.operators.sampling import (
+        split_assign,
+        split_cluster_safe,
+    )
+
+    edges = [(a % n, b % n) for a, b in edges if a % n != b % n]
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(edges or None, "id_a long, id_b long") if edges else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    weights = (("train", 0.4), ("val", 0.3), ("test", 0.3))
+    got = {
+        r.doc_id: r.split
+        for r in split_cluster_safe(docs, pairs, weights=weights).collect()
+    }
+    assert set(got) == set(range(n))
+    # union-find ground truth in plain python
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    for i in range(n):
+        assert got[i] == got[find(i)], f"component of {i} split across sets"
+    plain = {
+        r.doc_id: r.split for r in split_assign(docs, weights=weights).collect()
+    }
+    touched = {x for e in edges for x in e}
+    for i in set(range(n)) - touched:
+        assert got[i] == plain[i]
