@@ -316,3 +316,36 @@ def phash_near_dup(
         num_bands=num_bands,
         max_bucket=max_bucket,
     )
+
+
+def phash_dedup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Survivor-returning image dedup — the composition every crawl
+    pipeline actually runs (pairs are diagnostics; the deliverable is
+    the deduplicated corpus): :func:`phash_near_dup` pairs →
+    :func:`~.dedup.dup_clusters` connected components → keep ONE
+    canonical member per cluster (the component-min id, the same
+    lowest-id-survives rule as text ``dedup_corpus``).  Non-image rows
+    and unpaired images pass through untouched.
+
+    Scale: the pair/cluster stages shuffle only hashes and
+    ``(node, label)`` longs; the final drop is a left-anti join of the
+    corpus against the (pair-touched-only, hence small) non-canonical
+    id set — AQE broadcasts it when it fits.  Payload bytes cross the
+    network zero times beyond the initial hash scan.
+    """
+    from .dedup import dup_clusters
+
+    pairs = phash_near_dup(
+        media,
+        max_hamming=max_hamming,
+        num_bands=num_bands,
+        max_bucket=max_bucket,
+    )
+    clusters = dup_clusters(pairs)
+    drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return media.join(drop, on="doc_id", how="left_anti")

@@ -2135,6 +2135,27 @@ def q_multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup(media, max_hamming=3, num_bands=4)
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-returning image dedup over the same planted-twin
+    corpus as ``multimodal_phash_dups``: every twin (id + 48M)
+    duplicates a lower-id original, so lowest-id-survives must drop
+    exactly the twins' image rows while non-image rows and unpaired
+    images pass through untouched.  Rows-only by contract (same
+    approximate-pairs upstream as the pairs query); floors in
+    ``tests/test_multimodal.py``.
+    """
+    from ..operators.multimodal import attach_binary, phash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 3 == 0)).select(
+        (F.col("doc_id") + 48_000_000).alias("doc_id"),
+        F.concat(F.lit("X"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    media = attach_binary(docs.unionByName(twins))
+    out = phash_dedup(media, max_hamming=3, num_bands=4)
+    return out.select("doc_id", F.col("meta.media_type").alias("media_type"))
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image resize plumbing (mapInPandas, stub decode): the binary
     payload round-trips Spark -> Arrow -> pandas -> Arrow -> Spark and
@@ -4126,6 +4147,7 @@ QUERIES = {
     # rows-only by contract (aHash over BLOB bytes has no SQL twin);
     # floors in tests/test_multimodal.py
     "multimodal_phash_dups": q_multimodal_phash_dups,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "sample_token_budget": q_sample_token_budget,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_bigram_logprob": q_text_bigram_logprob,

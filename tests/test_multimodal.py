@@ -176,3 +176,35 @@ def test_phash_near_dup_bucket_cap_drops_degenerate_buckets(spark):
     ).collect()
     # every band bucket holds all 12 clones -> all capped away
     assert capped == []
+
+
+def test_phash_dedup_keeps_one_canonical_per_cluster(spark):
+    """Survivors: a transitive near-dup chain collapses to its min-id
+    member; unpaired images and ALL non-image rows pass through."""
+    from spark_cdc_replication_spark.operators.multimodal import (
+        attach_binary,
+        phash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    docs = spark.createDataFrame(
+        [
+            (0, base),                       # image (id % 3 == 0), canonical
+            (3, "X" + base[1:]),             # image twin of 0 -> dropped
+            (6, base[:-1] + "Z"),            # image twin of 0 -> dropped
+            (9, "another corpus of words that shares nothing at all " * 9),
+            (1, base),                        # AUDIO row: never touched even
+                                              # though its bytes near-match
+            (12, None),                       # NULL payload image: passes
+        ],
+        "doc_id long, text string",
+    )
+    media = attach_binary(docs)
+    kept = {r.doc_id for r in phash_dedup(media, max_hamming=6, num_bands=8).collect()}
+    assert kept == {0, 9, 1, 12}
+    # partition invariance
+    again = {
+        r.doc_id
+        for r in phash_dedup(media.repartition(5), max_hamming=6, num_bands=8).collect()
+    }
+    assert again == kept
