@@ -384,6 +384,73 @@ def dedup_corpus(
     return df.join(removed, on=id_col, how="left_anti")
 
 
+def dedup_corpus_weighted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    min_jaccard: float = 0.8,
+    broadcast_removal: bool = True,
+) -> DataFrame:
+    """:func:`dedup_corpus` that PRESERVES duplication mass: survivors
+    carry an ``n_duplicates`` column (their near-dup cluster's size;
+    1 for untouched docs), so downstream mixture balancing and
+    sampling can up-weight the canonical copy instead of silently
+    shifting the source distribution — plain dedup makes a source
+    with heavy internal duplication look smaller than its true crawl
+    mass, which then mis-weights every proportion-targeting sampler
+    (the "keep one copy, keep the count" rule production corpus
+    pipelines apply for mixture fidelity).
+
+    Invariant (pytest-pinned): ``sum(n_duplicates)`` over survivors
+    equals the input row count — deduplication moves mass onto
+    canonicals, never creates or destroys it.
+
+    Scale shape: identical to :func:`dedup_corpus` through the verify
+    stage; the additions are :func:`dup_clusters` over the verified
+    pairs (``(node, label)`` longs only, pair-touched subset) plus two
+    joins against cluster-bounded frames — the non-canonical drop set
+    and the per-canonical size frame — both broadcast under the same
+    ``broadcast_removal`` policy (measured rationale in
+    :func:`dedup_corpus`'s docstring).  Document bodies never shuffle.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(
+        sigs, id_col=id_col, num_bands=num_bands, min_est_jaccard=min_est_jaccard
+    )
+    verified = ngram_jaccard_pairs(
+        df,
+        cands.select("id_a", "id_b"),
+        text_col=text_col,
+        id_col=id_col,
+        n=shingle_n,
+        min_jaccard=min_jaccard,
+    )
+    clusters = dup_clusters(verified.select("id_a", "id_b"))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_duplicates")
+    )
+    drop = (
+        clusters.filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    canon = sizes.select(
+        F.col("cluster_id").alias("__canon_id"), "n_duplicates"
+    )
+    if broadcast_removal:
+        drop = F.broadcast(drop)
+        canon = F.broadcast(canon)
+    return (
+        df.join(drop, on=id_col, how="left_anti")
+        .join(canon, F.col(id_col) == F.col("__canon_id"), "left")
+        .drop("__canon_id")
+        .withColumn("n_duplicates", F.coalesce(F.col("n_duplicates"), F.lit(1).cast("long")))
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -3998,6 +3998,76 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM_OF_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+def q_dedup_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_corpus`` with duplication-mass preservation, over the
+    dedup_clusters 3-member planting (source + two perturbation
+    twins): survivors carry ``n_duplicates`` — 3 for each planted
+    group's canonical, 1 for untouched docs — so
+    ``sum(n_duplicates) == |corpus|`` exactly (mass moves onto
+    canonicals, never created or destroyed).
+
+    Staged oracle debut (rows-only until a window slot opens,
+    capacity-gated): ``ORACLE_DEDUP_CORPUS_WEIGHTED`` below extends
+    the normalized-text ground truth with per-group counts.
+    """
+    from ..operators.dedup import dedup_corpus_weighted
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(near1).unionByName(near2)
+    out = dedup_corpus_weighted(
+        corpus,
+        num_hashes=16,
+        shingle_n=3,
+        num_bands=8,
+        min_est_jaccard=0.99,
+        min_jaccard=0.999,
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_fp"),
+        "n_duplicates",
+    )
+
+
+#: Prepared for a capacity-gated later debut (rows-only until then) —
+#: the ORACLE_DEDUP_CORPUS ground truth extended with per-norm-group
+#: counts: canonical (group-min) survivors carry the group size,
+#: everything else weight 1.
+ORACLE_DEDUP_CORPUS_WEIGHTED = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+tn AS (
+  SELECT doc_id, {_NORM_OF_TEXT} AS norm FROM corpus
+  WHERE len(string_split_regex({_NORM_OF_TEXT}, '\\s+')) >= 3
+),
+grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS mn,
+         count(*) OVER (PARTITION BY norm) AS n
+  FROM tn
+)
+SELECT c.doc_id, md5(c.text) AS text_fp,
+       CAST(coalesce(CASE WHEN g.doc_id = g.mn THEN g.n END, 1) AS BIGINT)
+         AS n_duplicates
+FROM corpus c LEFT JOIN grp g ON c.doc_id = g.doc_id
+WHERE c.doc_id NOT IN (SELECT doc_id FROM grp WHERE doc_id <> mn)
+"""
+
+
 ORACLE_DEDUP_CORPUS = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -4163,6 +4233,9 @@ QUERIES = {
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_corpus": q_dedup_corpus,
+    # staged rows-only in r12 with ORACLE_DEDUP_CORPUS_WEIGHTED
+    # prepared; debut capacity-gated (139/150 surface)
+    "dedup_corpus_weighted": q_dedup_corpus_weighted,
     "text_line_dedup": q_text_line_dedup,
     "text_filter_corpus": q_text_filter_corpus,
     "prepare_corpus": q_prepare_corpus,

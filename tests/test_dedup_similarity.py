@@ -713,3 +713,77 @@ def test_cross_source_cross_engine_parity_on_fixture(spark, sf_dir):
         for r in q_dedup_cross_source(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dedup_corpus_weighted_preserves_mass(spark):
+    """Survivors carry their cluster's size; sum(n_duplicates) equals
+    the input row count exactly (mass moves onto canonicals, never
+    created or destroyed), and untouched docs keep weight 1."""
+    from spark_cdc_replication_spark.operators.dedup import dedup_corpus_weighted
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.upper()),                     # normalizes to 1's text
+            (3, base.replace(" ", "  ")),          # ditto -> 3-member group
+            (4, "an entirely different document with its own words here"),
+            (5, "yet another unique piece of text that matches nothing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_corpus_weighted(
+        docs, num_hashes=16, num_bands=8, min_est_jaccard=0.99, min_jaccard=0.999
+    )
+    got = {r.doc_id: r.n_duplicates for r in out.collect()}
+    assert got == {1: 3, 4: 1, 5: 1}
+    assert sum(got.values()) == 5  # the mass invariant
+    again = {
+        r.doc_id: r.n_duplicates
+        for r in dedup_corpus_weighted(
+            docs.repartition(4),
+            num_hashes=16,
+            num_bands=8,
+            min_est_jaccard=0.99,
+            min_jaccard=0.999,
+        ).collect()
+    }
+    assert again == got
+
+
+def test_dedup_corpus_weighted_cross_engine_parity(spark):
+    """Replay the EXACT prepared oracle SQL over a planted corpus and
+    compare row-for-row (the staging proof every prepared oracle
+    gets)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_DEDUP_CORPUS_WEIGHTED,
+        q_dedup_corpus_weighted,
+    )
+
+    docs = pd.DataFrame(
+        [
+            (i, f"planted document number {i} with several distinct words here")
+            for i in range(0, 60)
+        ],
+        columns=["doc_id", "text"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    res = con.execute(ORACLE_DEDUP_CORPUS_WEIGHTED)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+            f"{td}/documents.parquet"
+        )
+        got = {
+            tuple(r[c] for c in cols)
+            for r in q_dedup_corpus_weighted(spark, td).collect()
+        }
+    assert got == want
