@@ -80,6 +80,9 @@ HEADLINE = [
     "dedup_cross_source",
     "text_ngram_coverage",
     "multimodal_audio_vad",
+    # r13 debut (oracle-registered this round; flat sub-second — one
+    # QI groupBy shuffle + a bounded reduce, VERDICT r12 item 2)
+    "pii_kanonymity",
 ]
 
 

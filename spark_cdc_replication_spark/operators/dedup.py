@@ -989,6 +989,24 @@ def semantic_dedup(
 # Duplicate clustering (connected components)
 # --------------------------------------------------------------------------
 
+def _cc_edge_cols(pairs: DataFrame, id_a: str, id_b: str):
+    """Edge-id columns for the connected-components variants: numeric
+    ids are normalized to LONG (the scale posture — each CC round
+    shuffles only 8-byte ``(node, label)`` pairs), while non-numeric
+    ids (string doc keys, ADVICE r12 via ``split_cluster_safe``)
+    propagate in their NATIVE orderable type — min-label propagation
+    is type-agnostic, and a forced long cast would either NULL them
+    out or fail under ANSI.  ``cluster_id`` is then the component-min
+    in that type's ordering (lexicographic for strings)."""
+    from pyspark.sql.types import NumericType
+
+    a_t = pairs.schema[id_a].dataType
+    b_t = pairs.schema[id_b].dataType
+    if isinstance(a_t, NumericType) and isinstance(b_t, NumericType):
+        return F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    return F.col(id_a), F.col(id_b)
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1034,9 +1052,8 @@ def dup_clusters(
         raise ValueError(f"on_nonconverged must be raise|warn, got {on_nonconverged!r}")
     from pyspark.sql import Observation
 
-    edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
+    src, dst = _cc_edge_cols(pairs, id_a, id_b)
+    edges = pairs.select(src.alias("src"), dst.alias("dst"))
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1155,9 +1172,10 @@ def dup_clusters_logstar(
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"on_nonconverged must be raise|warn, got {on_nonconverged!r}")
-    undirected = pairs.select(
-        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-    ).filter(F.col("a") != F.col("b"))
+    src, dst = _cc_edge_cols(pairs, id_a, id_b)
+    undirected = pairs.select(src.alias("a"), dst.alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
     # canonical big→small form; the working set stays in this form
     # between rounds so set-equality means a true fixpoint
     edges = (

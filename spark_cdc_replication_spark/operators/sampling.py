@@ -505,12 +505,17 @@ def split_cluster_safe(
     id), so the whole cluster lands in one split, transitively
     (A~B, B~C ⇒ A, B, C together even if A and C were never a pair).
 
-    Documents in no pair keep ``rep = own key``, and the bucket uses
-    the SAME ``"split:"`` namespace as :func:`split_assign` — so their
-    assignment is IDENTICAL to a plain hash split (pytest-pinned):
-    adding dedup awareness only ever MOVES cluster members, never
-    reshuffles the non-duplicated corpus.  NULL keys get a NULL split
-    (the :func:`split_assign` contract).
+    Documents in no pair keep ``rep = own key``, built in STRING
+    space (``key.cast("string")``, exactly the bytes
+    :func:`split_assign` hashes — NOT via a long cast, which would
+    NULL out non-numeric string keys and re-bucket zero-padded
+    numeric strings; ADVICE r12), and the bucket uses the SAME
+    ``"split:"`` namespace as :func:`split_assign` — so their
+    assignment is IDENTICAL to a plain hash split for ARBITRARY key
+    types (pytest-pinned, including a string-key case): adding dedup
+    awareness only ever MOVES cluster members, never reshuffles the
+    non-duplicated corpus.  NULL keys get a NULL split (the
+    :func:`split_assign` contract).
 
     Shape at scale: ``dup_clusters``'s label propagation shuffles only
     ``(node, label)`` longs over the pair-touched subset; attaching
@@ -527,7 +532,10 @@ def split_cluster_safe(
     with_rep = (
         df.join(clusters, F.col(key_col) == F.col("__ck"), "left")
         .withColumn(
-            "__rep", F.coalesce(F.col("__rep_label"), F.col(key_col).cast("long"))
+            "__rep",
+            F.coalesce(
+                F.col("__rep_label").cast("string"), F.col(key_col).cast("string")
+            ),
         )
         .drop("__ck", "__rep_label")
     )

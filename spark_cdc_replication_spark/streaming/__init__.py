@@ -12,15 +12,19 @@ def finish_artifact_build(
     Closes two teardown races in the build-once-serve-many stores
     (r11 ADVICE): ``StreamingQuery.stop()`` is asynchronous, so an
     immediate ``shutil.rmtree(root)`` could race in-flight stream
-    writers — after ``stop()`` this re-awaits termination (unbounded;
-    a stopped query terminates promptly) before deleting; and a
-    ``StreamingQueryException`` raised by ``awaitTermination`` used to
-    leave a half-built root on disk until the next rebuild's
+    writers — after ``stop()`` this re-awaits termination, BOUNDED by
+    the same ``timeout_s`` (r12 ADVICE: an unbounded re-await could
+    hang the helper forever if a stopped query's sink wedged; if even
+    the bounded wait does not confirm termination we log, clean and
+    raise anyway — surfacing the timeout beats blocking the caller);
+    and a ``StreamingQueryException`` raised by ``awaitTermination``
+    used to leave a half-built root on disk until the next rebuild's
     stale-sibling sweep — the exception path now cleans the root too
     before re-raising, so a later session can never mistake a
     half-built root for a committed artifact.
     """
     import shutil
+    import warnings
 
     try:
         finished = q.awaitTermination(timeout_s)
@@ -32,8 +36,15 @@ def finish_artifact_build(
     if not finished:
         q.stop()  # asynchronous — do NOT rmtree until termination
         try:
-            q.awaitTermination()  # prompt once stop() is requested
+            # prompt once stop() is requested, but never block forever
+            if not q.awaitTermination(timeout_s):
+                warnings.warn(
+                    f"{what} build query did not confirm termination "
+                    f"within {timeout_s}s of stop(); deleting {root} anyway",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         except Exception:
-            pass  # the timeout below is the error we surface
+            pass  # the TimeoutError below is the error we surface
         shutil.rmtree(root, ignore_errors=True)
         raise TimeoutError(f"{what} build did not finish within {timeout_s}s")

@@ -18,101 +18,99 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-12 window (every name must carry a full rows+schema+hash
+#: Round-13 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 37 queries whose last driver-green row is r9 — at the
+#: * the 39 queries whose last driver-green row is r10 — at the
 #:   staleness bound, exactly what `tools/check_coverage.py --plan`
 #:   printed under "MANDATORY for THIS round" once
-#:   CORRECTNESS_r11.json landed: mandatory, all in;
-#: * TWO debuts (never-green oracles must be in-window), both staged
-#:   rows-only in r11 with shared oracles hash-verified at sf0.01 by
-#:   both the r11 builder and the r11 judge:
-#:   `similarity_hybrid_rrf_ivf_all` (full-probe nprobe=16=all-cells
-#:   index-served hybrid — lossless, so it shares
-#:   ORACLE_SIMILARITY_HYBRID_RRF, the `similarity_ivf_all`
-#:   precedent) and `prepare_corpus_served` (the streaming hygiene
-#:   triad's landed corpus — single availableNow batch makes
-#:   min-id-per-fp == lowest-id-survives, so it shares
-#:   ORACLE_PREPARE_CORPUS; `prepare_corpus_served` also holds the
-#:   hygiene family floor this round);
-#: * 2 family-floor fills (the mandatory 37 + debuts cover NO privacy
-#:   or multimodal query): `pii_prevalence` (alternating with
-#:   `pii_scrub`, green r11) and `multimodal_features` — both
-#:   r10-greens from the due-next pool, so they double as
-#:   pull-forwards;
-#: * 9 more r10-greens pulled forward so r13's mandatory list shrinks
-#:   to 39 (= 50 due-next - 11 refreshed here), chosen to keep the
-#:   adjudication-watch lines fresh (`cdc_merge_incremental` was the
-#:   r11 driver-bench CREEP line, adjudicated to noise;
-#:   `similarity_pq_all` keeps the PQ family's watch fixture warm;
-#:   `rollup_incremental` was sf3's worst calibrated line) and to
-#:   spread family coverage (`multimodal_frames` keeps both modality
-#:   fixtures fresh, `clean_corpus` doubles the hygiene floor).
+#:   CORRECTNESS_r12.json landed: mandatory, all in;
+#: * ONE debut (never-green oracles must be in-window; the remaining
+#:   staged debuts are capacity-gated at ~1/round): `pii_kanonymity`
+#:   against its own ORACLE_PII_KANONYMITY — prepared and
+#:   parity-pinned when the query was staged rows-only in r12,
+#:   hash-verified at sf0.01 by both the r12 builder (3 sfs) and the
+#:   r12 judge.  It also holds the privacy family floor, which the
+#:   mandatory 39 miss;
+#: * 3 family-floor fills the mandatory 39 + debut miss — hygiene
+#:   (`prepare_corpus`), multimodal (`multimodal_resize` +
+#:   `multimodal_audio_vad`, keeping both modality fixtures fresh)
+#:   and olap (`pivot_status_revenue`) — all r11-greens from the
+#:   due-next pool, so they double as pull-forwards;
+#: * 6 more r11-greens pulled forward so r14's mandatory list shrinks
+#:   accordingly, chosen to keep the adjudication-watch lines fresh
+#:   (`events_hopping_6h_2h` is the r12 driver-bench line above its
+#:   multi-round envelope — VERDICT r12 "What's wrong" #2 — and
+#:   `asof_purchase_view` the other sub-second flag; `dedup_semantic`
+#:   anchors the sf3 dedup watch) and to spread family coverage
+#:   (`cdc_last_writer_wins` keeps the LWW window fixture warm,
+#:   `text_contamination` doubles the contamination floor,
+#:   `pii_scrub` alternates back in for privacy breadth).
 #:
-#: The steady 3-round cycle over the 139-oracle registry: each
+#: The steady 3-round cycle over the 140-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r9 (37, mandatory)
-    "approx_distinct_bound",
-    "approx_percentile_bound",
-    "asof_forward_tolerance",
-    "cdc_coalesce_updates",
-    "cdc_json_flatten",
-    "cdc_name_sanitize",
-    "cdc_route_ops",
-    "cdc_union_dedup",
-    "chunk_documents",
-    "cohort_retention",
-    "corpus_shuffle",
-    "corpus_stats",
-    "cube_revenue",
-    "customer_deciles",
-    "daily_revenue_trend",
-    "decontaminate_fuzzy",
-    "dedup_corpus",
-    "dedup_minhash_verified",
-    "dedup_simhash_verified",
-    "embedding_label_centroids",
-    "events_tumbling_6h",
-    "fuzzy_join_parts",
-    "q10_returned_revenue",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rollup_revenue",
-    "sample_quality_weighted",
-    "similarity_hybrid_rrf",
-    "similarity_topk",
-    "split_assign",
-    "text_fingerprints",
-    "text_lang_stats",
-    "text_repetition",
-    "text_stats",
-    "tfidf_top_terms",
-    "top_orders_per_customer",
-    # the two r12 debuts (never-green oracles must be in-window;
-    # prepare_corpus_served holds the hygiene family floor)
-    "similarity_hybrid_rrf_ivf_all",
-    "prepare_corpus_served",
-    # family-floor fills the mandatory 37 + debuts miss (both
-    # r10-greens from the due-next pool, so they double as pulls)
-    "pii_prevalence",
-    "multimodal_features",
-    # 9 more r10-greens pulled forward (r13 mandatory drops to 39)
-    "cdc_merge_incremental",
-    "cdc_snapshot_merge",
-    "multimodal_frames",
-    "clean_corpus",
-    "similarity_pq_all",
-    "rollup_incremental",
-    "q6_revenue_forecast",
-    "events_drift_psi",
-    "sample_stratified",
+    # at the staleness bound — last driver-green r10 (39, mandatory)
+    "cdc_antijoin_survivors",
+    "decontaminate_corpus",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_representatives",
+    "embedding_outliers",
+    "embedding_project",
+    "embedding_separation",
+    "events_anomaly_days",
+    "events_session_window",
+    "events_sessionize",
+    "funnel_conversion",
+    "pack_padding_waste",
+    "pack_sequences",
+    "q2_best_supplier_per_part",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_signup_views",
+    "sample_importance",
+    "sample_importance_weights",
+    "sample_mixture_temperature",
+    "sample_quality_bands",
+    "sample_token_budget",
+    "similarity_hard_negatives",
+    "similarity_ivf_all",
+    "similarity_ivf_int8_all",
+    "similarity_knn_label",
+    "split_temporal",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_filter_corpus",
+    "text_language_id",
+    "text_line_dedup",
+    "text_quality_calibrate_binned",
+    "text_quality_score",
+    "top_words_salted",
+    "user_behavior_topk",
+    "validate_orders",
+    # the r13 debut (never-green oracles must be in-window; also
+    # holds the privacy family floor)
+    "pii_kanonymity",
+    # family-floor fills the mandatory 39 + debut miss (hygiene,
+    # multimodal x2, olap — all r11-greens from the due-next pool,
+    # so they double as pulls)
+    "prepare_corpus",
+    "multimodal_resize",
+    "multimodal_audio_vad",
+    "pivot_status_revenue",
+    # 6 more r11-greens pulled forward (r14 mandatory shrinks)
+    "events_hopping_6h_2h",
+    "asof_purchase_view",
+    "cdc_last_writer_wins",
+    "dedup_semantic",
+    "text_contamination",
+    "pii_scrub",
 )
 
 

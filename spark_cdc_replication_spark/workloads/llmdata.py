@@ -4179,7 +4179,7 @@ QUERIES = {
     "sample_quality_weighted": q_sample_quality_weighted,
     "split_assign": q_split_assign,
     # staged rows-only in r12 with ORACLE_SPLIT_CLUSTER_SAFE prepared;
-    # debut capacity-gated (139/150 surface)
+    # debut capacity-gated (140/150 surface)
     "split_cluster_safe": q_split_cluster_safe,
     "pack_sequences": q_pack_sequences,
     "pack_padding_waste": q_pack_padding_waste,
@@ -4193,12 +4193,12 @@ QUERIES = {
     "text_contamination": q_text_contamination,
     "pii_scrub": q_pii_scrub,
     "pii_prevalence": q_pii_prevalence,
-    # staged rows-only in r12; shares nothing — ORACLE_PII_KANONYMITY
-    # is prepared and parity-pinned, debuting in the r13 window
-    # (never-green oracles enter in-window)
+    # r13 debut — own ORACLE_PII_KANONYMITY (staged rows-only in r12;
+    # hash-verified at sf0.01 by the r12 builder at 3 sfs and the
+    # r12 judge before entering the window)
     "pii_kanonymity": q_pii_kanonymity,
     # staged rows-only in r12 with ORACLE_PII_LDIVERSITY prepared;
-    # debut capacity-gated behind pii_kanonymity (139/150 surface)
+    # debut capacity-gated behind pii_kanonymity (140/150 surface)
     "pii_ldiversity": q_pii_ldiversity,
     # rows-only BY CONTRACT (data-dependent ladder-rung control flow);
     # floors in tests/test_text_hygiene.py
@@ -4234,7 +4234,7 @@ QUERIES = {
     "decontaminate_corpus": q_decontaminate_corpus,
     "dedup_corpus": q_dedup_corpus,
     # staged rows-only in r12 with ORACLE_DEDUP_CORPUS_WEIGHTED
-    # prepared; debut capacity-gated (139/150 surface)
+    # prepared; debut capacity-gated (140/150 surface)
     "dedup_corpus_weighted": q_dedup_corpus_weighted,
     "text_line_dedup": q_text_line_dedup,
     "text_filter_corpus": q_text_filter_corpus,
@@ -4294,6 +4294,7 @@ ORACLE = {
     "text_contamination": ORACLE_TEXT_CONTAMINATION,
     "pii_scrub": ORACLE_PII_SCRUB,
     "pii_prevalence": ORACLE_PII_PREVALENCE,
+    "pii_kanonymity": ORACLE_PII_KANONYMITY,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "sample_mixture_temperature": ORACLE_SAMPLE_MIXTURE_TEMPERATURE,

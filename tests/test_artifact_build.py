@@ -50,12 +50,26 @@ def test_success_leaves_root_intact(tmp_path):
 
 def test_timeout_stops_then_awaits_then_cleans(tmp_path):
     root = _root(tmp_path)
-    q = FakeQuery([False, None])
+    q = FakeQuery([False, True])
     with pytest.raises(TimeoutError, match="x build did not finish"):
         finish_artifact_build(q, root, timeout_s=300, what="x")
-    # stop() precedes the unbounded re-await, which precedes rmtree —
+    # stop() precedes the BOUNDED re-await (r12 ADVICE: unbounded
+    # could hang forever on a wedged sink), which precedes rmtree —
     # the rmtree-vs-in-flight-writer race the helper exists to close
-    assert q.calls == ["await(300)", "stop", "await(None)"]
+    assert q.calls == ["await(300)", "stop", "await(300)"]
+    assert not os.path.exists(root)
+
+
+def test_timeout_with_wedged_sink_warns_cleans_and_raises(tmp_path):
+    """r12 ADVICE: if even the post-stop bounded re-await does not
+    confirm termination, the helper must surface the TimeoutError
+    (with a warning) instead of blocking the caller forever."""
+    root = _root(tmp_path)
+    q = FakeQuery([False, False])
+    with pytest.warns(RuntimeWarning, match="did not confirm termination"):
+        with pytest.raises(TimeoutError, match="x build did not finish"):
+            finish_artifact_build(q, root, timeout_s=300, what="x")
+    assert q.calls == ["await(300)", "stop", "await(300)"]
     assert not os.path.exists(root)
 
 

@@ -1098,6 +1098,37 @@ def test_split_cluster_safe_null_key_and_empty_pairs(spark):
     assert got == plain
 
 
+def test_split_cluster_safe_string_keys_match_split_assign(spark):
+    """ADVICE r12: unpaired docs must hash EXACTLY the bytes
+    split_assign hashes, for arbitrary key types.  The old long-space
+    rep NULLed non-numeric string keys (giving them a NULL split) and
+    collapsed zero-padded numeric strings ("007" -> 7 -> same bucket
+    as "7"); the string-space rep keeps both faithful."""
+    from spark_cdc_replication_spark.operators.sampling import (
+        split_assign,
+        split_cluster_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [("alpha", 1), ("beta", 2), ("007", 3), ("7", 4), ("gamma", 5)],
+        "doc_id string, n long",
+    )
+    pairs = spark.createDataFrame([("alpha", "beta")], "id_a string, id_b string")
+    weights = (("train", 0.4), ("val", 0.3), ("test", 0.3))
+    got = {
+        r.doc_id: r.split
+        for r in split_cluster_safe(docs, pairs, weights=weights).collect()
+    }
+    plain = {
+        r.doc_id: r.split for r in split_assign(docs, weights=weights).collect()
+    }
+    assert got["alpha"] == got["beta"] == plain["alpha"]  # rep = min("alpha","beta")
+    # every unpaired string key keeps split_assign's exact assignment —
+    # including the non-numeric and the zero-padded one
+    for k in ("007", "7", "gamma"):
+        assert got[k] == plain[k] and got[k] is not None
+
+
 def test_split_cluster_safe_cross_engine_parity_on_planted_corpus(spark):
     """Replay the EXACT prepared oracle SQL over a planted corpus and
     compare row-for-row (the staging proof every prepared oracle
