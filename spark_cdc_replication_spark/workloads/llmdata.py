@@ -3996,6 +3996,68 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination — the semantic sibling of
+    ``decontaminate_corpus``, closing the known n-gram blind spot: a
+    paraphrased eval question shares almost no shingles with the
+    original yet embeds nearly on top of it.  Planted-leak fixture in
+    the same shape as the n-gram pipeline's: every 50th embedding
+    plays the benchmark, the training side is the rest of the corpus
+    plus an EXACT copy of each bench vector at an offset id (cosine
+    1.0 — the planted leak that MUST go; scaling a vector would plant
+    the same cosine, scale-invariance).  Output is the cleaned
+    training corpus (survivor ``vec_id`` + ``label``); the prepared
+    oracle recomputes the survivor set brute-force (NOT EXISTS over
+    all train×bench cosines), so a missed leak or a wrongly removed
+    clean vector both break the hash.
+
+    Staged rows-only with ``ORACLE_DECONTAMINATE_SEMANTIC`` prepared
+    for a capacity-gated later debut (the pii_kanonymity precedent);
+    floors until then in ``tests/test_semantic_dedup.py``: planted
+    directional removal, arrow ≡ native, partition invariance,
+    empty-bench identity, and planted-corpus parity vs the prepared
+    oracle SQL.  Scale shape: bench broadcast (eval suites are
+    bounded), the training corpus NEVER shuffles — the native path is
+    broadcast-nested-loop + broadcast anti-join, the arrow production
+    path is pure ``mapInPandas`` filter shape with one BLAS matmul
+    per batch."""
+    from ..operators.dedup import decontaminate_semantic
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(
+        bench.select(
+            (F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    cleaned = decontaminate_semantic(train, bench, min_cosine=0.92)
+    return cleaned.select("vec_id", "label")
+
+
+#: Prepared for a capacity-gated later debut (rows-only until then) —
+#: brute-force survivor ground truth: train minus every vector whose
+#: 6-decimal-rounded cosine against ANY bench vector clears the
+#: threshold (the ORACLE_DEDUP_EMBEDDING_COSINE precision idiom).
+ORACLE_DECONTAMINATE_SEMANTIC = """
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0
+), train AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 <> 0
+  UNION ALL
+  SELECT vec_id + 30000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT t.vec_id, t.label FROM train t
+WHERE NOT EXISTS (
+  SELECT 1 FROM bench b
+  WHERE round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.92
+)
+"""
+
+
 _NORM_OF_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 def q_dedup_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4232,6 +4294,9 @@ QUERIES = {
     "similarity_hybrid_rrf_ivf_all": q_similarity_hybrid_rrf_ivf_all,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
+    # staged rows-only in r13 with ORACLE_DECONTAMINATE_SEMANTIC
+    # prepared; debut capacity-gated (140/150 surface)
+    "decontaminate_semantic": q_decontaminate_semantic,
     "dedup_corpus": q_dedup_corpus,
     # staged rows-only in r12 with ORACLE_DEDUP_CORPUS_WEIGHTED
     # prepared; debut capacity-gated (140/150 surface)

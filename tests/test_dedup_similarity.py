@@ -293,6 +293,45 @@ def test_dup_clusters_chain_and_star(spark):
     assert got == want
 
 
+def test_dup_clusters_string_ids_native_min_label(spark):
+    """ADVICE r12 follow-through: non-numeric ids must propagate in
+    their native orderable type (lexicographic component-min), never
+    through a forced long cast — which NULLs them under try_cast or
+    fails outright under ANSI.  Both CC variants share the contract,
+    and numeric ids must still normalize to LONG (the 8-byte-shuffle
+    scale posture)."""
+    from spark_cdc_replication_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_logstar,
+    )
+
+    # chain alpha-beta-gamma plus the zero-padded trap pair
+    pairs = spark.createDataFrame(
+        [("beta", "alpha"), ("beta", "gamma"), ("007", "zz")],
+        "id_a string, id_b string",
+    )
+    want = {
+        ("alpha", "alpha"),
+        ("beta", "alpha"),
+        ("gamma", "alpha"),
+        ("007", "007"),  # "007" < "zz" lexicographically
+        ("zz", "007"),
+    }
+    for cc in (dup_clusters, dup_clusters_logstar):
+        got = {(r.doc_id, r.cluster_id) for r in cc(pairs).collect()}
+        assert got == want, cc.__name__
+        assert dict(cc(pairs).dtypes) == {
+            "doc_id": "string",
+            "cluster_id": "string",
+        }, cc.__name__
+    # numeric ids keep the long normalization (int input -> long out)
+    num = spark.createDataFrame([(5, 1)], "id_a int, id_b int")
+    assert dict(dup_clusters(num).dtypes) == {
+        "doc_id": "bigint",
+        "cluster_id": "bigint",
+    }
+
+
 def test_dup_clusters_reversed_edge_direction(spark):
     from spark_cdc_replication_spark.operators.dedup import dup_clusters
 

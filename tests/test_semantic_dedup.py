@@ -282,3 +282,158 @@ def test_subsplit_is_inert_below_the_cap(spark):
     # only be a superset (boundary pairs lost, removals never invented)
     below = semantic_dedup(df, cluster_col="blk", min_cosine=0.4, max_cell_size=9)
     assert {r.vec_id for r in below.select("vec_id").collect()} >= got_loose
+
+
+# --------------------------------------------------------------------------
+# decontaminate_semantic: embedding-space decontamination vs a
+# benchmark (staged rows-only in r13; these are its pre-debut floors,
+# the pii_kanonymity staging pattern)
+# --------------------------------------------------------------------------
+
+
+def _decon(spark, train_vecs, bench_vecs, **kw):
+    from spark_cdc_replication_spark.operators.dedup import decontaminate_semantic
+
+    train = _df(spark, train_vecs)
+    bench = spark.createDataFrame(
+        [(i + 10_000, v) for i, v in enumerate(bench_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    return decontaminate_semantic(train, bench, **kw)
+
+
+def test_decontaminate_semantic_removes_planted_leaks_directionally(spark):
+    """Exact and scaled copies of bench vectors must go (cosine 1.0 —
+    scale invariance), orthogonal-ish vectors must stay."""
+    rng = np.random.default_rng(7)
+    bench = [[float(x) for x in v] for v in rng.normal(size=(3, DIM))]
+    clean = [[float(x) for x in v] for v in rng.normal(size=(10, DIM))]
+    leaks = [bench[0], [2.5 * x for x in bench[1]]]  # exact + scaled copy
+    train_vecs = clean + leaks  # ids 0..9 clean, 10-11 leaks
+    got = {
+        r.vec_id
+        for r in _decon(spark, train_vecs, bench, min_cosine=0.99).collect()
+    }
+    assert 10 not in got and 11 not in got
+    # random 6-dim gaussians essentially never hit cosine 0.99
+    assert got == set(range(10))
+
+
+def test_decontaminate_semantic_arrow_equals_native(spark):
+    rng = np.random.default_rng(11)
+    bench = [[float(x) for x in v] for v in rng.normal(size=(5, DIM))]
+    train_vecs = [[float(x) for x in v] for v in rng.normal(size=(40, DIM))]
+    train_vecs[7] = bench[2]
+    train_vecs[23] = [1.1 * x for x in bench[4]]
+    for tau in (0.5, 0.9, 0.99):
+        native = {
+            r.vec_id
+            for r in _decon(
+                spark, train_vecs, bench, min_cosine=tau, impl="native"
+            ).collect()
+        }
+        arrow = {
+            r.vec_id
+            for r in _decon(
+                spark, train_vecs, bench, min_cosine=tau, impl="arrow"
+            ).collect()
+        }
+        assert arrow == native, tau
+
+
+def test_decontaminate_semantic_partition_invariance_and_columns(spark):
+    from spark_cdc_replication_spark.operators.dedup import decontaminate_semantic
+
+    rng = np.random.default_rng(13)
+    bench_vecs = [[float(x) for x in v] for v in rng.normal(size=(4, DIM))]
+    train = spark.createDataFrame(
+        [(i, [float(x) for x in v], f"s{i % 3}") for i, v in
+         enumerate(rng.normal(size=(30, DIM)))]
+        + [(100, bench_vecs[0], "leak")],
+        "vec_id long, embedding array<float>, source string",
+    )
+    bench = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(bench_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    for impl in ("native", "arrow"):
+        base = decontaminate_semantic(train, bench, min_cosine=0.99, impl=impl)
+        # survivors keep every train column untouched
+        assert base.columns == ["vec_id", "embedding", "source"]
+        got = {(r.vec_id, r.source) for r in base.collect()}
+        assert (100, "leak") not in got and len(got) == 30
+        again = {
+            (r.vec_id, r.source)
+            for r in decontaminate_semantic(
+                train.repartition(7), bench.repartition(3),
+                min_cosine=0.99, impl=impl,
+            ).collect()
+        }
+        assert again == got, impl
+
+
+def test_decontaminate_semantic_empty_bench_and_null_vec(spark):
+    from spark_cdc_replication_spark.operators.dedup import decontaminate_semantic
+
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for impl in ("native", "arrow"):
+        got = {
+            r.vec_id
+            for r in decontaminate_semantic(train, empty, impl=impl).collect()
+        }
+        assert got == {0, 1, 2}, impl  # empty bench: identity
+        # NULL/empty train vectors survive (cosine undefined, never >= tau)
+        bench = spark.createDataFrame(
+            [(9, [0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        got2 = {
+            r.vec_id
+            for r in decontaminate_semantic(train, bench, impl=impl).collect()
+        }
+        assert {1, 2} <= got2, impl
+
+
+def test_decontaminate_semantic_cross_engine_parity_on_planted_corpus(spark):
+    """Replay the EXACT prepared oracle SQL over a planted embeddings
+    table and compare row-for-row (the staging proof every prepared
+    oracle gets before its capacity-gated debut)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_DECONTAMINATE_SEMANTIC,
+        q_decontaminate_semantic,
+    )
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(120, DIM)).astype(np.float32)
+    emb = pd.DataFrame(
+        {
+            "vec_id": range(120),
+            "embedding": [[float(x) for x in v] for v in vecs],
+            "label": [i % 4 for i in range(120)],
+        }
+    )
+    con = duckdb.connect()
+    con.register("embeddings", emb)
+    res = con.execute(ORACLE_DECONTAMINATE_SEMANTIC)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            emb, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{td}/embeddings.parquet")
+        got = {
+            tuple(r[c] for c in cols)
+            for r in q_decontaminate_semantic(spark, td).collect()
+        }
+    assert got == want
+    # the planted exact copies (every 50th id, offset) must be gone
+    assert not any(v >= 30_000_000 for v, _ in got)
