@@ -209,3 +209,92 @@ def test_split_cluster_safe_never_splits_a_component(spark, n, edges):
     touched = {x for e in edges for x in e}
     for i in set(range(n)) - touched:
         assert got[i] == plain[i]
+
+
+# --------------------------------------------------------------------------
+# decontaminate_semantic vs an exact arithmetic model
+# --------------------------------------------------------------------------
+
+vec_strategy = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+).map(lambda xs: [float(x) for x in xs])
+
+
+def model_semantic_clean(train, bench, tau):
+    """Exact spec mirroring the native path's arithmetic: cosine =
+    dot / (sqrt(na) * sqrt(nb)) — with small-INTEGER components the
+    dot and norms are exact in double, so the model and the engine
+    compute bit-identical cosines (no summation-order slack)."""
+    import math
+
+    def cos(a, b):
+        da = sum(x * x for x in a)
+        db = sum(x * x for x in b)
+        if da == 0 or db == 0:
+            return None  # undefined: never contaminates
+        return sum(x * y for x, y in zip(a, b)) / (math.sqrt(da) * math.sqrt(db))
+
+    kept = set()
+    for i, t in enumerate(train):
+        hit = any(
+            (c := cos(t, b)) is not None and round(c, 6) >= tau for b in bench
+        )
+        if not hit:
+            kept.add(i)
+    return kept
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(vec_strategy, min_size=1, max_size=8),
+    st.lists(vec_strategy, min_size=0, max_size=3),
+    st.sampled_from([0.5, 0.9]),
+)
+def test_decontaminate_semantic_matches_exact_model(spark, train, bench, tau):
+    """Both impls must reproduce the all-pairs spec.  Boundary
+    examples (a cosine within 1e-4 of the threshold) are assumed away:
+    the arrow path normalizes BEFORE the dot (one rounding per
+    element), so a last-ulp disagreement at the exact 6-decimal edge
+    is allowed by its documented contract — everywhere else the two
+    impls and the model must agree exactly."""
+    import math
+
+    from hypothesis import assume
+
+    from spark_cdc_replication_spark.operators.dedup import decontaminate_semantic
+
+    def cos(a, b):
+        da = sum(x * x for x in a)
+        db = sum(x * x for x in b)
+        if da == 0 or db == 0:
+            return None
+        return sum(x * y for x, y in zip(a, b)) / (math.sqrt(da) * math.sqrt(db))
+
+    assume(
+        all(
+            c is None or abs(c - tau) > 1e-4
+            for t in train
+            for b in bench
+            for c in [cos(t, b)]
+        )
+    )
+    want = model_semantic_clean(train, bench, tau)
+    tdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(train)], "vec_id long, embedding array<float>"
+    )
+    bdf = spark.createDataFrame(
+        [(i + 1000, v) for i, v in enumerate(bench)],
+        "vec_id long, embedding array<float>",
+    )
+    for impl in ("native", "arrow"):
+        got = {
+            r.vec_id
+            for r in decontaminate_semantic(
+                tdf, bdf, min_cosine=tau, impl=impl
+            ).collect()
+        }
+        assert got == want, impl
