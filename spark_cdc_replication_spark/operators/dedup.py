@@ -564,6 +564,79 @@ def dedup_corpus_weighted(
     )
 
 
+def dedup_corpus_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    num_bands: int = 8,
+    min_est_jaccard: float = 0.5,
+    min_jaccard: float = 0.8,
+    broadcast_removal: bool = True,
+    descending: bool = True,
+) -> DataFrame:
+    """:func:`dedup_corpus` with a QUALITY-AWARE survivor rule: per
+    near-dup cluster keep the member with the best ``score_col``
+    (highest when ``descending``, lowest otherwise; ties break to the
+    lowest id so reruns reproduce) instead of the lowest id.  This is
+    the rule production corpus pipelines actually want — near-dup
+    groups in crawl data are the same page across snapshots/mirrors,
+    and the canonical copy should be the cleanest one (longest, least
+    boilerplate, best quality score), not whichever happened to get
+    the smallest id.  With a CONSTANT score this degenerates exactly
+    to :func:`dedup_corpus`'s lowest-id rule (pytest-pinned), so the
+    two only ever differ where quality actually discriminates.
+
+    Like the lowest-id rule — and unlike a per-PAIR "drop the worse
+    side" heuristic — the choice is made per connected CLUSTER
+    (:func:`dup_clusters` over the verified pairs), so a chain A~B~C
+    keeps exactly one member even when A and C never paired, and it
+    keeps the best-scoring of all three.
+
+    The selection step IS :func:`select_representatives` (the
+    oracle-paired canonical-selection operator) applied to
+    :func:`dup_clusters` over the verified pairs — this function just
+    completes the corpus rewrite around it, the same
+    don't-hand-wire-the-steps contract as :func:`dedup_corpus`.
+
+    Scale shape: identical to :func:`dedup_corpus` through verify;
+    the additions are cluster labels over the pair-touched subset
+    (``(node, label)`` longs), one join fetching just ``(id, score)``
+    for that bounded subset, and ONE window over it — partitioned by
+    ``cluster_id`` on a frame bounded by the duplicate count, never
+    the corpus.  Document bodies never shuffle; the final removal is
+    the same measured broadcast anti-join.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(
+        sigs, id_col=id_col, num_bands=num_bands, min_est_jaccard=min_est_jaccard
+    )
+    verified = ngram_jaccard_pairs(
+        df,
+        cands.select("id_a", "id_b"),
+        text_col=text_col,
+        id_col=id_col,
+        n=shingle_n,
+        min_jaccard=min_jaccard,
+    )
+    members = dup_clusters(verified.select("id_a", "id_b")).withColumnRenamed(
+        "doc_id", id_col
+    )
+    marked = select_representatives(
+        F.broadcast(members),
+        df.select(id_col, score_col),
+        id_col=id_col,
+        score_col=score_col,
+        descending=descending,
+    )
+    drop = marked.filter(~F.col("kept")).select(id_col)
+    if broadcast_removal:
+        drop = F.broadcast(drop)
+    return df.join(drop, on=id_col, how="left_anti")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -1348,6 +1421,7 @@ def select_representatives(
     id_col: str = "doc_id",
     cluster_col: str = "cluster_id",
     score_col: str = "quality",
+    descending: bool = True,
 ) -> DataFrame:
     """Canonical-representative selection — the step between duplicate
     clustering and corpus rewrite in a production dedup pipeline: per
@@ -1364,15 +1438,23 @@ def select_representatives(
     ``(id, cluster, kept)`` — survivors of the full corpus are then
     "everything not in members, plus members with kept".
 
+    ``descending=False`` flips "best" to LOWEST score — for loss-like
+    signals (perplexity, contamination risk) where smaller is better;
+    NULL scores rank last in either direction, so an all-NULL cluster
+    degenerates to the lowest-id rule.
+
     100 TB shape: one hash join on ``id`` over the member set and one
     window over ``cluster`` — only ``(id, cluster, score)`` triples
     ever shuffle, never document bodies; both stages are bounded by
     the duplicate population, not the corpus.
     """
     j = members.join(scores.select(id_col, score_col), on=id_col)
-    w = Window.partitionBy(cluster_col).orderBy(
-        F.desc(score_col), F.asc(id_col)
+    order = (
+        F.col(score_col).desc_nulls_last()
+        if descending
+        else F.col(score_col).asc_nulls_last()
     )
+    w = Window.partitionBy(cluster_col).orderBy(order, F.asc(id_col))
     return (
         j.withColumn("__r", F.row_number().over(w))
         .select(

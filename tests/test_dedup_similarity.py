@@ -826,3 +826,81 @@ def test_dedup_corpus_weighted_cross_engine_parity(spark):
             for r in q_dedup_corpus_weighted(spark, td).collect()
         }
     assert got == want
+
+
+def test_dedup_corpus_keep_best_picks_cluster_max_quality(spark):
+    """Quality-aware survivor rule: the transitive 3-member group must
+    keep its HIGHEST-quality member (not the lowest id), untouched
+    docs survive untouched, and the whole cluster yields exactly one
+    survivor even though doc 1 and doc 3 never paired directly in
+    text space (connected through 2)."""
+    from spark_cdc_replication_spark.operators.dedup import dedup_corpus_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, 0.20),
+            (2, base.upper(), 0.90),               # best copy of the group
+            (3, base.replace(" ", "  "), 0.50),
+            (4, "an entirely different document with its own words here", 0.01),
+            (5, "yet another unique piece of text that matches nothing", 0.99),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    kw = dict(num_hashes=16, num_bands=8, min_est_jaccard=0.99, min_jaccard=0.999)
+    got = {
+        r.doc_id
+        for r in dedup_corpus_keep_best(docs, "quality", **kw).collect()
+    }
+    assert got == {2, 4, 5}
+    # ascending mode: keep the LOWEST score instead
+    low = {
+        r.doc_id
+        for r in dedup_corpus_keep_best(
+            docs, "quality", descending=False, **kw
+        ).collect()
+    }
+    assert low == {1, 4, 5}
+    # determinism under repartitioning
+    again = {
+        r.doc_id
+        for r in dedup_corpus_keep_best(
+            docs.repartition(4), "quality", **kw
+        ).collect()
+    }
+    assert again == got
+    # survivors keep every input column
+    out = dedup_corpus_keep_best(docs, "quality", **kw)
+    assert out.columns == ["doc_id", "text", "quality"]
+
+
+def test_dedup_corpus_keep_best_constant_score_equals_lowest_id_rule(spark):
+    """With a non-discriminating score the tie-break (lowest id) makes
+    keep-best degenerate EXACTLY to dedup_corpus — pinned so the two
+    rules can never drift apart on the shared pipeline."""
+    from spark_cdc_replication_spark.operators.dedup import (
+        dedup_corpus,
+        dedup_corpus_keep_best,
+    )
+
+    base = "one shared sentence that repeats across the planted group"
+    docs = spark.createDataFrame(
+        [(i, base if i % 3 == 0 else f"unique text number {i} with filler words")
+         for i in range(12)],
+        "doc_id long, text string",
+    ).withColumn("quality", F.lit(0.5))
+    kw = dict(num_hashes=16, num_bands=8, min_est_jaccard=0.99, min_jaccard=0.999)
+    best = {
+        r.doc_id
+        for r in dedup_corpus_keep_best(docs, "quality", **kw).collect()
+    }
+    plain = {r.doc_id for r in dedup_corpus(docs, **kw).collect()}
+    assert best == plain
+    # NULL scores rank last: a cluster whose scores are ALL NULL also
+    # degenerates to the lowest-id rule
+    nulldocs = docs.withColumn("quality", F.lit(None).cast("double"))
+    nullbest = {
+        r.doc_id
+        for r in dedup_corpus_keep_best(nulldocs, "quality", **kw).collect()
+    }
+    assert nullbest == plain
