@@ -585,15 +585,21 @@ def dedup_corpus_keep_best(
     groups in crawl data are the same page across snapshots/mirrors,
     and the canonical copy should be the cleanest one (longest, least
     boilerplate, best quality score), not whichever happened to get
-    the smallest id.  With a CONSTANT score this degenerates exactly
-    to :func:`dedup_corpus`'s lowest-id rule (pytest-pinned), so the
-    two only ever differ where quality actually discriminates.
+    the smallest id.
 
-    Like the lowest-id rule — and unlike a per-PAIR "drop the worse
-    side" heuristic — the choice is made per connected CLUSTER
-    (:func:`dup_clusters` over the verified pairs), so a chain A~B~C
-    keeps exactly one member even when A and C never paired, and it
-    keeps the best-scoring of all three.
+    Grouping granularity — per connected CLUSTER
+    (:func:`dup_clusters` over the verified pairs, the
+    :func:`dedup_corpus_weighted` view), NOT :func:`dedup_corpus`'s
+    per-pair "no smaller verified neighbor" rule: a chain A~B~C keeps
+    exactly one member even when A and C never paired.  With a
+    CONSTANT (or all-NULL) score the survivor is the cluster-min id,
+    which equals :func:`dedup_corpus`'s survivor set whenever the
+    verified relation is transitive — the equality-level-threshold
+    regime, pytest-pinned — but in a non-transitive star (A~C, B~C,
+    A and B unpaired) this keeps ONE of the component where
+    :func:`dedup_corpus` keeps both local minima A and B; cluster
+    granularity is the deliberate choice here because "the best copy
+    of this page" is a statement about the whole duplicate group.
 
     The selection step IS :func:`select_representatives` (the
     oracle-paired canonical-selection operator) applied to

@@ -876,8 +876,10 @@ def test_dedup_corpus_keep_best_picks_cluster_max_quality(spark):
 
 def test_dedup_corpus_keep_best_constant_score_equals_lowest_id_rule(spark):
     """With a non-discriminating score the tie-break (lowest id) makes
-    keep-best degenerate EXACTLY to dedup_corpus — pinned so the two
-    rules can never drift apart on the shared pipeline."""
+    keep-best degenerate EXACTLY to dedup_corpus in the transitive
+    (equality-threshold) regime — pinned so the two rules can never
+    drift apart on the shared pipeline.  (Non-transitive pair graphs
+    differ BY DESIGN: see the star-topology test below.)"""
     from spark_cdc_replication_spark.operators.dedup import (
         dedup_corpus,
         dedup_corpus_keep_best,
@@ -904,3 +906,41 @@ def test_dedup_corpus_keep_best_constant_score_equals_lowest_id_rule(spark):
         for r in dedup_corpus_keep_best(nulldocs, "quality", **kw).collect()
     }
     assert nullbest == plain
+
+
+def test_dedup_corpus_keep_best_cluster_granularity_on_star(spark):
+    """The deliberate semantic difference from dedup_corpus: in a
+    non-transitive star (A~C, B~C verified, A~B below threshold) the
+    pair rule keeps BOTH local minima A and B, while keep-best treats
+    the connected component as one duplicate group and keeps exactly
+    its best member — here the hub C."""
+    from spark_cdc_replication_spark.operators.dedup import (
+        dedup_corpus,
+        dedup_corpus_keep_best,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota".split()
+    c_text = " ".join(shared + ["kappa"])                 # w1..w10
+    a_text = " ".join(shared[:9] + ["uniqueA", "moreA"])  # 9 shared with C
+    b_text = " ".join(shared[1:] + ["kappa", "uniqueB", "moreB"])
+    docs = spark.createDataFrame(
+        [
+            (1, a_text, 0.1),
+            (2, b_text, 0.2),
+            (3, c_text, 0.9),
+            (4, "completely unrelated filler text with its own vocabulary", 0.5),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    # word-level jaccard (shingle_n=1): J(A,C)=9/12, J(B,C)=10/12,
+    # J(A,B)=8/14 — star at threshold 0.7
+    kw = dict(
+        num_hashes=32, shingle_n=1, num_bands=16,
+        min_est_jaccard=0.5, min_jaccard=0.7,
+    )
+    plain = {r.doc_id for r in dedup_corpus(docs, **kw).collect()}
+    assert plain == {1, 2, 4}  # both local minima survive the pair rule
+    best = {
+        r.doc_id for r in dedup_corpus_keep_best(docs, "quality", **kw).collect()
+    }
+    assert best == {3, 4}  # one survivor per component: the best copy
