@@ -302,3 +302,66 @@ def test_corpus_divergence_joins_all_broadcast(spark, sf_dir):
     plan = final_plan(llmdata.q_corpus_divergence(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_decontaminate_semantic_plans_broadcast_never_shuffle_corpus(spark, sf_dir):
+    """The semantic decontamination 100 TB contract: the bench side
+    broadcasts (eval suites are bounded), so the NATIVE path's plan is
+    a BroadcastNestedLoopJoin (the non-equi cosine predicate) plus a
+    broadcast left-anti removal — the training corpus must never reach
+    a sort-merge or shuffled-hash join.  The ARROW path is stricter
+    still: pure mapInPandas filter shape, NO join of any kind."""
+    from spark_cdc_replication_spark.operators.dedup import decontaminate_semantic
+
+    # plant leaks (exact copies of bench vectors) so AQE's
+    # empty-relation propagation cannot optimize the joins away — an
+    # empty contaminated set would erase exactly the shapes under test
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = emb.filter(F.col("vec_id") % 50 == 0)
+    train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(
+        bench.select((F.col("vec_id") + 30_000_000).alias("vec_id"), "embedding")
+    )
+
+    native = final_plan(decontaminate_semantic(train, bench, impl="native"))
+    assert "BroadcastNestedLoopJoin" in native
+    assert "SortMergeJoin" not in native and "ShuffledHashJoin" not in native
+
+    arrow = final_plan(decontaminate_semantic(train, bench, impl="arrow"))
+    assert "Join" not in arrow, "arrow path must be join-free"
+    assert "Exchange" not in arrow, "arrow path must be shuffle-free"
+
+
+def test_dedup_corpus_keep_best_removal_and_scores_broadcast(spark, sf_dir):
+    """Keep-best dedup's added stages are bounded by the pair-touched
+    subset: the member/score join and the final removal anti-join must
+    both BROADCAST — a sort-merge ANTI join here would shuffle every
+    document body by id just to drop the duplicates (the measured
+    dedup_corpus rationale, inherited)."""
+    from spark_cdc_replication_spark.operators.dedup import dedup_corpus_keep_best
+
+    # plant near-dups so the verified pair set (and with it the drop
+    # set) is non-empty — AQE otherwise eliminates the anti-join
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        base.unionByName(
+            base.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 10_000).alias("doc_id"),
+                F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+            )
+        )
+        .withColumn(
+            "quality", (F.xxhash64("text") % 1000).cast("double") / 1000.0
+        )
+    )
+    plan = final_plan(
+        dedup_corpus_keep_best(
+            docs, "quality",
+            num_hashes=16, num_bands=8,
+            min_est_jaccard=0.99, min_jaccard=0.999,
+        )
+    )
+    # every anti join in the plan is the broadcast removal
+    lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert lines and all("Broadcast" in ln for ln in lines), lines
+    # exactly one window (the per-cluster rank), partitioned by cluster
+    assert plan.count("Window") == 1 or plan.count("RunningWindowFunction") <= 1
