@@ -83,6 +83,9 @@ HEADLINE = [
     # r13 debut (oracle-registered this round; flat sub-second — one
     # QI groupBy shuffle + a bounded reduce, VERDICT r12 item 2)
     "pii_kanonymity",
+    # r14 debut (oracle-registered this round; same flat sub-second
+    # shape — one QI+sensitive groupBy shuffle + a bounded reduce)
+    "pii_ldiversity",
 ]
 
 

@@ -379,7 +379,17 @@ def decontaminate_semantic(
 
     NULL/empty vectors on the train side survive (cosine undefined ⇒
     never ``>= min_cosine`` — NULL-comparison semantics in both
-    engines); an empty bench returns ``train`` unchanged.
+    engines), as do train vectors whose dimension differs from the
+    bench's (``zip_with`` pads the shorter array with NULLs ⇒ NULL
+    cosine; the arrow path pre-filters those rows to survivors for
+    the same outcome); an empty bench returns ``train`` unchanged.
+
+    CONTRACT: ``id_col`` must be unique within ``train``.  The native
+    path removes by id (distinct + left-anti), so duplicate ids would
+    drop clean rows sharing an id with a leaked one while the arrow
+    path and the oracle filter per ROW — callers planting synthetic
+    copies must derive their ids from ``max(id_col)`` (as
+    ``q_decontaminate_semantic`` does) rather than a fixed offset.
     """
     from ..functions.vectors import cosine_similarity, l2_norm
 
@@ -429,10 +439,16 @@ def _decontaminate_semantic_arrow(
     bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-300)
     schema = train.schema
 
+    dim = bmat.shape[1]
+
     def keep_clean(batches):
         for pdf in batches:
             vecs = pdf[vec_col]
-            ok = vecs.map(lambda v: v is not None and len(v) > 0)
+            # len(v) != dim matches native zip_with semantics: the
+            # shorter side NULL-pads => NULL cosine => survivor (and
+            # it keeps np.vstack rectangular instead of raising an
+            # opaque shape error on ragged input).
+            ok = vecs.map(lambda v: v is not None and len(v) == dim)
             if not ok.any():
                 yield pdf
                 continue
@@ -576,6 +592,8 @@ def dedup_corpus_keep_best(
     min_jaccard: float = 0.8,
     broadcast_removal: bool = True,
     descending: bool = True,
+    cluster_fn=None,
+    **cluster_kwargs,
 ) -> DataFrame:
     """:func:`dedup_corpus` with a QUALITY-AWARE survivor rule: per
     near-dup cluster keep the member with the best ``score_col``
@@ -606,6 +624,13 @@ def dedup_corpus_keep_best(
     :func:`dup_clusters` over the verified pairs — this function just
     completes the corpus rewrite around it, the same
     don't-hand-wire-the-steps contract as :func:`dedup_corpus`.
+    ``cluster_fn`` / ``**cluster_kwargs`` pass through to the
+    clustering step (the :func:`split_cluster_safe` precedent, ADVICE
+    r13): e.g. ``max_iters=40`` or ``on_nonconverged="keep"`` for
+    deep chains, or ``cluster_fn=dup_clusters_logstar`` for
+    adversarial-diameter components — so a chain deeper than the
+    default 20 rounds has caller recourse instead of a bare
+    RuntimeError.
 
     Scale shape: identical to :func:`dedup_corpus` through verify;
     the additions are cluster labels over the pair-touched subset
@@ -627,9 +652,10 @@ def dedup_corpus_keep_best(
         n=shingle_n,
         min_jaccard=min_jaccard,
     )
-    members = dup_clusters(verified.select("id_a", "id_b")).withColumnRenamed(
-        "doc_id", id_col
-    )
+    cluster = cluster_fn if cluster_fn is not None else dup_clusters
+    members = cluster(
+        verified.select("id_a", "id_b"), **cluster_kwargs
+    ).withColumnRenamed("doc_id", id_col)
     marked = select_representatives(
         F.broadcast(members),
         df.select(id_col, score_col),
@@ -1194,8 +1220,20 @@ def _cc_edge_cols(pairs: DataFrame, id_a: str, id_b: str):
 
     a_t = pairs.schema[id_a].dataType
     b_t = pairs.schema[id_b].dataType
-    if isinstance(a_t, NumericType) and isinstance(b_t, NumericType):
+    a_num = isinstance(a_t, NumericType)
+    b_num = isinstance(b_t, NumericType)
+    if a_num and b_num:
         return F.col(id_a).cast("long"), F.col(id_b).cast("long")
+    if a_num != b_num:
+        # A mixed numeric/string edge frame is almost certainly a
+        # caller error (ADVICE r13): letting it through would silently
+        # string-coerce the numeric side in the unionByName and make
+        # min-label lexicographic for those ids.
+        raise TypeError(
+            f"edge id columns must both be numeric or both non-numeric; "
+            f"got {id_a}: {a_t.simpleString()}, {id_b}: {b_t.simpleString()} — "
+            "cast both to a common type before clustering"
+        )
     return F.col(id_a), F.col(id_b)
 
 

@@ -18,99 +18,93 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-13 window (every name must carry a full rows+schema+hash
+#: Round-14 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 39 queries whose last driver-green row is r10 — at the
+#: * the 40 queries whose last driver-green row is r11 — at the
 #:   staleness bound, exactly what `tools/check_coverage.py --plan`
 #:   printed under "MANDATORY for THIS round" once
-#:   CORRECTNESS_r12.json landed: mandatory, all in;
-#: * ONE debut (never-green oracles must be in-window; the remaining
-#:   staged debuts are capacity-gated at ~1/round): `pii_kanonymity`
-#:   against its own ORACLE_PII_KANONYMITY — prepared and
-#:   parity-pinned when the query was staged rows-only in r12,
-#:   hash-verified at sf0.01 by both the r12 builder (3 sfs) and the
-#:   r12 judge.  It also holds the privacy family floor, which the
-#:   mandatory 39 miss;
-#: * 3 family-floor fills the mandatory 39 + debut miss — hygiene
-#:   (`prepare_corpus`), multimodal (`multimodal_resize` +
-#:   `multimodal_audio_vad`, keeping both modality fixtures fresh)
-#:   and olap (`pivot_status_revenue`) — all r11-greens from the
-#:   due-next pool, so they double as pull-forwards;
-#: * 6 more r11-greens pulled forward so r14's mandatory list shrinks
-#:   accordingly, chosen to keep the adjudication-watch lines fresh
-#:   (`events_hopping_6h_2h` is the r12 driver-bench line above its
-#:   multi-round envelope — VERDICT r12 "What's wrong" #2 — and
-#:   `asof_purchase_view` the other sub-second flag; `dedup_semantic`
-#:   anchors the sf3 dedup watch) and to spread family coverage
-#:   (`cdc_last_writer_wins` keeps the LWW window fixture warm,
-#:   `text_contamination` doubles the contamination floor,
-#:   `pii_scrub` alternates back in for privacy breadth).
+#:   CORRECTNESS_r13.json landed: mandatory, all in (they also cover
+#:   every family floor, so no fills are needed this round);
+#: * ONE debut (never-green oracles must be in-window; the staged
+#:   debuts are capacity-gated at ~1/round): `pii_ldiversity` against
+#:   its own ORACLE_PII_LDIVERSITY — prepared and parity-pinned when
+#:   the query was staged rows-only in r12, hash-verified at sf0.01
+#:   by the r12/r13 builders (3 sfs) and the r13 judge;
+#: * 9 r12-greens pulled forward from the due-next pool so r15's
+#:   mandatory list shrinks, chosen to keep the adjudication-watch
+#:   lines fresh (`rollup_incremental` is the r13 sf3 CREEP line
+#:   adjudicated to 1.06x; `dedup_corpus` and `decontaminate_fuzzy`
+#:   share the LSH pipeline with the `decontaminate_corpus` watch
+#:   item; `similarity_hybrid_rrf` is the most expensive
+#:   plan-audited similarity line) and to spread family coverage
+#:   (`cdc_snapshot_merge` keeps the CDC merge fixture warm,
+#:   `multimodal_features` the image fixture, `events_drift_psi` the
+#:   drift family, `asof_forward_tolerance` the asof/range-join
+#:   family floor the mandatory 40 miss,
+#:   `prepare_corpus_served` the served hygiene twin).
 #:
-#: The steady 3-round cycle over the 140-oracle registry: each
+#: The steady 3-round cycle over the 141-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r10 (39, mandatory)
-    "cdc_antijoin_survivors",
-    "decontaminate_corpus",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_representatives",
-    "embedding_outliers",
-    "embedding_project",
-    "embedding_separation",
-    "events_anomaly_days",
-    "events_session_window",
-    "events_sessionize",
-    "funnel_conversion",
-    "pack_padding_waste",
-    "pack_sequences",
-    "q2_best_supplier_per_part",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_signup_views",
-    "sample_importance",
-    "sample_importance_weights",
-    "sample_mixture_temperature",
-    "sample_quality_bands",
-    "sample_token_budget",
-    "similarity_hard_negatives",
-    "similarity_ivf_all",
-    "similarity_ivf_int8_all",
-    "similarity_knn_label",
-    "split_temporal",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "text_filter_corpus",
-    "text_language_id",
-    "text_line_dedup",
-    "text_quality_calibrate_binned",
-    "text_quality_score",
-    "top_words_salted",
-    "user_behavior_topk",
-    "validate_orders",
-    # the r13 debut (never-green oracles must be in-window; also
-    # holds the privacy family floor)
-    "pii_kanonymity",
-    # family-floor fills the mandatory 39 + debut miss (hygiene,
-    # multimodal x2, olap — all r11-greens from the due-next pool,
-    # so they double as pulls)
-    "prepare_corpus",
-    "multimodal_resize",
-    "multimodal_audio_vad",
-    "pivot_status_revenue",
-    # 6 more r11-greens pulled forward (r14 mandatory shrinks)
-    "events_hopping_6h_2h",
-    "asof_purchase_view",
-    "cdc_last_writer_wins",
-    "dedup_semantic",
-    "text_contamination",
-    "pii_scrub",
+    # at the staleness bound — last driver-green r11 (40, mandatory)
+    "cdc_increment_append",
+    "cdc_raw_partition_stats",
+    "cdc_snapshot_asof",
+    "corpus_divergence",
+    "corpus_divergence_served",
+    "customer_retention_setops",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_cross_source",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_shared_shingles",
+    "embedding_quantize",
+    "events_drift_psi_daily",
+    "events_drift_psi_served",
+    "profile_orders",
+    "q11_important_part_value",
+    "q12_ship_priority_dist",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q1_pricing_summary",
+    "q20_dominant_suppliers",
+    "q22_sales_opportunity",
+    "q7_volume_shipping",
+    "sample_k_per_source",
+    "sample_mixture",
+    "similarity_hard_negatives_ivf_all",
+    "similarity_ivfpq_all",
+    "similarity_lsh_all",
+    "text_gopher_flags",
+    "text_ngram_coverage",
+    "text_quality_calibrate",
+    "text_unigram_logprob",
+    "top_words",
+    "yoy_customer_diff",
+    # the r14 debut (never-green oracles must be in-window)
+    "pii_ldiversity",
+    # 9 r12-greens pulled forward from the due-next pool (r15
+    # mandatory shrinks; watch lines + family breadth, see above)
+    "rollup_incremental",
+    "cdc_snapshot_merge",
+    "dedup_corpus",
+    "decontaminate_fuzzy",
+    "similarity_hybrid_rrf",
+    "multimodal_features",
+    "events_drift_psi",
+    "asof_forward_tolerance",
+    "prepare_corpus_served",
 )
 
 

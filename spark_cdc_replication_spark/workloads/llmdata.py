@@ -1668,10 +1668,10 @@ def q_pii_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     many rows sit in them, and the outright-disclosure row count
     (classes with <= 1 distinct value).  All-integer output.
 
-    Staged oracle debut (rows-only until a window slot opens —
-    capacity-gated, the pii_kanonymity r13 debut takes precedence):
-    ``ORACLE_PII_LDIVERSITY`` prepared below and parity-pinned on a
-    planted fixture in ``tests/test_text_hygiene.py``.
+    Oracle debut r14 (staged rows-only r12-r13, capacity-gated behind
+    the pii_kanonymity r13 debut): ``ORACLE_PII_LDIVERSITY`` below,
+    parity-pinned on a planted fixture in
+    ``tests/test_text_hygiene.py``.
     """
     from ..operators.privacy import l_diversity
 
@@ -1687,7 +1687,9 @@ def q_pii_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Prepared for a capacity-gated later debut (rows-only until then).
+#: r14 debut oracle (staged r12-r13).  Every output column is
+#: BIGINT/INT and the band floor() is IEEE-exact, so the hash cannot
+#: drift between engines.
 ORACLE_PII_LDIVERSITY = """
 WITH cls AS (
   SELECT count(*) AS sz, count(DISTINCT c_mktsegment) AS nd
@@ -4026,6 +4028,17 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
+    # decontaminate_semantic's id-uniqueness contract: planted ids
+    # must not collide with real ones, so the fixed offset (mirrored
+    # in the oracle SQL) must clear max(vec_id).  One parquet-stats
+    # min/max agg — cheap, and it turns a silent id collision at some
+    # future sf into a loud error.
+    max_id = emb.agg(F.max("vec_id")).first()[0] or 0
+    if max_id >= 30_000_000:
+        raise ValueError(
+            f"planted-leak offset 30_000_000 does not clear max(vec_id)={max_id}; "
+            "raise the offset in BOTH the query and ORACLE_DECONTAMINATE_SEMANTIC"
+        )
     bench = emb.filter(F.col("vec_id") % 50 == 0)
     train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(
         bench.select(
@@ -4259,8 +4272,9 @@ QUERIES = {
     # hash-verified at sf0.01 by the r12 builder at 3 sfs and the
     # r12 judge before entering the window)
     "pii_kanonymity": q_pii_kanonymity,
-    # staged rows-only in r12 with ORACLE_PII_LDIVERSITY prepared;
-    # debut capacity-gated behind pii_kanonymity (140/150 surface)
+    # r14 debut — own ORACLE_PII_LDIVERSITY (staged rows-only in r12;
+    # hash-verified at sf0.01 by the r12/r13 builders and the r13
+    # judge before entering the window)
     "pii_ldiversity": q_pii_ldiversity,
     # rows-only BY CONTRACT (data-dependent ladder-rung control flow);
     # floors in tests/test_text_hygiene.py
@@ -4360,6 +4374,10 @@ ORACLE = {
     "pii_scrub": ORACLE_PII_SCRUB,
     "pii_prevalence": ORACLE_PII_PREVALENCE,
     "pii_kanonymity": ORACLE_PII_KANONYMITY,
+    # r14 debut — staged rows-only in r12 with this oracle prepared,
+    # judge-verified hash-green at sf0.01 in r13 before entering the
+    # window (capacity-gated behind the r13 pii_kanonymity debut)
+    "pii_ldiversity": ORACLE_PII_LDIVERSITY,
     "corpus_shuffle": ORACLE_CORPUS_SHUFFLE,
     "sample_mixture": ORACLE_SAMPLE_MIXTURE,
     "sample_mixture_temperature": ORACLE_SAMPLE_MIXTURE_TEMPERATURE,

@@ -22,12 +22,19 @@ round.)
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 import __spark_entry__ as entry
 from spark_cdc_replication_spark.session import RUNTIME_CONF
 
-SF_DIR = "/root/testdata/sf0.001"
+from .conftest import SF_DIR
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"driver fixture tree {SF_DIR} not present on this machine",
+)
 
 _QUERIES = entry.queries()
 
