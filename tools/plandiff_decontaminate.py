@@ -29,6 +29,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -42,6 +44,7 @@ def normalize(plan: str) -> str:
     expression ids (#123), plan ids, codegen ids, runtime row/size
     stats, temp paths."""
     p = re.sub(r"#\d+L?", "#x", plan)
+    p = re.sub(r"lambda x_\d+", "lambda x_n", p)
     p = re.sub(r"plan_id=\d+", "plan_id=x", p)
     p = re.sub(r"\[id=#?x?\d*\]", "[id=x]", p)
     p = re.sub(r"\(\d+\)", "(n)", p)
@@ -61,7 +64,6 @@ def run_once(spark, sf_dir: str):
 
 
 def session(mode: str, sf_dir: str, runs: int):
-    import pandas as pd
     from pyspark.sql.functions import col, pandas_udf
 
     from spark_cdc_replication_spark.session import get_spark
@@ -119,11 +121,16 @@ def main() -> None:
         norm = [normalize(p) for p in plans]
         if len(set(norm)) > 1:
             print(f"!! {mode}: plan CHANGED between runs within one session")
+            d = list(difflib.unified_diff(
+                norm[0].splitlines(keepends=True),
+                norm[-1].splitlines(keepends=True),
+                f"{mode} run1", f"{mode} run{len(norm)}", n=1))
+            sys.stdout.writelines(d[:60])
         else:
             print(f"{mode}: plan stable across {len(plans)} runs")
 
-    a = normalize(results["cold"][1][0]).splitlines(keepends=True)
-    b = normalize(results["warm"][1][0]).splitlines(keepends=True)
+    a = normalize(results["cold"][1][-1]).splitlines(keepends=True)
+    b = normalize(results["warm"][1][-1]).splitlines(keepends=True)
     diff = list(difflib.unified_diff(a, b, "cold", "warm", n=2))
     if not diff:
         print("NORMALIZED PLANS IDENTICAL (cold vs warm) — no AQE flip; "
