@@ -4112,6 +4112,86 @@ def q_dedup_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_corpus`` with the QUALITY-AWARE survivor rule
+    (:func:`dedup_corpus_keep_best`), over the same 3-member planting
+    as ``dedup_corpus_weighted``: per near-dup cluster keep the member
+    with the best quality score — here raw text length, so the
+    double-spaced perturbation twin (the longest member) survives each
+    planted group instead of the lowest-id original, making the
+    quality-aware rule observable against plain ``dedup_corpus`` on
+    the identical corpus.
+
+    Staged rows-only with ``ORACLE_DEDUP_CORPUS_KEEP_BEST`` prepared
+    for a capacity-gated later debut (the dedup_corpus_weighted
+    precedent); floors until then: the operator's pytest suite
+    (constant-score ≡ ``dedup_corpus`` degeneracy, ascending flip,
+    non-transitive-star cluster granularity, partition invariance)
+    plus the prepared-oracle parity runs recorded in SCALE.md.
+    """
+    from ..operators.dedup import dedup_corpus_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
+    )
+    corpus = (
+        docs.unionByName(near1)
+        .unionByName(near2)
+        .withColumn("quality", F.length("text").cast("long"))
+    )
+    out = dedup_corpus_keep_best(
+        corpus,
+        score_col="quality",
+        num_hashes=16,
+        shingle_n=3,
+        num_bands=8,
+        min_est_jaccard=0.99,
+        min_jaccard=0.999,
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_fp"),
+        "quality",
+    )
+
+
+#: Prepared for a capacity-gated later debut (rows-only until then) —
+#: the normalized-text ground truth with the keep-best survivor rule:
+#: per norm group the max-length member survives (ties to the lowest
+#: id, select_representatives' rule); docs failing the >=3-token
+#: shingle guard never signature, so they survive regardless.
+ORACLE_DEDUP_CORPUS_KEEP_BEST = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  FROM documents WHERE doc_id % 20 = 0
+),
+tn AS (
+  SELECT doc_id, len(text) AS quality, {_NORM_OF_TEXT} AS norm FROM corpus
+  WHERE len(string_split_regex({_NORM_OF_TEXT}, '\\s+')) >= 3
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY norm
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM tn
+)
+SELECT c.doc_id, md5(c.text) AS text_fp, CAST(len(c.text) AS BIGINT) AS quality
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+"""
+
+
 #: Prepared for a capacity-gated later debut (rows-only until then) —
 #: the ORACLE_DEDUP_CORPUS ground truth extended with per-norm-group
 #: counts: canonical (group-min) survivors carry the group size,
@@ -4313,8 +4393,11 @@ QUERIES = {
     "decontaminate_semantic": q_decontaminate_semantic,
     "dedup_corpus": q_dedup_corpus,
     # staged rows-only in r12 with ORACLE_DEDUP_CORPUS_WEIGHTED
-    # prepared; debut capacity-gated (140/150 surface)
+    # prepared; debut capacity-gated (141/150 surface)
     "dedup_corpus_weighted": q_dedup_corpus_weighted,
+    # staged rows-only in r14 with ORACLE_DEDUP_CORPUS_KEEP_BEST
+    # prepared; debut capacity-gated (141/150 surface)
+    "dedup_corpus_keep_best": q_dedup_corpus_keep_best,
     "text_line_dedup": q_text_line_dedup,
     "text_filter_corpus": q_text_filter_corpus,
     "prepare_corpus": q_prepare_corpus,
