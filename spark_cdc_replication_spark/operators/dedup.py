@@ -429,16 +429,41 @@ def _decontaminate_semantic_arrow(
     and each Arrow batch pays one BLAS matmul.  No groupBy, no join:
     ``mapInPandas`` keeps the input partitioning, so the operator is
     filter-shaped at any corpus size."""
+    bmat = bench_matrix(bench, vec_col)
+    if bmat is None:
+        return train
+    return semantic_filter_from_matrix(train, bmat, vec_col, min_cosine)
+
+
+def bench_matrix(bench: DataFrame, vec_col: str = "embedding"):
+    """Collect + L2-normalize the (bounded) benchmark embeddings into
+    a numpy matrix, or None if the bench has no usable vectors.
+    Split out of the arrow path so a STREAMING consumer can pay the
+    collect once at stream setup instead of once per micro-batch."""
     import numpy as np
 
     rows = bench.select(vec_col).collect()
     mats = [r[0] for r in rows if r[0] is not None and len(r[0]) > 0]
     if not mats:
-        return train
+        return None
     bmat = np.asarray(mats, dtype=np.float64)
     bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-300)
-    schema = train.schema
+    return bmat
 
+
+def semantic_filter_from_matrix(
+    train: DataFrame,
+    bmat,
+    vec_col: str = "embedding",
+    min_cosine: float = 0.92,
+) -> DataFrame:
+    """The matrix-in-hand half of the arrow path: drop every ``train``
+    row whose cosine against any row of the pre-normalized ``bmat``
+    clears ``min_cosine``.  Works identically on batch and streaming
+    frames — ``mapInPandas`` is a stateless per-batch filter."""
+    import numpy as np
+
+    schema = train.schema
     dim = bmat.shape[1]
 
     def keep_clean(batches):

@@ -47,6 +47,8 @@ def _dedup_batch_against_corpus(
     bench: DataFrame | None = None,
     decontaminate_opts: dict | None = None,
     filter_opts: dict | None = None,
+    semantic_bmat=None,
+    semantic_opts: dict | None = None,
 ) -> None:
     spark = batch.sparkSession
     if filter_opts is not None:
@@ -88,6 +90,18 @@ def _dedup_batch_against_corpus(
             id_col=id_col,
             **(decontaminate_opts or {}),
         )
+    if semantic_bmat is not None:
+        # ingest-time SEMANTIC decontamination — the n-gram pass's
+        # paraphrase blind spot, closed at the door: the arrow-path
+        # filter (one BLAS matmul per Arrow batch, zero shuffle) with
+        # the bench matrix collected ONCE at stream setup and riding
+        # the closure across epochs, so per-batch cost is the batch's
+        # own matmul, never a bench re-collect.
+        from ..operators.dedup import semantic_filter_from_matrix
+
+        fresh = semantic_filter_from_matrix(
+            fresh, semantic_bmat, **(semantic_opts or {})
+        )
     fresh.write.mode("append").parquet(corpus_dir)
 
 
@@ -101,6 +115,8 @@ def corpus_dedup_stream(
     bench: DataFrame | None = None,
     decontaminate_opts: dict | None = None,
     filter_opts: dict | None = None,
+    semantic_bench: DataFrame | None = None,
+    semantic_opts: dict | None = None,
 ) -> StreamingQuery:
     """Continuously ingest documents, appending only content-new ones.
 
@@ -118,12 +134,32 @@ def corpus_dedup_stream(
     (filter -> dedup -> decontaminate; equivalence-tested), so junk and
     eval leaks never enter the corpus in the first place.  The quality
     features are per-document, so the filter is trivially
-    streaming-safe; only the dedup stage needs the cross-epoch index."""
+    streaming-safe; only the dedup stage needs the cross-epoch index.
+
+    Pass ``semantic_bench`` (a static frame of benchmark EMBEDDINGS;
+    the streamed documents must then carry the vector column,
+    ``semantic_opts`` forwards ``vec_col``/``min_cosine``) to also run
+    :func:`operators.dedup.decontaminate_semantic`'s arrow-path filter
+    on every batch — the paraphrase-catching companion the n-gram pass
+    misses.  The bench matrix is collected + normalized ONCE here at
+    setup (eval suites are bounded by contract) and rides the
+    ``foreachBatch`` closure, so each epoch pays one BLAS matmul per
+    Arrow batch and ZERO extra shuffle or bench re-collection; stage
+    order filter -> dedup -> ngram-decontaminate -> semantic keeps the
+    cheapest rejections first."""
+    semantic_bmat = None
+    if semantic_bench is not None:
+        from ..operators.dedup import bench_matrix
+
+        semantic_bmat = bench_matrix(
+            semantic_bench, (semantic_opts or {}).get("vec_col", "embedding")
+        )
     writer = (
         documents.writeStream.foreachBatch(
             lambda batch, _epoch: _dedup_batch_against_corpus(
                 batch, corpus_dir, id_col, text_col, bench,
                 decontaminate_opts, filter_opts,
+                semantic_bmat, semantic_opts,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

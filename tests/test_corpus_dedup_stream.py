@@ -257,3 +257,86 @@ def test_prepare_corpus_served_equals_batch_pipeline(spark, sf_dir):
     )
     assert len(batch) > 0
     assert served == batch
+
+
+def test_streaming_semantic_decontamination_blocks_paraphrase_leaks(
+    spark, sf_dir, tmp_path
+):
+    """Ingest-time SEMANTIC decontamination: a scaled copy of a bench
+    embedding (cosine 1.0, but a completely different TEXT — the
+    paraphrase case the n-gram stage is blind to) must never land,
+    across micro-batches, and the landed corpus must equal the batch
+    arrow-path operator over the same input."""
+    from spark_cdc_replication_spark.operators.dedup import (
+        decontaminate_semantic,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    # docs-like frame: unique text per row so the dedup/ngram stages
+    # pass everything — any drop is attributable to the semantic stage
+    docs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(
+            F.lit("wholly unique document body number "),
+            F.col("vec_id").cast("string"),
+            F.lit(" with several more tokens"),
+        ).alias("text"),
+        "embedding",
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    clean = docs.filter(F.col("doc_id") % 50 != 0)
+    # scaled copy = same direction (cosine 1.0) + unseen text
+    leaks = bench.select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("totally different paraphrased wording "),
+            F.col("doc_id").cast("string"),
+            F.lit(" sharing zero shingles with the original"),
+        ).alias("text"),
+        F.transform("embedding", lambda x: x * F.lit(3.0))
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string, embedding array<float>"
+        ).parquet(src)
+        q = corpus_dedup_stream(
+            stream,
+            corpus_dir=corpus,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            semantic_bench=bench,
+            semantic_opts={"min_cosine": 0.92},
+        )
+        q.awaitTermination(120)
+
+    # epoch 1: half the clean docs + half the leaks; epoch 2: the rest
+    # (the bench matrix must survive across epochs in the closure)
+    c1, c2 = clean.filter(F.col("doc_id") % 2 == 0), clean.filter(
+        F.col("doc_id") % 2 == 1
+    )
+    l1, l2 = leaks.filter(F.col("doc_id") % 2 == 0), leaks.filter(
+        F.col("doc_id") % 2 == 1
+    )
+    c1.unionByName(l1).write.mode("append").parquet(src)
+    run()
+    c2.unionByName(l2).write.mode("append").parquet(src)
+    run()
+
+    got = spark.read.parquet(corpus)
+    assert got.filter(F.col("doc_id") >= 5_000_000).count() == 0, (
+        "a planted semantic leak landed"
+    )
+    # batch ≡ stream: the arrow-path operator over the full input
+    # keeps exactly the ids the stream landed
+    full_input = clean.unionByName(leaks)
+    expected = decontaminate_semantic(
+        full_input, bench, id_col="doc_id", min_cosine=0.92, impl="arrow"
+    )
+    assert {r.doc_id for r in got.select("doc_id").collect()} == {
+        r.doc_id for r in expected.select("doc_id").collect()
+    }
