@@ -332,6 +332,26 @@ def test_dup_clusters_string_ids_native_min_label(spark):
     }
 
 
+def test_dup_clusters_mixed_edge_types_raise(spark):
+    """ADVICE r13: a mixed numeric/string edge frame is caller error —
+    letting it through would silently string-coerce the numeric side
+    in the unionByName and make min-label lexicographic for those ids.
+    Both CC variants must refuse loudly instead."""
+    import pytest
+
+    from spark_cdc_replication_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_logstar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, "alpha")], "id_a long, id_b string"
+    )
+    for cc in (dup_clusters, dup_clusters_logstar):
+        with pytest.raises(TypeError, match="both be numeric or both non-numeric"):
+            cc(pairs)
+
+
 def test_dup_clusters_reversed_edge_direction(spark):
     from spark_cdc_replication_spark.operators.dedup import dup_clusters
 
@@ -944,3 +964,51 @@ def test_dedup_corpus_keep_best_cluster_granularity_on_star(spark):
         r.doc_id for r in dedup_corpus_keep_best(docs, "quality", **kw).collect()
     }
     assert best == {3, 4}  # one survivor per component: the best copy
+
+
+def test_dedup_corpus_keep_best_cluster_kwargs_passthrough(spark):
+    """ADVICE r13: a duplicate chain deeper than dup_clusters' default
+    20 rounds previously raised with no caller recourse.  The cluster
+    step is now pluggable — cluster_fn=dup_clusters_logstar (O(log*)
+    convergence for adversarial diameters) and **cluster_kwargs
+    (max_iters / on_nonconverged='warn') must both reach it and preserve the
+    survivor rule."""
+    from spark_cdc_replication_spark.operators.dedup import (
+        dedup_corpus_keep_best,
+        dup_clusters_logstar,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, 0.20),
+            (2, base.upper(), 0.90),
+            (3, base.replace(" ", "  "), 0.50),
+            (4, "an entirely different document with its own words here", 0.5),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    kw = dict(num_hashes=16, num_bands=8, min_est_jaccard=0.99, min_jaccard=0.999)
+    want = {2, 4}
+    via_logstar = {
+        r.doc_id
+        for r in dedup_corpus_keep_best(
+            docs, "quality", cluster_fn=dup_clusters_logstar, **kw
+        ).collect()
+    }
+    assert via_logstar == want
+    # kwargs reach the default dup_clusters: this pairwise-complete
+    # group converges in one round, so max_iters=1 must succeed...
+    via_kwargs = {
+        r.doc_id
+        for r in dedup_corpus_keep_best(
+            docs, "quality", max_iters=1, on_nonconverged="warn", **kw
+        ).collect()
+    }
+    assert via_kwargs == want
+    # ...and an unknown cluster kwarg fails loudly, proving the
+    # passthrough is live rather than silently swallowed
+    import pytest
+
+    with pytest.raises(TypeError):
+        dedup_corpus_keep_best(docs, "quality", not_a_kwarg=1, **kw).collect()

@@ -437,3 +437,26 @@ def test_decontaminate_semantic_cross_engine_parity_on_planted_corpus(spark):
     assert got == want
     # the planted exact copies (every 50th id, offset) must be gone
     assert not any(v >= 30_000_000 for v, _ in got)
+
+
+def test_decontaminate_semantic_ragged_vectors_survive_both_impls(spark):
+    """ADVICE r13: a train vector whose dimension differs from the
+    bench's has UNDEFINED cosine — the native path's zip_with NULL-pads
+    and the NULL comparison keeps the row; the arrow path must match
+    (pre-filtering it to survivor) instead of raising an opaque
+    np.vstack shape error."""
+    rng = np.random.default_rng(13)
+    bench = [[float(x) for x in v] for v in rng.normal(size=(3, DIM))]
+    clean = [[float(x) for x in v] for v in rng.normal(size=(6, DIM))]
+    train_vecs = clean + [bench[1]]        # id 6 = planted leak
+    ragged_short = [1.0] * (DIM - 3)       # id 7: too short
+    ragged_long = [1.0] * (DIM + 5)        # id 8: too long
+    train_vecs += [ragged_short, ragged_long]
+    for impl in ("native", "arrow"):
+        got = {
+            r.vec_id
+            for r in _decon(
+                spark, train_vecs, bench, min_cosine=0.9, impl=impl
+            ).collect()
+        }
+        assert got == {0, 1, 2, 3, 4, 5, 7, 8}, impl  # leak gone, ragged kept
