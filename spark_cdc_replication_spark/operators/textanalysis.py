@@ -671,6 +671,60 @@ def remove_repeated_lines(
     )
 
 
+def dedup_lines_in_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    mode: str = "all",
+) -> DataFrame:
+    """WITHIN-document repeated-line removal — the per-row companion
+    to :func:`remove_repeated_lines` (which removes CROSS-document
+    boilerplate): scraped chat transcripts, terminal logs, and
+    template-stamped pages repeat the same line dozens of times inside
+    ONE document, inflating token counts and teaching the model to
+    loop.  Two modes:
+
+    * ``mode="all"`` — keep each distinct non-empty line's FIRST
+      occurrence, in original order; empty lines are STRUCTURE
+      (paragraph breaks) and always survive (the
+      ``remove_repeated_lines`` r8 lesson).
+    * ``mode="consecutive"`` — collapse runs of identical adjacent
+      lines to one (the classic log-cleanup rule), including blank
+      runs; non-adjacent repeats survive.
+
+    Scale shape: pure per-row array expressions — split, an indexed
+    ``filter`` lambda, ``array_join`` — ZERO shuffle, zero Python, no
+    aggregate, no join; whole-stage codegen end to end, so the
+    operator costs one scan at any corpus size.  The ``mode="all"``
+    first-occurrence test is ``array_position`` per element — O(lines²)
+    per document in the worst case, fine for real documents (hundreds
+    of lines) and still corpus-linear.  All other columns pass through
+    unchanged; NULL text passes through as NULL.
+    """
+    import re
+
+    if mode not in ("all", "consecutive"):
+        raise ValueError(f"mode must be all|consecutive, got {mode!r}")
+    lines = F.split(F.col(text_col), re.escape(sep))
+    if mode == "consecutive":
+        kept = F.filter(
+            lines,
+            lambda x, i: (i == F.lit(0))
+            | ~x.eqNullSafe(F.element_at(lines, i)),  # element_at is 1-based: i = previous
+        )
+    else:
+        kept = F.filter(
+            lines,
+            lambda x, i: (F.length(x) == 0)
+            | (F.array_position(lines, x) == i + F.lit(1)),
+        )
+    cleaned = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(kept, sep))
+    return df.withColumn(text_col, cleaned)
+
+
 def filter_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -894,3 +894,67 @@ def test_k_anonymize_validates_ladder(spark):
         k_anonymize(
             df, levels=[[F.col("g"), F.col("g")]], out_names=["g2"], carry_cols=["id"]
         )
+
+
+def test_dedup_lines_in_doc_all_mode(spark):
+    """First occurrence of each non-empty line survives in order;
+    empty lines are structure and always survive; other columns and
+    NULL text pass through."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        dedup_lines_in_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha\n\ngamma\nbeta\nalpha", "keep"),
+            (2, "\n\nonly\n\n", "keep"),
+            (3, None, "keep"),
+        ],
+        "doc_id long, text string, extra string",
+    )
+    got = {r.doc_id: r.text for r in dedup_lines_in_doc(docs).collect()}
+    assert got[1] == "alpha\nbeta\n\ngamma"
+    assert got[2] == "\n\nonly\n\n"      # blanks untouched in all-mode
+    assert got[3] is None
+    assert dedup_lines_in_doc(docs).columns == ["doc_id", "text", "extra"]
+
+
+def test_dedup_lines_in_doc_consecutive_mode(spark):
+    """Adjacent runs collapse to one (blank runs included); the same
+    line reappearing later survives — the log-cleanup rule."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        dedup_lines_in_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tick\ntick\ntick\nboom\ntick\n\n\nend"),
+            (2, "a\nb\na"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text
+        for r in dedup_lines_in_doc(docs, mode="consecutive").collect()
+    }
+    assert got[1] == "tick\nboom\ntick\n\nend"
+    assert got[2] == "a\nb\na"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="all|consecutive"):
+        dedup_lines_in_doc(docs, mode="bogus")
+
+
+def test_dedup_lines_in_doc_zero_shuffle_plan(spark):
+    """The 100 TB contract: no exchange anywhere — pure per-row
+    projection."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        dedup_lines_in_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\na\nb")], "doc_id long, text string"
+    )
+    plan = dedup_lines_in_doc(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
