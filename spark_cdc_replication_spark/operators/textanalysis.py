@@ -447,6 +447,110 @@ def contamination_check(
     )
 
 
+def excise_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPAN-LEVEL decontamination — the surgical alternative to
+    :func:`operators.dedup.decontaminate`'s whole-document drop: when
+    a long training document quotes one benchmark passage (a blog post
+    embedding an eval question, a textbook page containing one test
+    item), dropping the entire document throws away mostly-clean
+    tokens.  This operator cuts out exactly the leaked word spans and
+    keeps the rest.
+
+    Semantics (word-level, case-insensitive): position ``p`` in a
+    document is the START of a leak when the lowercased word-``n``-gram
+    at ``p`` appears anywhere in ``benchmark``; the excised region is
+    the UNION of all ``[p, p+n)`` ranges (overlapping/adjacent matches
+    merge naturally).  Documents with >= 1 match are rewritten as their
+    surviving words joined by single spaces (inter-word whitespace
+    collapses; casing/punctuation of surviving words is preserved);
+    documents with NO match — including NULL/empty text and docs
+    shorter than ``n`` words — pass through BYTE-IDENTICAL, because
+    the rewrite is driven off a left join against only the matched
+    ids.  A fully-leaked document becomes the empty string (the
+    caller's length filter drops it; this operator never drops rows).
+    Output adds ``n_spans_excised`` (matched start positions) and
+    ``n_words_removed`` per row (0 for untouched docs).
+
+    Known property, deliberate: excision can juxtapose words across a
+    removed gap, and the stitched seam could itself form a new
+    benchmark n-gram — run to fixpoint if that matters (one extra pass
+    is the practical bound; at n >= 8 a seam match needs an
+    adversarial corpus).
+
+    Scale shape (100 TB train, bounded eval suites): the bench n-gram
+    set is exploded + deduped once (eval-suite-sized) and the
+    positions probe is an INNER join, so only MATCHED ``(id, pos)``
+    rows — bounded by the contamination volume, not the corpus — ever
+    shuffle into the per-doc ``collect_list``; the rewrite joins that
+    (broadcast) match table back onto the corpus, whose bodies never
+    shuffle.  The excision itself is a pure ``filter`` lambda over the
+    words array (O(words × matches) per doc, codegen'd).  Same
+    explode+broadcast-join shape as :func:`contamination_check`, which
+    shares the string-key trade measured there.
+    """
+    from .dedup import _shingle_windows
+
+    # Tokenize the ORIGINAL text (whitespace only — no normalization)
+    # so word positions map 1:1 onto words we can re-emit with casing
+    # and punctuation intact; matching lowercases per word instead.
+    def _grams(frame: DataFrame, ident) -> DataFrame:
+        toks = frame.select(
+            ident,
+            F.transform(words(text_col), F.lower).alias("__w"),
+        )
+        arr = F.transform(
+            _shingle_windows(n),
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+        )
+        return toks.select(ident, arr.alias("__grams"))
+
+    bench_ided = benchmark.select(F.col(text_col)).withColumn(
+        "__bench_id", F.monotonically_increasing_id()
+    )
+    bench_grams = (
+        _grams(bench_ided, F.col("__bench_id"))
+        .select(F.explode("__grams").alias("__s"))
+        .distinct()
+    )
+
+    positions = _grams(df, F.col(id_col)).select(
+        F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
+    )
+    # inner join: only leak starts survive — contamination-volume-sized
+    matched = (
+        positions.join(F.broadcast(bench_grams), on="__s", how="inner")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
+    )
+
+    joined = df.join(F.broadcast(matched), on=id_col, how="left")
+    w = words(text_col)
+    kept = F.filter(
+        w,
+        lambda x, i: ~F.exists(
+            F.col("__starts"), lambda p: (i >= p) & (i < p + F.lit(n))
+        ),
+    )
+    cleaned = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    removed = F.when(F.col("__starts").isNull(), F.lit(0)).otherwise(
+        F.size(w) - F.size(kept)
+    )
+    return (
+        joined.withColumn("n_spans_excised", F.coalesce(F.size("__starts"), F.lit(0)))
+        .withColumn("n_words_removed", removed.cast("int"))
+        .withColumn(text_col, cleaned)
+        .drop("__starts")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int,

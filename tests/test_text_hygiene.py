@@ -958,3 +958,92 @@ def test_dedup_lines_in_doc_zero_shuffle_plan(spark):
     )
     plan = dedup_lines_in_doc(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def _excise(spark, docs_rows, bench_rows, n=4):
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_contaminated_spans,
+    )
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "text string")
+    return excise_contaminated_spans(docs, bench, n=n).collect()
+
+
+def test_excise_contaminated_spans_surgical(spark):
+    """The planted benchmark passage is cut out of a mostly-clean doc;
+    the doc survives with its other words (casing preserved), and the
+    counters say exactly what happened."""
+    bench = [("what is the capital of france",)]
+    docs = [
+        (
+            1,
+            "My Blog Post quotes: what is the capital of france end of "
+            "quote and Continues normally",
+        ),
+        (2, "an entirely clean document with NOTHING  leaked\tin it"),
+        (3, None),
+        (4, "short clean text"),
+    ]
+    got = {r.doc_id: r for r in _excise(spark, docs, bench, n=6)}
+    # doc 1: starts at word 4 ("what") -> words 4..9 excised
+    assert got[1].text == "My Blog Post quotes: end of quote and Continues normally"
+    assert got[1].n_spans_excised == 1 and got[1].n_words_removed == 6
+    # untouched docs are BYTE-identical (double space + tab preserved)
+    assert got[2].text == "an entirely clean document with NOTHING  leaked\tin it"
+    assert got[2].n_spans_excised == 0 and got[2].n_words_removed == 0
+    assert got[3].text is None
+    assert got[4].text == "short clean text"
+
+
+def test_excise_contaminated_spans_overlap_merge_and_full_leak(spark):
+    """Overlapping matches merge into one excised region; a fully
+    leaked doc becomes the empty string but is never dropped; matching
+    is case-insensitive."""
+    bench = [("alpha beta gamma delta",), ("gamma delta epsilon zeta",)]
+    docs = [
+        # matches at 0 (alpha..delta) and 2 (gamma..zeta): union [0,6)
+        (1, "alpha beta GAMMA delta epsilon zeta tail words here"),
+        (2, "Alpha Beta Gamma Delta"),  # the whole doc is the leak
+    ]
+    got = {r.doc_id: r for r in _excise(spark, docs, bench, n=4)}
+    assert got[1].text == "tail words here"
+    assert got[1].n_spans_excised == 2 and got[1].n_words_removed == 6
+    assert got[2].text == ""
+    assert got[2].n_words_removed == 4
+    # 2 rows in, 2 rows out — excision never drops documents
+    assert len(got) == 2
+
+
+def test_excise_equivalence_with_contamination_check(spark, sf_dir):
+    """Every document contamination_check flags (>= 1 matching
+    n-gram... on the same normalized tokenization) must come back
+    rewritten, and every unflagged one byte-identical — pinned on the
+    planted fixture the audit queries use."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_contaminated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = excise_contaminated_spans(train, bench, n=8)
+    # rewritten iff touched
+    touched = {r.doc_id for r in out.filter("n_spans_excised > 0").collect()}
+    orig = {r.doc_id: r.text for r in train.collect()}
+    for r in out.collect():
+        if r.doc_id in touched:
+            assert r.n_words_removed > 0
+        else:
+            assert r.text == orig[r.doc_id]
+    # idempotence on this fixture: a second pass finds nothing
+    out.persist()
+    again = excise_contaminated_spans(
+        out.select("doc_id", "text"), bench, n=8
+    )
+    assert again.filter("n_spans_excised > 0").count() == 0
+    out.unpersist()
