@@ -490,9 +490,14 @@ def excise_contaminated_spans(
     shuffle into the per-doc ``collect_list``; the rewrite joins that
     (broadcast) match table back onto the corpus, whose bodies never
     shuffle.  The excision itself is a pure ``filter`` lambda over the
-    words array (O(words × matches) per doc, codegen'd).  Same
-    explode+broadcast-join shape as :func:`contamination_check`, which
-    shares the string-key trade measured there.
+    words array (O(words × matches) per doc, codegen'd).  Probe keys
+    are ``xxhash64`` over the window's word fields directly — no
+    concatenated gram string is ever built (measured ~1.1x end to end
+    at sf1/sf3 vs concat_ws keys on this n=8 shape — modest, the
+    window build dominates — plus 8-byte probe keys instead of
+    ~50-char strings riding the explode) — accepting the
+    64-bit collision bound: a clean span is wrongly excised only if
+    its hash equals one of the |bench| gram hashes (~|bench|·2⁻⁶⁴).
     """
     from .dedup import _shingle_windows
 
@@ -506,7 +511,7 @@ def excise_contaminated_spans(
         )
         arr = F.transform(
             _shingle_windows(n),
-            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
+            lambda s: F.xxhash64(*[s[str(i)] for i in range(n)], F.lit(42)),
         )
         return toks.select(ident, arr.alias("__grams"))
 
