@@ -49,6 +49,7 @@ def _dedup_batch_against_corpus(
     filter_opts: dict | None = None,
     semantic_bmat=None,
     semantic_opts: dict | None = None,
+    excise_opts: dict | None = None,
 ) -> None:
     spark = batch.sparkSession
     if filter_opts is not None:
@@ -62,6 +63,21 @@ def _dedup_batch_against_corpus(
         batch = filter_corpus(
             batch, text_col=text_col, id_col=id_col, **filter_opts
         )
+    if excise_opts is not None:
+        # ingest-time SPAN excision (mutually exclusive with the
+        # doc-drop decontaminate below — validated at stream setup).
+        # MUST run BEFORE fingerprinting: the landed fp column is the
+        # cross-epoch dedup index, so it has to cover the text that
+        # actually lands — and two documents identical after excision
+        # should dedup as one.  Per-batch stateless; the bench gram
+        # side is bounded and rebuilt per epoch like decontaminate's
+        # bench shingles; the operator's counters are dropped so the
+        # landed schema stays identical to every other configuration.
+        from ..operators.textanalysis import excise_contaminated_spans
+
+        batch = excise_contaminated_spans(
+            batch, bench, text_col=text_col, id_col=id_col, **excise_opts
+        ).drop("n_spans_excised", "n_words_removed")
     fp = batch.withColumn("fp", fingerprint(text_col))
     # within-batch winner: min id per fingerprint (exact_dedup's rule)
     w_min = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
@@ -73,7 +89,7 @@ def _dedup_batch_against_corpus(
         index = None  # first batch: corpus does not exist yet
     if index is not None:
         fresh = fresh.join(index, "fp", "left_anti")
-    if bench is not None:
+    if bench is not None and excise_opts is None:
         # ingest-time decontamination: each micro-batch is scrubbed
         # against the (fixed, caller-persisted) benchmark corpus BEFORE
         # it ever reaches the training corpus — a leak is never
@@ -117,6 +133,7 @@ def corpus_dedup_stream(
     filter_opts: dict | None = None,
     semantic_bench: DataFrame | None = None,
     semantic_opts: dict | None = None,
+    excise_opts: dict | None = None,
 ) -> StreamingQuery:
     """Continuously ingest documents, appending only content-new ones.
 
@@ -146,7 +163,24 @@ def corpus_dedup_stream(
     ``foreachBatch`` closure, so each epoch pays one BLAS matmul per
     Arrow batch and ZERO extra shuffle or bench re-collection; stage
     order filter -> dedup -> ngram-decontaminate -> semantic keeps the
-    cheapest rejections first."""
+    cheapest rejections first.
+
+    Pass ``excise_opts`` (kwargs for
+    :func:`textanalysis.excise_contaminated_spans`, ``{}`` for
+    defaults; requires ``bench``) to SURGICALLY excise leaked spans
+    from each batch instead of dropping whole documents — mutually
+    exclusive with ``decontaminate_opts`` since both consume ``bench``
+    with opposite dispositions.  Excision runs BEFORE fingerprinting
+    so the landed ``fp`` index covers the text that actually lands
+    (two documents identical after excision dedup as one)."""
+    if excise_opts is not None:
+        if bench is None:
+            raise ValueError("excise_opts requires bench")
+        if decontaminate_opts is not None:
+            raise ValueError(
+                "excise_opts and decontaminate_opts are mutually exclusive: "
+                "both consume bench, one excises spans, the other drops docs"
+            )
     semantic_bmat = None
     if semantic_bench is not None:
         from ..operators.dedup import bench_matrix
@@ -159,7 +193,7 @@ def corpus_dedup_stream(
             lambda batch, _epoch: _dedup_batch_against_corpus(
                 batch, corpus_dir, id_col, text_col, bench,
                 decontaminate_opts, filter_opts,
-                semantic_bmat, semantic_opts,
+                semantic_bmat, semantic_opts, excise_opts,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

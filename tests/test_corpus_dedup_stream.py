@@ -340,3 +340,78 @@ def test_streaming_semantic_decontamination_blocks_paraphrase_leaks(
     assert {r.doc_id for r in got.select("doc_id").collect()} == {
         r.doc_id for r in expected.select("doc_id").collect()
     }
+
+
+def test_streaming_span_excision_lands_cleaned_text_with_matching_fp(
+    spark, sf_dir, tmp_path
+):
+    """excise_opts: the leaked span is cut out at the door (documents
+    land REWRITTEN, not dropped), the landed fp covers the cleaned
+    text (the cross-epoch dedup index cannot diverge from the bytes on
+    disk), two docs identical only after excision dedup to one, and
+    the survivors equal the batch operator over the same input."""
+    import pytest
+
+    from spark_cdc_replication_spark.functions.text import fingerprint
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [("what is the capital of france",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "My Post quotes: what is the capital of france end quote"),
+            (2, "a perfectly clean document with plenty of original words"),
+            # 3 and 4 differ ONLY inside the leaked span's surroundings:
+            # after excision both become "Prefix words suffix words"
+            (3, "Prefix words what is the capital of france suffix words"),
+            (4, "Prefix  words what IS the Capital of France suffix\twords"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = corpus_dedup_stream(
+            stream,
+            corpus_dir=corpus,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            bench=bench,
+            excise_opts={"n": 6},
+        )
+        q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") <= 2).write.mode("append").parquet(src)
+    run()
+    docs.filter(F.col("doc_id") >= 3).write.mode("append").parquet(src)
+    run()
+
+    got = spark.read.parquet(corpus)
+    rows = {r.doc_id: r for r in got.collect()}
+    assert rows[1].text == "My Post quotes: end quote"
+    assert rows[2].text == "a perfectly clean document with plenty of original words"
+    # 3 and 4 collapsed to one survivor (min id) AFTER excision
+    assert 3 in rows and 4 not in rows
+    # the landed fp is the fingerprint of the LANDED text, row for row
+    refp = got.withColumn("refp", fingerprint("text"))
+    assert refp.filter("fp <> refp").count() == 0
+    # batch ≡ stream on text content (modulo the within-stream dedup)
+    expected = excise_contaminated_spans(docs, bench, n=6)
+    exp_texts = {r.text for r in expected.collect()}
+    assert {r.text for r in got.collect()} <= exp_texts
+
+    # config validation: excise without bench / with decontaminate
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    with pytest.raises(ValueError, match="requires bench"):
+        corpus_dedup_stream(
+            stream, corpus, str(tmp_path / "ck2"), excise_opts={}
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        corpus_dedup_stream(
+            stream, corpus, str(tmp_path / "ck3"),
+            bench=bench, excise_opts={}, decontaminate_opts={},
+        )
