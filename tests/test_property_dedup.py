@@ -298,3 +298,55 @@ def test_decontaminate_semantic_matches_exact_model(spark, train, bench, tau):
             ).collect()
         }
         assert got == want, impl
+
+
+def model_excise(train: list[str], bench: list[str], n: int = 3):
+    """Pure-python spec for span excision: position p in doc i is a
+    leak start when the lowercased word-n-gram at p appears anywhere
+    in bench; the union of [p, p+n) word ranges is removed; docs with
+    no match stay byte-identical."""
+    bgrams = set()
+    for t in bench:
+        w = t.lower().split()
+        bgrams |= {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    out = []
+    for t in train:
+        w = t.split()
+        lw = [x.lower() for x in w]
+        starts = [
+            p
+            for p in range(len(w) - n + 1)
+            if " ".join(lw[p : p + n]) in bgrams
+        ]
+        if not starts:
+            out.append((t, 0, 0))
+            continue
+        cut = set()
+        for p in starts:
+            cut |= set(range(p, p + n))
+        kept = [w[i] for i in range(len(w)) if i not in cut]
+        out.append((" ".join(kept), len(starts), len(w) - len(kept)))
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(doc_strategy, doc_strategy)
+def test_excise_contaminated_spans_matches_python_model(spark, train, bench):
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_contaminated_spans,
+    )
+
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(t,) for t in bench], "text string")
+    got = {
+        r.doc_id: (r.text, r.n_spans_excised, r.n_words_removed)
+        for r in excise_contaminated_spans(tdf, bdf, n=3).collect()
+    }
+    want = model_excise(train, bench, n=3)
+    assert got == {i: w for i, w in enumerate(want)}
