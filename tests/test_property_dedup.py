@@ -350,3 +350,46 @@ def test_excise_contaminated_spans_matches_python_model(spark, train, bench):
     }
     want = model_excise(train, bench, n=3)
     assert got == {i: w for i, w in enumerate(want)}
+
+
+def model_line_dedup(text: str, mode: str) -> str:
+    lines = text.split("\n")
+    if mode == "consecutive":
+        out = [l for i, l in enumerate(lines) if i == 0 or l != lines[i - 1]]
+    else:
+        seen: set[str] = set()
+        out = []
+        for l in lines:
+            if l == "" or l not in seen:
+                out.append(l)
+            seen.add(l)
+    return "\n".join(out)
+
+
+#: documents as 1-8 newline-joined lines over a tiny line vocabulary
+#: (duplicates and blank lines occur constantly)
+lines_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", ""]), min_size=1, max_size=8
+    ).map("\n".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines_strategy, st.sampled_from(["all", "consecutive"]))
+def test_dedup_lines_in_doc_matches_python_model(spark, texts, mode):
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        dedup_lines_in_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in dedup_lines_in_doc(df, mode=mode).collect()}
+    assert got == {i: model_line_dedup(t, mode) for i, t in enumerate(texts)}
