@@ -365,3 +365,51 @@ def test_dedup_corpus_keep_best_removal_and_scores_broadcast(spark, sf_dir):
     assert lines and all("Broadcast" in ln for ln in lines), lines
     # exactly one window (the per-cluster rank), partitioned by cluster
     assert plan.count("Window") == 1 or plan.count("RunningWindowFunction") <= 1
+
+
+def test_excise_contaminated_spans_broadcast_probe_bodies_never_shuffle(
+    spark, sf_dir
+):
+    """Span excision's 100 TB contract: the bench n-gram set broadcasts
+    into BOTH joins (the positions probe and the matched-ids rewrite
+    join), so the only exchange in the whole plan is the per-doc
+    collect_list over MATCHED rows — contamination-volume-bounded —
+    and document bodies never reach a sort-merge or shuffled-hash
+    join."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_contaminated_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = final_plan(excise_contaminated_spans(train, bench, n=8))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # probe + rewrite joins
+    # exactly TWO hash-partitioning exchanges, both bounded: the bench
+    # gram distinct (eval-suite-sized, pre-broadcast) and the
+    # matched-rows groupBy (contamination-volume-sized).  The corpus
+    # gram explode must never hash-shuffle — it would show up as a
+    # third exchange key here.
+    import re
+
+    keys = {
+        m.split("(")[1].split("#")[0]
+        for m in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    }
+    assert keys <= {"__s", "doc_id"}, keys
+
+
+def test_dedup_lines_in_doc_plan_is_pure_projection(spark, sf_dir):
+    """Zero shuffle, zero join, zero aggregate at any size — the
+    operator is one codegen'd scan."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        dedup_lines_in_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for mode in ("all", "consecutive"):
+        plan = final_plan(dedup_lines_in_doc(docs, mode=mode))
+        assert "Exchange" not in plan, mode
+        assert "Join" not in plan, mode
+        assert "Aggregate" not in plan, mode
