@@ -388,8 +388,10 @@ def decontaminate_semantic(
     path removes by id (distinct + left-anti), so duplicate ids would
     drop clean rows sharing an id with a leaked one while the arrow
     path and the oracle filter per ROW — callers planting synthetic
-    copies must derive their ids from ``max(id_col)`` (as
-    ``q_decontaminate_semantic`` does) rather than a fixed offset.
+    copies must guarantee their id offset clears ``max(id_col)``
+    (``q_decontaminate_semantic`` guards its fixed offset against the
+    table max and fails loudly on collision) or derive the ids from
+    the max outright.
     """
     from ..functions.vectors import cosine_similarity, l2_norm
 
@@ -651,7 +653,7 @@ def dedup_corpus_keep_best(
     don't-hand-wire-the-steps contract as :func:`dedup_corpus`.
     ``cluster_fn`` / ``**cluster_kwargs`` pass through to the
     clustering step (the :func:`split_cluster_safe` precedent, ADVICE
-    r13): e.g. ``max_iters=40`` or ``on_nonconverged="keep"`` for
+    r13): e.g. ``max_iters=40`` or ``on_nonconverged="warn"`` for
     deep chains, or ``cluster_fn=dup_clusters_logstar`` for
     adversarial-diameter components — so a chain deeper than the
     default 20 rounds has caller recourse instead of a bare

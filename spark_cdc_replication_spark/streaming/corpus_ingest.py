@@ -52,24 +52,18 @@ def _dedup_batch_against_corpus(
     excise_opts: dict | None = None,
 ) -> None:
     spark = batch.sparkSession
-    if filter_opts is not None:
-        # ingest-time quality filter — per-document stateless, so it
-        # composes into the batch body ahead of everything else (reject
-        # cheap before fingerprinting/shingling pays anything).  Stage
-        # order matches batch prepare_corpus: filter -> dedup ->
-        # decontaminate.
-        from ..operators.textanalysis import filter_corpus
-
-        batch = filter_corpus(
-            batch, text_col=text_col, id_col=id_col, **filter_opts
-        )
+    excised = None
     if excise_opts is not None:
         # ingest-time SPAN excision (mutually exclusive with the
         # doc-drop decontaminate below — validated at stream setup).
-        # MUST run BEFORE fingerprinting: the landed fp column is the
-        # cross-epoch dedup index, so it has to cover the text that
-        # actually lands — and two documents identical after excision
-        # should dedup as one.  Per-batch stateless; the bench gram
+        # MUST run BEFORE the quality filter AND before fingerprinting
+        # (code review r14): the filter's length/quality thresholds
+        # have to judge the text that actually lands — a document
+        # gutted to the empty string by excision would otherwise pass
+        # the filter on its pre-excision text and persist as junk —
+        # and the landed fp (the cross-epoch dedup index) must cover
+        # the landed bytes, so two documents identical only after
+        # excision dedup as one.  Per-batch stateless; the bench gram
         # side is bounded and rebuilt per epoch like decontaminate's
         # bench shingles; the operator's counters are dropped so the
         # landed schema stays identical to every other configuration.
@@ -78,6 +72,24 @@ def _dedup_batch_against_corpus(
         batch = excise_contaminated_spans(
             batch, bench, text_col=text_col, id_col=id_col, **excise_opts
         ).drop("n_spans_excised", "n_words_removed")
+        # the excision subtree (two broadcast joins + the gram build)
+        # would otherwise re-execute for EVERY downstream consumer of
+        # the batch lineage (the within-batch dedup consumes it twice:
+        # groupBy + semi-join) — materialize it once per epoch
+        excised = batch.persist()
+        batch = excised
+    if filter_opts is not None:
+        # ingest-time quality filter — per-document stateless, so it
+        # composes into the batch body ahead of everything else (reject
+        # cheap before fingerprinting/shingling pays anything; with
+        # excision configured it runs on the POST-excision text, see
+        # above).  Stage order matches batch prepare_corpus:
+        # filter -> dedup -> decontaminate.
+        from ..operators.textanalysis import filter_corpus
+
+        batch = filter_corpus(
+            batch, text_col=text_col, id_col=id_col, **filter_opts
+        )
     fp = batch.withColumn("fp", fingerprint(text_col))
     # within-batch winner: min id per fingerprint (exact_dedup's rule)
     w_min = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
@@ -118,7 +130,11 @@ def _dedup_batch_against_corpus(
         fresh = semantic_filter_from_matrix(
             fresh, semantic_bmat, **(semantic_opts or {})
         )
-    fresh.write.mode("append").parquet(corpus_dir)
+    try:
+        fresh.write.mode("append").parquet(corpus_dir)
+    finally:
+        if excised is not None:
+            excised.unpersist()
 
 
 def corpus_dedup_stream(
@@ -170,9 +186,12 @@ def corpus_dedup_stream(
     defaults; requires ``bench``) to SURGICALLY excise leaked spans
     from each batch instead of dropping whole documents — mutually
     exclusive with ``decontaminate_opts`` since both consume ``bench``
-    with opposite dispositions.  Excision runs BEFORE fingerprinting
-    so the landed ``fp`` index covers the text that actually lands
-    (two documents identical after excision dedup as one)."""
+    with opposite dispositions.  Excision runs FIRST — before the
+    quality filter, so length/quality thresholds judge the text that
+    actually lands (a document gutted by excision is dropped by the
+    filter, not persisted as junk), and before fingerprinting, so the
+    landed ``fp`` index covers the landed bytes (two documents
+    identical after excision dedup as one)."""
     if excise_opts is not None:
         if bench is None:
             raise ValueError("excise_opts requires bench")

@@ -45,6 +45,22 @@ _WORDS_SQL = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
+def _guard_planted_offset(df: DataFrame, id_col: str, offset: int) -> None:
+    """Planted-twin fixture queries add synthetic rows at ``id +
+    offset`` with the SAME fixed offset mirrored in their oracle SQL;
+    an id-keyed operator (anti-join removal, per-id ranking) silently
+    corrupts if a future scale factor pushes real ids past the offset.
+    One parquet-stats min/max agg turns that into a loud error (the
+    q_decontaminate_semantic precedent, ADVICE r13 / code review r14).
+    """
+    max_id = df.agg(F.max(id_col)).first()[0] or 0
+    if max_id >= offset:
+        raise ValueError(
+            f"planted-twin offset {offset} does not clear max({id_col})="
+            f"{max_id}; raise the offset in BOTH the query and its oracle SQL"
+        )
+
+
 # --------------------------------------------------------------------------
 # Dedup
 # --------------------------------------------------------------------------
@@ -4029,16 +4045,8 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "label"
     )
     # decontaminate_semantic's id-uniqueness contract: planted ids
-    # must not collide with real ones, so the fixed offset (mirrored
-    # in the oracle SQL) must clear max(vec_id).  One parquet-stats
-    # min/max agg — cheap, and it turns a silent id collision at some
-    # future sf into a loud error.
-    max_id = emb.agg(F.max("vec_id")).first()[0] or 0
-    if max_id >= 30_000_000:
-        raise ValueError(
-            f"planted-leak offset 30_000_000 does not clear max(vec_id)={max_id}; "
-            "raise the offset in BOTH the query and ORACLE_DECONTAMINATE_SEMANTIC"
-        )
+    # must not collide with real ones (the native path removes by id)
+    _guard_planted_offset(emb, "vec_id", 30_000_000)
     bench = emb.filter(F.col("vec_id") % 50 == 0)
     train = emb.filter(F.col("vec_id") % 50 != 0).unionByName(
         bench.select(
@@ -4088,6 +4096,7 @@ def q_dedup_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_corpus_weighted
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _guard_planted_offset(docs, "doc_id", 10_000_000)
     near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
@@ -4132,6 +4141,7 @@ def q_dedup_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_corpus_keep_best
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _guard_planted_offset(docs, "doc_id", 10_000_000)
     near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),

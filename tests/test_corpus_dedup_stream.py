@@ -415,3 +415,47 @@ def test_streaming_span_excision_lands_cleaned_text_with_matching_fp(
             stream, corpus, str(tmp_path / "ck3"),
             bench=bench, excise_opts={}, decontaminate_opts={},
         )
+
+
+def test_streaming_excision_then_filter_drops_gutted_docs(spark, tmp_path):
+    """Code review r14: with BOTH excise_opts and filter_opts set, the
+    quality filter must judge the POST-excision text — a document that
+    is mostly a benchmark passage is excised to a stub that fails the
+    length threshold and must NOT land, while a long document that
+    merely quotes the passage lands rewritten."""
+    bench = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta",)], "text string"
+    )
+    long_tail = " ".join(f"original word number {i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            # fully-leaked: excises to '' -> min_words filter drops it
+            (1, "alpha beta gamma delta epsilon zeta"),
+            # mostly clean: excised but still > 10 words -> lands
+            (2, f"alpha beta gamma delta epsilon zeta {long_tail}"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = corpus_dedup_stream(
+        stream,
+        corpus_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bench=bench,
+        excise_opts={"n": 6},
+        # isolate the length-after-excision interplay: neutralize the
+        # language/repetition thresholds the synthetic text would trip
+        filter_opts={
+            "min_words": 10,
+            "min_quality": 0.0,
+            "langs": ("en", "und"),
+            "min_distinct_word_frac": 0.0,
+            "max_top_bigram_frac": 1.0,
+        },
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.text for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
+    assert set(got) == {2}
+    assert got[2] == long_tail
