@@ -271,6 +271,122 @@ def l_diversity(
     return totals.select(F.explode(rows).alias("__r")).select("__r.*")
 
 
+def t_closeness(
+    df: DataFrame,
+    quasi_cols,
+    sensitive_col,
+    ts=(100_000, 200_000, 300_000),
+) -> DataFrame:
+    """t-closeness risk audit — the distribution-skew companion that
+    completes the classic triad (Li et al. 2007): a class can be
+    k-anonymous AND l-diverse yet still leak — e.g. 95% of one salary
+    band where the population is uniform.  Per class C the distance is
+    the VARIATIONAL (total-variation) distance between the class's
+    sensitive-value distribution and the table-global one,
+    ``t(C) = 1/2 * sum_v |P_C(v) - P(v)|``, the paper's categorical
+    ground distance; the audit reports, per threshold ``t`` (in
+    micro-units, e.g. 100_000 = 0.1), how many classes and rows exceed
+    it, plus the table max.
+
+    EXACT INTEGER ARITHMETIC end to end: with a_v = class count,
+    n_c = class size, b_v = global count, N = total,
+    ``|a_v/n_c - b_v/N| = |a_v*N - b_v*n_c| / (n_c*N)``, so the
+    distance numerator is an integer sum and
+    ``t_micro = (S + N*n_c) * 1_000_000 div (2*n_c*N)`` where
+    ``S = sum_{v in C} (|a_v*N - b_v*n_c| - b_v*n_c)`` folds the
+    values ABSENT from the class (each contributes b_v*n_c) into the
+    closed-form ``+ N*n_c``.  Products ride DECIMAL(38,0) (N up to
+    ~1e15 stays exact; int64 would overflow at N ~ 3e9), division is
+    integer ``div`` — deterministic under any summation order, so a
+    DuckDB twin can be prepared verbatim if this ever debuts.
+
+    NULL sensitive values disclose nothing: they are excluded from
+    BOTH distributions, and a class whose every sensitive value is
+    NULL is excluded from the report entirely (consistent with
+    :func:`l_diversity`, where such a class has diversity 0 — the
+    homogeneity audit already covers it).  ``n_rows`` therefore counts
+    disclosed (non-NULL-sensitive) rows.
+
+    Output: one row per ``t`` threshold, all-integer columns
+    ``(t_micro, n_rows, n_classes, max_t_micro, classes_above,
+    rows_above)``.
+
+    Shape at scale: ONE corpus-sized shuffle — ``groupBy(QI,
+    sensitive)`` with map-side partials — lands a frame bounded by
+    |QI domain| x |sensitive domain|; class sizes, the global
+    distribution, the per-class distance aggregate, and the final
+    single-row reduce + unpivot all operate on that bounded relation
+    (the global side broadcasts).  No corpus-side joins, no collect;
+    empty input returns the vacuous report (guarded divisions).
+    """
+    qi = [
+        (c if not isinstance(c, str) else F.col(c)).alias(f"__q{i}")
+        for i, c in enumerate(quasi_cols)
+    ]
+    qnames = [f"__q{i}" for i in range(len(qi))]
+    s = F.col(sensitive_col) if isinstance(sensitive_col, str) else sensitive_col
+    named = df.select(*qi, s.alias("__v")).filter(F.col("__v").isNotNull())
+    dec = "decimal(38,0)"
+    cells = named.groupBy(*qnames, "__v").agg(
+        F.count(F.lit(1)).cast(dec).alias("__a")
+    )
+    cls = cells.groupBy(*qnames).agg(F.sum("__a").cast(dec).alias("__nc"))
+    glob = cells.groupBy("__v").agg(F.sum("__a").cast(dec).alias("__b"))
+    tot = glob.agg(F.coalesce(F.sum("__b"), F.lit(0)).cast(dec).alias("__N"))
+    j = (
+        cells.join(F.broadcast(glob), "__v")
+        .join(cls, qnames)
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        F.abs(F.col("__a") * F.col("__N") - F.col("__b") * F.col("__nc"))
+        - F.col("__b") * F.col("__nc")
+    )
+    per_class = j.groupBy(*qnames).agg(
+        F.first("__nc").alias("__nc"),
+        F.first("__N").alias("__N"),
+        F.sum(term).alias("__s0"),
+    )
+    t_micro = F.expr(
+        "CAST((__s0 + __N * __nc) * 1000000 div (2 * __nc * __N) AS BIGINT)"
+    )
+    scored = per_class.select(
+        F.col("__nc").cast("long").alias("__nc"), t_micro.alias("__t")
+    )
+    aggs = [
+        F.coalesce(F.sum("__nc"), F.lit(0)).cast("long").alias("__n_rows"),
+        F.count(F.lit(1)).cast("long").alias("__n_classes"),
+        F.coalesce(F.max("__t"), F.lit(0)).cast("long").alias("__max_t"),
+    ]
+    for t in ts:
+        above = F.col("__t") > int(t)
+        aggs.append(
+            F.coalesce(F.sum(F.when(above, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"__ca_{t}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(above, F.col("__nc"))), F.lit(0))
+            .cast("long")
+            .alias(f"__ra_{t}")
+        )
+    totals = scored.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(t)).cast("long").alias("t_micro"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col("__n_classes").alias("n_classes"),
+                F.col("__max_t").alias("max_t_micro"),
+                F.col(f"__ca_{t}").alias("classes_above"),
+                F.col(f"__ra_{t}").alias("rows_above"),
+            )
+            for t in ts
+        ]
+    )
+    return totals.select(F.explode(rows).alias("__r")).select("__r.*")
+
+
 def k_anonymize(
     df: DataFrame,
     levels,

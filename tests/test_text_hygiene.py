@@ -1047,3 +1047,102 @@ def test_excise_equivalence_with_contamination_check(spark, sf_dir):
     )
     assert again.filter("n_spans_excised > 0").count() == 0
     out.unpersist()
+
+
+def test_t_closeness_hand_computed_exact(spark):
+    """Two planted classes with hand-derivable total-variation
+    distances: class A (3x of {x,y}, global 3:1) has t = 1/4 exactly,
+    the singleton class B (1y) has t = 3/4 — integer micro-units from
+    the exact-fraction formula, no float anywhere."""
+    from spark_cdc_replication_spark.operators.privacy import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "x"), ("A", "x"), ("B", "y")],
+        "qi string, v string",
+    )
+    got = {
+        r.t_micro: r
+        for r in t_closeness(df, ["qi"], "v", ts=(100_000, 300_000)).collect()
+    }
+    for r in got.values():
+        assert r.n_rows == 4 and r.n_classes == 2
+        assert r.max_t_micro == 750_000
+    assert (got[100_000].classes_above, got[100_000].rows_above) == (2, 4)
+    assert (got[300_000].classes_above, got[300_000].rows_above) == (1, 1)
+
+
+def test_t_closeness_uniform_table_is_zero_and_null_excluded(spark):
+    """Every class distributed exactly like the global table -> max_t
+    0; NULL sensitive rows disclose nothing (excluded from both
+    distributions, all-NULL classes excluded entirely); empty input is
+    the vacuous report."""
+    from spark_cdc_replication_spark.operators.privacy import t_closeness
+
+    uniform = spark.createDataFrame(
+        [("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")],
+        "qi string, v string",
+    )
+    r = t_closeness(uniform, ["qi"], "v", ts=(0,)).collect()[0]
+    assert r.max_t_micro == 0 and r.classes_above == 0
+
+    with_null = spark.createDataFrame(
+        [("A", "x"), ("A", None), ("C", None)], "qi string, v string"
+    )
+    r = t_closeness(with_null, ["qi"], "v", ts=(500_000,)).collect()[0]
+    # class C vanishes (nothing disclosed); A's NULL doesn't count
+    assert r.n_classes == 1 and r.n_rows == 1 and r.max_t_micro == 0
+
+    empty = spark.createDataFrame([], "qi string, v string")
+    r = t_closeness(empty, ["qi"], "v", ts=(100_000,)).collect()[0]
+    assert r.n_rows == 0 and r.n_classes == 0 and r.classes_above == 0
+
+
+def test_t_closeness_matches_exact_python_model_on_customer(spark, sf_dir):
+    """Cross-check on real data: the operator's integer micro-unit
+    distances over (nation, balance-band) vs market segment must equal
+    an exact-fraction python model row for row (same integer div)."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_cdc_replication_spark.operators.privacy import t_closeness
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    qi = [
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__band"),
+    ]
+    ts = (100_000, 200_000, 300_000)
+    got = {
+        r.t_micro: (r.n_rows, r.n_classes, r.max_t_micro, r.classes_above, r.rows_above)
+        for r in t_closeness(cust, qi, "c_mktsegment", ts=ts).collect()
+    }
+
+    rows = cust.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("band"),
+        "c_mktsegment",
+    ).collect()
+    cells = defaultdict(Counter)
+    glob: Counter = Counter()
+    for r in rows:
+        if r.c_mktsegment is None:
+            continue
+        cells[(r.c_nationkey, r.band)][r.c_mktsegment] += 1
+        glob[r.c_mktsegment] += 1
+    N = sum(glob.values())
+    t_by_class = {}
+    for key, cnt in cells.items():
+        nc = sum(cnt.values())
+        s0 = sum(abs(a * N - glob[v] * nc) - glob[v] * nc for v, a in cnt.items())
+        t_by_class[key] = (s0 + N * nc) * 1_000_000 // (2 * nc * N)
+    for t in ts:
+        above = [k for k, tv in t_by_class.items() if tv > t]
+        want = (
+            N,
+            len(cells),
+            max(t_by_class.values()) if t_by_class else 0,
+            len(above),
+            sum(sum(cells[k].values()) for k in above),
+        )
+        assert got[t] == want, (t, got[t], want)
