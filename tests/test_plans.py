@@ -413,3 +413,22 @@ def test_dedup_lines_in_doc_plan_is_pure_projection(spark, sf_dir):
         assert "Exchange" not in plan, mode
         assert "Join" not in plan, mode
         assert "Aggregate" not in plan, mode
+
+
+def test_t_closeness_joins_stay_on_bounded_relations(spark, sf_dir):
+    """The triad's scale contract: the only corpus-sized exchange is
+    the (QI, sensitive) groupBy; the global-distribution and
+    class-size joins run on the domain-bounded cell relation and must
+    never fall into a sort-merge join."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc_replication_spark.operators.privacy import t_closeness
+
+    cust = load_table(spark, sf_dir, "customer")
+    qi = [
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__band"),
+    ]
+    plan = final_plan(t_closeness(cust, qi, "c_mktsegment"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
