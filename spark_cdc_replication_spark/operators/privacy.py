@@ -394,6 +394,8 @@ def k_anonymize(
     carry_cols,
     k: int = 5,
     max_suppression_micro: int = 50_000,
+    sensitive_col=None,
+    l: int = 1,
 ) -> DataFrame:
     """Make a table k-anonymous — the WRITE-path companion to
     :func:`k_anonymity`'s audit (redact : pii_stats :: k_anonymize :
@@ -413,6 +415,19 @@ def k_anonymize(
     (suppression), so the output is k-anonymous BY CONSTRUCTION under
     ``(out_names)`` — pinned by the re-audit property test.
 
+    Pass ``sensitive_col`` + ``l > 1`` to ALSO enforce distinct
+    l-diversity jointly (k-anonymity alone famously fails the
+    homogeneity attack :func:`l_diversity` audits): a class is then
+    suppressible when its size is below ``k`` OR its count of DISTINCT
+    non-NULL sensitive values is below ``l``, both the rung decision's
+    budget check and the final suppression using that joint rule — so
+    the release is k-anonymous AND l-diverse by construction (all-NULL
+    classes have diversity 0 and are suppressed, the conservative
+    :func:`l_diversity` semantics).  The combined aggregate then
+    groups by ``(every rung, sensitive)`` — cardinality bounded by the
+    finest QI domain x the sensitive domain, still corpus-independent.
+    Defaults (``l=1``) keep the original plan byte-identical.
+
     Output: ``carry_cols`` (non-identifying payload columns, kept
     verbatim) + the chosen level's QI expressions aliased to
     ``out_names``.  The original QI columns must NOT be in
@@ -431,6 +446,8 @@ def k_anonymize(
     """
     if not levels or not all(len(lvl) == len(out_names) for lvl in levels):
         raise ValueError("levels must be non-empty, each matching out_names")
+    if l > 1 and sensitive_col is None:
+        raise ValueError("l > 1 requires sensitive_col")
     lvl_names = [
         [f"__l{i}_{j}" for j in range(len(out_names))] for i in range(len(levels))
     ]
@@ -439,16 +456,35 @@ def k_anonymize(
         for lvl, names in zip(levels, lvl_names)
         for e, n in zip(lvl, names)
     ]
+    diverse = sensitive_col is not None and l > 1
+    if diverse:
+        s_col = (
+            F.col(sensitive_col) if isinstance(sensitive_col, str) else sensitive_col
+        )
+        flat = flat + [s_col.alias("__v")]
     combined = (
         df.groupBy(*flat).agg(F.count(F.lit(1)).alias("__n")).localCheckpoint()
     )
+
+    def class_stats(names):
+        aggs = [F.sum("__n").alias("__sz")]
+        if diverse:
+            aggs.append(F.count_distinct(F.col("__v")).alias("__nd"))
+        return combined.groupBy(*names).agg(*aggs)
+
+    def suppressible():
+        cond = F.col("__sz") < k
+        if diverse:
+            cond = cond | (F.col("__nd") < l)
+        return cond
+
     chosen = len(levels) - 1
     for i, names in enumerate(lvl_names):
-        cls = combined.groupBy(*names).agg(F.sum("__n").alias("__sz"))
+        cls = class_stats(names)
         row = cls.agg(
             F.coalesce(F.sum("__sz"), F.lit(0)).alias("__tot"),
             F.coalesce(
-                F.sum(F.when(F.col("__sz") < k, F.col("__sz"))), F.lit(0)
+                F.sum(F.when(suppressible(), F.col("__sz"))), F.lit(0)
             ).alias("__below"),
         ).collect()[0]
         tot, below_rows = row["__tot"], row["__below"]
@@ -457,9 +493,8 @@ def k_anonymize(
             break
     names = lvl_names[chosen]
     below = (
-        combined.groupBy(*names)
-        .agg(F.sum("__n").alias("__sz"))
-        .filter(F.col("__sz") < k)
+        class_stats(names)
+        .filter(suppressible())
         .select(*[F.col(n).alias(f"__b_{o}") for n, o in zip(names, out_names)])
     )
     gen = df.select(

@@ -1146,3 +1146,57 @@ def test_t_closeness_matches_exact_python_model_on_customer(spark, sf_dir):
             sum(sum(cells[k].values()) for k in above),
         )
         assert got[t] == want, (t, got[t], want)
+
+
+def test_k_anonymize_joint_l_diversity_suppresses_homogeneous_classes(spark):
+    """k alone passes a homogeneous class (the textbook homogeneity
+    attack); with sensitive_col + l=2 the release must come back both
+    k-anonymous AND l-diverse by construction, and defaults (l=1) must
+    behave exactly as before."""
+    from pyspark.sql import functions as F
+
+    from spark_cdc_replication_spark.operators.privacy import (
+        k_anonymity,
+        k_anonymize,
+        l_diversity,
+    )
+
+    # class A: 5 rows, ALL sensitive 'x' (k=5 ok, l=2 fails);
+    # class B: 5 rows, mixed sensitive (both ok)
+    rows = [("A", 100 + i, "x") for i in range(5)] + [
+        ("B", 200 + i, "x" if i % 2 else "y") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "qi string, payload long, v string")
+    levels = [(F.col("qi"),), (F.lit(None).cast("string"),)]
+
+    # default path: k=5 holds at the finest rung, nothing suppressed
+    plain = k_anonymize(df, levels, ["qi_out"], ["payload"], k=5)
+    assert plain.count() == 10
+
+    # joint path, generous budget: the homogeneous class A must be
+    # suppressed at the finest rung (5 of 10 rows within budget)
+    released = k_anonymize(
+        df, levels, ["qi_out"], ["payload", "v"], k=5,
+        max_suppression_micro=500_000, sensitive_col="v", l=2,
+    )
+    got = released.collect()
+    assert {r.payload for r in got} == {200, 201, 202, 203, 204}
+    # by-construction re-audit: k-anonymous AND l-diverse
+    ka = k_anonymity(released, [F.col("qi_out")], ks=(5,)).collect()[0]
+    assert ka.rows_below == 0
+    ld = l_diversity(released, [F.col("qi_out")], "v", ls=(2,)).collect()[0]
+    assert ld.classes_below == 0
+
+    # tight budget: suppressing A (50%) busts 10% -> coarsen to the
+    # NULL rung, where the single global class is diverse and whole
+    coarse = k_anonymize(
+        df, levels, ["qi_out"], ["payload", "v"], k=5,
+        max_suppression_micro=100_000, sensitive_col="v", l=2,
+    )
+    assert coarse.count() == 10
+    assert {r.qi_out for r in coarse.collect()} == {None}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires sensitive_col"):
+        k_anonymize(df, levels, ["qi_out"], ["payload"], l=2)
