@@ -86,6 +86,10 @@ HEADLINE = [
     # r14 debut (oracle-registered this round; same flat sub-second
     # shape — one QI+sensitive groupBy shuffle + a bounded reduce)
     "pii_ldiversity",
+    # r15 debut (oracle-registered this round; shares the dedup LSH
+    # pipeline — one band shuffle + verify join + CC fold, then the
+    # split arithmetic is pure codegen on the representative)
+    "split_cluster_safe",
 ]
 
 

@@ -18,93 +18,98 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-14 window (every name must carry a full rows+schema+hash
+#: Round-15 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 40 queries whose last driver-green row is r11 — at the
+#: * the 41 queries whose last driver-green row is r12 — at the
 #:   staleness bound, exactly what `tools/check_coverage.py --plan`
 #:   printed under "MANDATORY for THIS round" once
-#:   CORRECTNESS_r13.json landed: mandatory, all in (they also cover
+#:   CORRECTNESS_r14.json landed: mandatory, all in (they also cover
 #:   every family floor, so no fills are needed this round);
 #: * ONE debut (never-green oracles must be in-window; the staged
-#:   debuts are capacity-gated at ~1/round): `pii_ldiversity` against
-#:   its own ORACLE_PII_LDIVERSITY — prepared and parity-pinned when
-#:   the query was staged rows-only in r12, hash-verified at sf0.01
-#:   by the r12/r13 builders (3 sfs) and the r13 judge;
-#: * 9 r12-greens pulled forward from the due-next pool so r15's
+#:   debuts are capacity-gated at ~1/round): `split_cluster_safe`
+#:   against its own ORACLE_SPLIT_CLUSTER_SAFE — prepared and
+#:   parity-pinned when the query was staged rows-only in r12,
+#:   hash-verified at sf0.01 by the r12/r13/r14 builders and the
+#:   r13/r14 judges;
+#: * 8 r13-greens pulled forward from the due-next pool so r16's
 #:   mandatory list shrinks, chosen to keep the adjudication-watch
-#:   lines fresh (`rollup_incremental` is the r13 sf3 CREEP line
-#:   adjudicated to 1.06x; `dedup_corpus` and `decontaminate_fuzzy`
-#:   share the LSH pipeline with the `decontaminate_corpus` watch
-#:   item; `similarity_hybrid_rrf` is the most expensive
-#:   plan-audited similarity line) and to spread family coverage
-#:   (`cdc_snapshot_merge` keeps the CDC merge fixture warm,
-#:   `multimodal_features` the image fixture, `events_drift_psi` the
-#:   drift family, `asof_forward_tolerance` the asof/range-join
-#:   family floor the mandatory 40 miss,
-#:   `prepare_corpus_served` the served hygiene twin).
+#:   lines fresh (`decontaminate_corpus` is the r13/r14 watch line —
+#:   plans pinned identical by tools/plandiff_decontaminate.py;
+#:   `multimodal_audio_vad` was a record-session flag at sf3 in r14,
+#:   adjudicated clean) and to keep the most expensive plan-audited
+#:   lines under the driver's hash check (`prepare_corpus` and
+#:   `dedup_containment` are the #1/#2 bench lines,
+#:   `events_session_window` the heaviest streaming-window line) and
+#:   to spread family coverage (`asof_purchase_view` holds the
+#:   asof/range-join family floor the mandatory 41 miss;
+#:   `dedup_semantic` warms the embedding-dedup
+#:   fixture the staged `decontaminate_semantic` debut shares;
+#:   `pii_kanonymity` keeps the privacy triad fresh next to this
+#:   round's t_closeness NULL-QI fix).
 #:
-#: The steady 3-round cycle over the 141-oracle registry: each
+#: The steady 3-round cycle over the 142-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r11 (40, mandatory)
-    "cdc_increment_append",
-    "cdc_raw_partition_stats",
-    "cdc_snapshot_asof",
-    "corpus_divergence",
-    "corpus_divergence_served",
-    "customer_retention_setops",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "dedup_cross_source",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_shared_shingles",
-    "embedding_quantize",
-    "events_drift_psi_daily",
-    "events_drift_psi_served",
-    "profile_orders",
-    "q11_important_part_value",
-    "q12_ship_priority_dist",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q1_pricing_summary",
-    "q20_dominant_suppliers",
-    "q22_sales_opportunity",
-    "q7_volume_shipping",
-    "sample_k_per_source",
-    "sample_mixture",
-    "similarity_hard_negatives_ivf_all",
-    "similarity_ivfpq_all",
-    "similarity_lsh_all",
-    "text_gopher_flags",
-    "text_ngram_coverage",
-    "text_quality_calibrate",
-    "text_unigram_logprob",
-    "top_words",
-    "yoy_customer_diff",
-    # the r14 debut (never-green oracles must be in-window)
-    "pii_ldiversity",
-    # 9 r12-greens pulled forward from the due-next pool (r15
-    # mandatory shrinks; watch lines + family breadth, see above)
-    "rollup_incremental",
-    "cdc_snapshot_merge",
-    "dedup_corpus",
-    "decontaminate_fuzzy",
-    "similarity_hybrid_rrf",
-    "multimodal_features",
-    "events_drift_psi",
-    "asof_forward_tolerance",
-    "prepare_corpus_served",
+    # at the staleness bound — last driver-green r12 (41, mandatory)
+    "approx_distinct_bound",
+    "approx_percentile_bound",
+    "cdc_coalesce_updates",
+    "cdc_json_flatten",
+    "cdc_merge_incremental",
+    "cdc_name_sanitize",
+    "cdc_route_ops",
+    "cdc_union_dedup",
+    "chunk_documents",
+    "clean_corpus",
+    "cohort_retention",
+    "corpus_shuffle",
+    "corpus_stats",
+    "cube_revenue",
+    "customer_deciles",
+    "daily_revenue_trend",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
+    "embedding_label_centroids",
+    "events_tumbling_6h",
+    "fuzzy_join_parts",
+    "multimodal_frames",
+    "pii_prevalence",
+    "q10_returned_revenue",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "rollup_revenue",
+    "sample_quality_weighted",
+    "sample_stratified",
+    "similarity_hybrid_rrf_ivf_all",
+    "similarity_pq_all",
+    "similarity_topk",
+    "split_assign",
+    "text_fingerprints",
+    "text_lang_stats",
+    "text_repetition",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_orders_per_customer",
+    # the r15 debut (never-green oracles must be in-window)
+    "split_cluster_safe",
+    # 8 r13-greens pulled forward from the due-next pool (r16
+    # mandatory shrinks; watch lines + heavy lines + family breadth,
+    # see above)
+    "decontaminate_corpus",
+    "prepare_corpus",
+    "dedup_containment",
+    "events_session_window",
+    "asof_purchase_view",
+    "dedup_semantic",
+    "pii_kanonymity",
+    "multimodal_audio_vad",
 )
 
 

@@ -1850,12 +1850,12 @@ def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE split keyed by its representative — while unclustered docs
     split exactly as plain ``split_assign`` would (same namespace).
 
-    Staged oracle debut (rows-only until a window slot opens,
-    capacity-gated like pii_ldiversity): ``ORACLE_SPLIT_CLUSTER_SAFE``
-    below recomputes the ground-truth components from normalized-text
-    equality (the ORACLE_DEDUP_CLUSTERS precedent — the LSH path must
-    reproduce them transitively) and replays the split arithmetic on
-    the coalesced representative.
+    Oracle (debuted r15 after staging rows-only in r12):
+    ``ORACLE_SPLIT_CLUSTER_SAFE`` below recomputes the ground-truth
+    components from normalized-text equality (the
+    ORACLE_DEDUP_CLUSTERS precedent — the LSH path must reproduce
+    them transitively) and replays the split arithmetic on the
+    coalesced representative.
     """
     from ..operators.sampling import split_cluster_safe
 
@@ -1887,7 +1887,7 @@ _REP_SPLIT_BUCKET_SQL = (
     "::BIGINT % 10000)"
 )
 
-#: Prepared for a capacity-gated later debut (rows-only until then) —
+#: Debuted r15 (prepared while the query was staged rows-only) —
 #: ground-truth components by normalized-text equality (the
 #: ORACLE_DEDUP_CLUSTERS recipe), representative = coalesce(component
 #: min, own id), then split_assign's exact bucket arithmetic on it.
@@ -4343,8 +4343,9 @@ QUERIES = {
     "sample_k_per_source": q_sample_k_per_source,
     "sample_quality_weighted": q_sample_quality_weighted,
     "split_assign": q_split_assign,
-    # staged rows-only in r12 with ORACLE_SPLIT_CLUSTER_SAFE prepared;
-    # debut capacity-gated (140/150 surface)
+    # r15 debut — own ORACLE_SPLIT_CLUSTER_SAFE (staged rows-only in
+    # r12; hash-verified at sf0.01 by the r12/r13/r14 builders and
+    # the r13/r14 judges before entering the window)
     "split_cluster_safe": q_split_cluster_safe,
     "pack_sequences": q_pack_sequences,
     "pack_padding_waste": q_pack_padding_waste,
@@ -4454,6 +4455,11 @@ ORACLE = {
     "sample_k_per_source": ORACLE_SAMPLE_K_PER_SOURCE,
     "sample_quality_weighted": ORACLE_SAMPLE_QUALITY_WEIGHTED,
     "split_assign": ORACLE_SPLIT_ASSIGN,
+    # r15 debut — staged rows-only in r12 with this oracle prepared,
+    # judge-verified hash-green at sf0.01 in r13 and again in r14
+    # (550/550 rows) before entering the window (capacity-gated
+    # behind the r13 pii_kanonymity and r14 pii_ldiversity debuts)
+    "split_cluster_safe": ORACLE_SPLIT_CLUSTER_SAFE,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "pack_padding_waste": ORACLE_PACK_PADDING_WASTE,
     "text_quality_calibrate": ORACLE_TEXT_QUALITY_CALIBRATE,
