@@ -305,7 +305,12 @@ def t_closeness(
     NULL is excluded from the report entirely (consistent with
     :func:`l_diversity`, where such a class has diversity 0 — the
     homogeneity audit already covers it).  ``n_rows`` therefore counts
-    disclosed (non-NULL-sensitive) rows.
+    disclosed (non-NULL-sensitive) rows.  NULL **quasi-identifier**
+    values group together into a real equivalence class, exactly like
+    the siblings' ``groupBy`` semantics — the QI key rides as one
+    struct so every internal join is null-safe (struct equality treats
+    NULL fields as equal; r14 ADVICE found the multi-column join
+    dropping NULL-QI classes).
 
     Output: one row per ``t`` threshold, all-integer columns
     ``(t_micro, n_rows, n_classes, max_t_micro, classes_above,
@@ -323,26 +328,33 @@ def t_closeness(
         (c if not isinstance(c, str) else F.col(c)).alias(f"__q{i}")
         for i, c in enumerate(quasi_cols)
     ]
-    qnames = [f"__q{i}" for i in range(len(qi))]
     s = F.col(sensitive_col) if isinstance(sensitive_col, str) else sensitive_col
-    named = df.select(*qi, s.alias("__v")).filter(F.col("__v").isNotNull())
+    # QI columns ride as ONE struct key: struct equality treats NULL
+    # fields as equal, so NULL-QI rows form a class (and survive the
+    # cells<->cls join) exactly as k_anonymity/l_diversity's pure
+    # groupBy semantics promise — a null-unsafe multi-column join here
+    # silently dropped the (often riskiest, most skewed) NULL-QI
+    # classes from the audit.
+    named = df.select(F.struct(*qi).alias("__qk"), s.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
     dec = "decimal(38,0)"
-    cells = named.groupBy(*qnames, "__v").agg(
+    cells = named.groupBy("__qk", "__v").agg(
         F.count(F.lit(1)).cast(dec).alias("__a")
     )
-    cls = cells.groupBy(*qnames).agg(F.sum("__a").cast(dec).alias("__nc"))
+    cls = cells.groupBy("__qk").agg(F.sum("__a").cast(dec).alias("__nc"))
     glob = cells.groupBy("__v").agg(F.sum("__a").cast(dec).alias("__b"))
     tot = glob.agg(F.coalesce(F.sum("__b"), F.lit(0)).cast(dec).alias("__N"))
     j = (
         cells.join(F.broadcast(glob), "__v")
-        .join(cls, qnames)
+        .join(cls, "__qk")
         .crossJoin(F.broadcast(tot))
     )
     term = (
         F.abs(F.col("__a") * F.col("__N") - F.col("__b") * F.col("__nc"))
         - F.col("__b") * F.col("__nc")
     )
-    per_class = j.groupBy(*qnames).agg(
+    per_class = j.groupBy("__qk").agg(
         F.first("__nc").alias("__nc"),
         F.first("__N").alias("__N"),
         F.sum(term).alias("__s0"),

@@ -1097,6 +1097,42 @@ def test_t_closeness_uniform_table_is_zero_and_null_excluded(spark):
     assert r.n_rows == 0 and r.n_classes == 0 and r.classes_above == 0
 
 
+def test_t_closeness_null_qi_forms_a_real_class(spark):
+    """r14 ADVICE regression: NULL quasi-identifier values must group
+    into a real equivalence class (the siblings' groupBy semantics) —
+    the old null-unsafe multi-column join silently dropped the skewed
+    NULL-QI class, understating risk.  On the ADVICE repro both
+    classes have t = 1/4 exactly: class A {x,y} vs global 3:1 and the
+    NULL class {x,x} vs global 3:1 each sum to 1/2 absolute mass."""
+    from spark_cdc_replication_spark.operators.privacy import (
+        k_anonymity,
+        t_closeness,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x"), ("A", "y"), (None, "x"), (None, "x")],
+        "qi string, v string",
+    )
+    r = t_closeness(df, ["qi"], "v", ts=(200_000, 300_000)).collect()
+    got = {row.t_micro: row for row in r}
+    for row in got.values():
+        assert (row.n_rows, row.n_classes) == (4, 2)
+        assert row.max_t_micro == 250_000
+    assert (got[200_000].classes_above, got[200_000].rows_above) == (2, 4)
+    assert (got[300_000].classes_above, got[300_000].rows_above) == (0, 0)
+    # agreement with the sibling audit's class census
+    ka = k_anonymity(df, ["qi"], ks=(1,)).collect()[0]
+    assert (ka.n_rows, ka.n_classes) == (4, 2)
+
+    # multi-column QI: a NULL in ONE field still keys one class
+    df2 = spark.createDataFrame(
+        [("A", None, "x"), ("A", None, "y"), ("A", 1, "x")],
+        "q1 string, q2 int, v string",
+    )
+    r2 = t_closeness(df2, ["q1", "q2"], "v", ts=(0,)).collect()[0]
+    assert (r2.n_rows, r2.n_classes) == (3, 2)
+
+
 def test_t_closeness_matches_exact_python_model_on_customer(spark, sf_dir):
     """Cross-check on real data: the operator's integer micro-unit
     distances over (nation, balance-band) vs market segment must equal
