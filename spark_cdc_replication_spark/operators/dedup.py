@@ -448,6 +448,15 @@ def bench_matrix(bench: DataFrame, vec_col: str = "embedding"):
     mats = [r[0] for r in rows if r[0] is not None and len(r[0]) > 0]
     if not mats:
         return None
+    # same ragged-vector hardening the train side got in r14: a mixed-
+    # dimension bench would otherwise surface as numpy's opaque
+    # "inhomogeneous shape" ValueError at stream setup
+    dims = {len(v) for v in mats}
+    if len(dims) > 1:
+        raise ValueError(
+            f"bench column {vec_col!r} has mixed embedding dimensions "
+            f"{sorted(dims)}; all benchmark vectors must share one dimension"
+        )
     bmat = np.asarray(mats, dtype=np.float64)
     bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-300)
     return bmat

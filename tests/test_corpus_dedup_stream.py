@@ -415,6 +415,13 @@ def test_streaming_span_excision_lands_cleaned_text_with_matching_fp(
             stream, corpus, str(tmp_path / "ck3"),
             bench=bench, excise_opts={}, decontaminate_opts={},
         )
+    # r14 ADVICE: text_col/id_col riding excise_opts would otherwise
+    # TypeError inside foreachBatch on the first micro-batch
+    with pytest.raises(ValueError, match="must not carry"):
+        corpus_dedup_stream(
+            stream, corpus, str(tmp_path / "ck4"),
+            bench=bench, excise_opts={"text_col": "text"},
+        )
 
 
 def test_streaming_excision_then_filter_drops_gutted_docs(spark, tmp_path):

@@ -460,3 +460,24 @@ def test_decontaminate_semantic_ragged_vectors_survive_both_impls(spark):
             ).collect()
         }
         assert got == {0, 1, 2, 3, 4, 5, 7, 8}, impl  # leak gone, ragged kept
+
+
+def test_bench_matrix_rejects_ragged_bench_vectors(spark):
+    """ADVICE r14 companion to the train-side hardening above: a
+    benchmark frame with mixed embedding dimensions must fail with a
+    named error at bench_matrix time (stream setup), not numpy's
+    opaque 'inhomogeneous shape' ValueError."""
+    import pytest
+
+    from spark_cdc_replication_spark.operators.dedup import bench_matrix
+
+    bench = spark.createDataFrame(
+        [(0, [1.0] * DIM), (1, [1.0] * (DIM - 2))],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="mixed embedding dimensions"):
+        bench_matrix(bench, "embedding")
+    # uniform bench still builds, L2-normalized
+    ok = bench_matrix(bench.filter("vec_id = 0"), "embedding")
+    assert ok.shape == (1, DIM)
+    assert abs(float(np.linalg.norm(ok[0])) - 1.0) < 1e-12
