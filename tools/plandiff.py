@@ -54,6 +54,11 @@ def normalize(plan: str) -> str:
     p = re.sub(r"size=\S+", "size=x", p)
     p = re.sub(r"rowCount=\S+", "rowCount=x", p)
     p = re.sub(r"/tmp/\S+", "/tmp/x", p)
+    # Spark truncates long strings (DataFilters lists etc.) BEFORE we
+    # substitute ids, so sessions with different raw id widths cut the
+    # "..." at different points — collapse any truncated tail to bare
+    # "..." so the cut point itself can't read as a plan diff
+    p = re.sub(r"\S*\.\.\.", "...", p)
     return p
 
 

@@ -14,7 +14,12 @@ POST-EXECUTION AQE final plan (isFinalPlan=true) in
 
 then normalize expression/plan ids + runtime statistics out of both
 trees and diff what remains.  Identical normalized trees = host/JIT
-variance, not a plan flip.
+variance, not a plan flip.  (Settled r14: plans identical across six
+cold/warm sessions — SCALE.md's decontaminate_corpus adjudication.)
+
+This is the pinned decontaminate-specific entry point; the capture /
+normalize / diff machinery lives in (and is imported from) the
+generic ``plandiff.py``, so the two tools cannot drift.
 
     python tools/plandiff_decontaminate.py [--sf-dir /root/testdata/sf0.1]
                                            [--runs 3] [--out-dir /tmp]
@@ -25,72 +30,11 @@ from __future__ import annotations
 import argparse
 import difflib
 import os
-import re
 import sys
-import time
-
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def final_plan(df) -> str:
-    """AQE final physical plan, post-execution."""
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def normalize(plan: str) -> str:
-    """Strip per-session noise so two plans diff on STRUCTURE only:
-    expression ids (#123), plan ids, codegen ids, runtime row/size
-    stats, temp paths."""
-    p = re.sub(r"#\d+L?", "#x", plan)
-    p = re.sub(r"lambda x_\d+", "lambda x_n", p)
-    p = re.sub(r"plan_id=\d+", "plan_id=x", p)
-    p = re.sub(r"\[id=#?x?\d*\]", "[id=x]", p)
-    p = re.sub(r"\(\d+\)", "(n)", p)
-    p = re.sub(r"size=\S+", "size=x", p)
-    p = re.sub(r"rowCount=\S+", "rowCount=x", p)
-    p = re.sub(r"/tmp/\S+", "/tmp/x", p)
-    return p
-
-
-def run_once(spark, sf_dir: str):
-    from spark_cdc_replication_spark.workloads.llmdata import QUERIES
-
-    df = QUERIES["decontaminate_corpus"](spark, sf_dir)
-    t0 = time.time()
-    df.collect()
-    return time.time() - t0, final_plan(df)
-
-
-def session(mode: str, sf_dir: str, runs: int):
-    from pyspark.sql.functions import col, pandas_udf
-
-    from spark_cdc_replication_spark.session import get_spark
-    from spark_cdc_replication_spark.workloads.llmdata import QUERIES
-
-    spark = get_spark(f"plandiff-{mode}")
-    spark.range(1000).selectExpr("sum(id)").collect()
-
-    @pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(10_000).repartition(32).select(_warm(col("id"))).count()
-
-    if mode == "warm":
-        # bench.py order: dedup_corpus runs immediately before
-        # decontaminate_corpus (same LSH pipeline, warms codegen +
-        # parquet footers the way the fast records were taken)
-        QUERIES["dedup_corpus"](spark, sf_dir).collect()
-
-    times, plans = [], []
-    for _ in range(runs):
-        t, p = run_once(spark, sf_dir)
-        times.append(t)
-        plans.append(p)
-    spark.stop()
-    return times, plans
+from tools.plandiff import normalize, session  # noqa: E402
 
 
 def main() -> None:
@@ -106,18 +50,23 @@ def main() -> None:
         pass
 
     results = {}
-    for mode in ("cold", "warm"):
-        times, plans = session(mode, args.sf_dir, args.runs)
-        results[mode] = (times, plans)
+    for mode, warm_with in (("cold", None), ("warm", "dedup_corpus")):
+        times, plans = session(
+            "decontaminate_corpus", warm_with, args.sf_dir, args.runs
+        )
+        results[mode] = plans
         print(f"{mode}: times {[f'{t:.3f}' for t in times]}, min {min(times):.3f}s")
         path = os.path.join(args.out_dir, f"decontaminate_plan_{mode}.txt")
+        # the LAST run's plan — the one the cold-vs-warm diff below
+        # describes (writing plans[0] here while diffing plans[-1]
+        # left a misleading artifact when a plan flipped in-session)
         with open(path, "w") as fh:
-            fh.write(plans[0])
+            fh.write(plans[-1])
         print(f"  plan -> {path}")
 
     # intra-session stability first (a flip WITHIN a session would be
     # the strongest signal), then cold-vs-warm
-    for mode, (_, plans) in results.items():
+    for mode, plans in results.items():
         norm = [normalize(p) for p in plans]
         if len(set(norm)) > 1:
             print(f"!! {mode}: plan CHANGED between runs within one session")
@@ -129,8 +78,8 @@ def main() -> None:
         else:
             print(f"{mode}: plan stable across {len(plans)} runs")
 
-    a = normalize(results["cold"][1][-1]).splitlines(keepends=True)
-    b = normalize(results["warm"][1][-1]).splitlines(keepends=True)
+    a = normalize(results["cold"][-1]).splitlines(keepends=True)
+    b = normalize(results["warm"][-1]).splitlines(keepends=True)
     diff = list(difflib.unified_diff(a, b, "cold", "warm", n=2))
     if not diff:
         print("NORMALIZED PLANS IDENTICAL (cold vs warm) — no AQE flip; "
