@@ -1782,6 +1782,108 @@ FROM per_k CROSS JOIN tot
 """
 
 
+def q_pii_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness risk audit of the customer table — the
+    distribution-skew member that completes the privacy triad in the
+    registry (``pii_kanonymity`` counts small classes,
+    ``pii_ldiversity`` counts homogeneous ones; this catches classes
+    whose sensitive distribution is merely SKEWED vs the table): under
+    the quasi-identifier tuple (nation, account-balance band), per
+    threshold t in {0.1, 0.2, 0.3} (micro-units), how many equivalence
+    classes sit farther than t from the global market-segment
+    distribution in total-variation distance, and how many rows they
+    hold.  Exact integer arithmetic end to end (the operator's
+    common-denominator rewrite), so every output column is BIGINT and
+    the report hashes cross-engine.
+
+    Staged rows-only (the pii_kanonymity/pii_ldiversity staging
+    precedent): ``ORACLE_PII_TCLOSENESS`` below is prepared for a
+    capacity-gated later debut — it replays the exact-fraction
+    formula on HUGEINT products — and is hash-pinned pre-debut; the
+    operator itself carries hand-computed, python-model, NULL-QI, and
+    plan-shape floors in ``tests/test_text_hygiene.py`` /
+    ``tests/test_plans.py``.
+    """
+    from ..operators.privacy import t_closeness
+
+    cust = load_table(spark, sf_dir, "customer")
+    return t_closeness(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__acct_band"),
+        ],
+        "c_mktsegment",
+        ts=(100_000, 200_000, 300_000),
+    )
+
+
+#: Prepared for a capacity-gated later debut (rows-only until then).
+#: Exact-integer replay of t_closeness's common-denominator rewrite:
+#: with a = cell count, nc = class size, b = global count, N = total,
+#: t_micro = (S + N*nc) * 1e6 // (2*nc*N) where
+#: S = sum_cells(|a*N - b*nc| - b*nc).  Products ride HUGEINT (the
+#: DECIMAL(38,0) twin), division is integer //, the band floor() is
+#: IEEE-exact — nothing can drift between engines.  GROUP BY treats
+#: NULL QI values as one class, matching the operator's struct key.
+ORACLE_PII_TCLOSENESS = """
+WITH base AS (
+  SELECT c_nationkey AS q1,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS q2,
+         c_mktsegment AS v
+  FROM customer
+  WHERE c_mktsegment IS NOT NULL
+),
+cells AS (
+  SELECT q1, q2, v, CAST(count(*) AS HUGEINT) AS a
+  FROM base GROUP BY q1, q2, v
+),
+cls AS (
+  SELECT q1, q2, CAST(sum(a) AS HUGEINT) AS nc FROM cells GROUP BY q1, q2
+),
+gdist AS (SELECT v, CAST(sum(a) AS HUGEINT) AS b FROM cells GROUP BY v),
+tot AS (SELECT CAST(coalesce(sum(b), 0) AS HUGEINT) AS N FROM gdist),
+per_class AS (
+  SELECT c.q1, c.q2, min(l.nc) AS nc, min(t.N) AS N,
+         sum(abs(c.a * t.N - g.b * l.nc) - g.b * l.nc) AS s0
+  FROM cells c
+  JOIN gdist g ON c.v = g.v
+  JOIN cls l ON c.q1 IS NOT DISTINCT FROM l.q1
+            AND c.q2 IS NOT DISTINCT FROM l.q2
+  CROSS JOIN tot t
+  GROUP BY c.q1, c.q2
+),
+scored AS (
+  SELECT CAST(nc AS BIGINT) AS nc,
+         CAST((s0 + N * nc) * 1000000 // (2 * nc * N) AS BIGINT) AS t
+  FROM per_class
+),
+tots AS (
+  SELECT CAST(coalesce(sum(nc), 0) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(coalesce(max(t), 0) AS BIGINT) AS max_t
+  FROM scored
+),
+ts AS (SELECT unnest([100000, 200000, 300000]) AS tm),
+per_t AS (
+  SELECT ts.tm,
+         CAST(coalesce(sum(CASE WHEN s.t > ts.tm THEN 1 END), 0) AS BIGINT)
+           AS classes_above,
+         CAST(coalesce(sum(CASE WHEN s.t > ts.tm THEN s.nc END), 0) AS BIGINT)
+           AS rows_above
+  FROM ts CROSS JOIN scored s
+  GROUP BY ts.tm
+)
+SELECT CAST(per_t.tm AS BIGINT) AS t_micro,
+       tots.n_rows,
+       tots.n_classes,
+       tots.max_t AS max_t_micro,
+       per_t.classes_above,
+       per_t.rows_above
+FROM per_t CROSS JOIN tots
+"""
+
+
 def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus thinning: each document kept with
     probability equal to its quality score — the composition of the
@@ -3689,6 +3791,117 @@ GROUP BY doc_id
 """
 
 
+def q_text_line_dedup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal (the per-row companion to
+    ``text_line_dedup``'s cross-document boilerplate rule): multi-line
+    docs are synthesized with the first body line stamped THREE times
+    (chat-transcript/terminal-log shape) around a blank structural
+    line; ``mode="all"`` must keep each distinct non-empty line's
+    first occurrence in order and every blank line.  Zero shuffle by
+    construction — the operator is pure indexed-filter array
+    expressions (plan-asserted Exchange-free in
+    ``tests/test_text_hygiene.py``).
+
+    Registered rows-only with ``ORACLE_TEXT_LINE_DEDUP_DOC`` prepared
+    below (unqueued — debuts only if capacity allows after the
+    standing queue); the operator additionally carries property-model
+    floors for both modes in ``tests/test_text_hygiene.py``.
+    """
+    from ..operators.textanalysis import dedup_lines_in_doc
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    line1 = F.array_join(F.slice(w, 1, 8), " ")
+    line2 = F.array_join(F.slice(w, 9, 8), " ")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws("\n", line1, line1, F.lit(""), line2, line1, line2).alias(
+            "text"
+        ),
+    )
+    return dedup_lines_in_doc(corpus, mode="all")
+
+
+#: Prepared (unqueued) oracle for q_text_line_dedup_doc: first
+#: occurrence of each distinct non-empty line per doc, blanks always
+#: survive, original order restored by string_agg ORDER BY pos — the
+#: ORACLE_TEXT_LINE_DEDUP recipe scoped per document.
+ORACLE_TEXT_LINE_DEDUP_DOC = """
+WITH corpus AS (
+  -- coalesce each slice: DuckDB's array_to_string([]) is NULL (which
+  -- concat_ws would SKIP) where Spark's array_join([]) is '' (a blank
+  -- line that survives) — short docs must build the same line list
+  SELECT doc_id,
+         concat_ws(chr(10),
+           coalesce(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '), ''),
+           coalesce(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '), ''),
+           '',
+           coalesce(array_to_string(list_slice(string_split(text, ' '), 9, 16), ' '), ''),
+           coalesce(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '), ''),
+           coalesce(array_to_string(list_slice(string_split(text, ' '), 9, 16), ' '), '')
+         ) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, u.pos, u.line FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> struct_pack(pos := i, line := x))) AS u
+    FROM corpus
+  )
+),
+firsts AS (
+  SELECT doc_id, line, min(pos) AS fpos FROM lines
+  WHERE line <> '' GROUP BY doc_id, line
+)
+SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+FROM lines l
+LEFT JOIN firsts f ON l.doc_id = f.doc_id AND l.line = f.line
+WHERE l.line = '' OR l.pos = f.fpos
+GROUP BY l.doc_id
+"""
+
+
+def q_text_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination surface: every 10th document leaks —
+    its own first 10 words are appended at the tail AND the same
+    10-word passage plays the benchmark, so both the planted tail and
+    the document's genuine head (the same 8-grams) must be excised —
+    while the other 90% of the corpus passes through byte-identical.
+    Returns per-doc excision counters plus an ``xxhash64`` of the
+    surviving text so any drift in span semantics changes row VALUES,
+    not just counts.
+
+    Rows-only by contract (word-level n-gram excision with overlap
+    merge has no tractable SQL twin); the operator is property-tested
+    against an all-positions python model with byte-identity,
+    full-leak, overlap-merge, and idempotence floors in
+    ``tests/test_text_hygiene.py``.
+    """
+    from ..operators.textanalysis import excise_contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first10 = F.array_join(F.slice(F.split("text", " "), 1, 10), " ")
+    train = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" "), first10)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0).select(
+        first10.alias("text")
+    )
+    out = excise_contaminated_spans(train, bench, n=8)
+    return out.select(
+        "doc_id",
+        "n_spans_excised",
+        "n_words_removed",
+        F.xxhash64("text").alias("text_hash"),
+    )
+
+
 def q_text_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed quality filter, survivor-returning and hash-green:
     quality >= 0.5, predicted language en, >= 20 words, distinct-word
@@ -4370,6 +4583,10 @@ QUERIES = {
     # rows-only BY CONTRACT (data-dependent ladder-rung control flow);
     # floors in tests/test_text_hygiene.py
     "pii_kanonymize": q_pii_kanonymize,
+    # staged rows-only in r15 with ORACLE_PII_TCLOSENESS prepared;
+    # debut capacity-gated (142/150 surface) — completes the privacy
+    # triad's registry presence
+    "pii_tcloseness": q_pii_tcloseness,
     "corpus_shuffle": q_corpus_shuffle,
     "sample_mixture": q_sample_mixture,
     "sample_mixture_temperature": q_sample_mixture_temperature,
@@ -4410,6 +4627,13 @@ QUERIES = {
     # prepared; debut capacity-gated (141/150 surface)
     "dedup_corpus_keep_best": q_dedup_corpus_keep_best,
     "text_line_dedup": q_text_line_dedup,
+    # staged rows-only in r15 with ORACLE_TEXT_LINE_DEDUP_DOC prepared
+    # (unqueued — debuts only if capacity allows after the queue)
+    "text_line_dedup_doc": q_text_line_dedup_doc,
+    # rows-only BY CONTRACT (span excision with overlap merge has no
+    # tractable SQL twin); property-model floors in
+    # tests/test_text_hygiene.py; value drift surfaces via text_hash
+    "text_excise_spans": q_text_excise_spans,
     "text_filter_corpus": q_text_filter_corpus,
     "prepare_corpus": q_prepare_corpus,
     # r12 debut — shares ORACLE_PREPARE_CORPUS (staged rows-only in

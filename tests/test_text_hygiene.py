@@ -789,6 +789,80 @@ def test_l_diversity_cross_engine_parity_on_planted_customer(spark):
     assert got == want
 
 
+def test_t_closeness_cross_engine_parity_on_planted_customer(spark):
+    """Replay the EXACT prepared ORACLE_PII_TCLOSENESS SQL over a
+    planted customer table — including NULL-band (NULL-QI) classes and
+    NULL sensitive rows — and compare row-for-row (the staging proof
+    every prepared oracle gets)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.operators.privacy import t_closeness
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_PII_TCLOSENESS,
+    )
+
+    cust = pd.DataFrame(
+        [
+            (i, f"Customer#{i}", i % 5,
+             None if i % 13 == 0 else (i * 739.07) % 4000 - 500,
+             ["AUTO", "HOUSE", "SHIP", "FOOD"][i % 4] if i % 11 else None)
+            for i in range(80)
+        ],
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    con = duckdb.connect()
+    con.register("customer", cust)
+    res = con.execute(ORACLE_PII_TCLOSENESS)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+    sdf = t_closeness(
+        spark.createDataFrame(cust),
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__acct_band"),
+        ],
+        "c_mktsegment",
+        ts=(100_000, 200_000, 300_000),
+    )
+    got = {tuple(r[c] for c in cols) for r in sdf.collect()}
+    assert got == want
+
+
+def test_line_dedup_doc_cross_engine_parity_on_planted_docs(spark):
+    """Replay the EXACT prepared ORACLE_TEXT_LINE_DEDUP_DOC SQL over
+    planted documents (long, exactly-8-word, and short texts) and
+    compare the registered query's output row-for-row."""
+    import duckdb
+    import pandas as pd
+
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        ORACLE_TEXT_LINE_DEDUP_DOC,
+        q_text_line_dedup_doc,
+    )
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel " \
+            "india juliet kilo lima mike november oscar papa quebec"
+    docs = pd.DataFrame(
+        [(0, words), (1, "one two three"), (2, " ".join(words.split()[:8]))],
+        columns=["doc_id", "text"],
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    res = con.execute(ORACLE_TEXT_LINE_DEDUP_DOC)
+    cols = [d[0] for d in res.description]
+    want = set(map(tuple, res.fetchall()))
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs).write.parquet(os.path.join(td, "documents.parquet"))
+        sdf = q_text_line_dedup_doc(spark, td)
+        got = {tuple(r[c] for c in cols) for r in sdf.collect()}
+    assert got == want
+
+
 def test_k_anonymize_picks_finest_passing_level(spark):
     """Ladder choice: level 0 (zip, all singletons) cannot meet k=3
     with a zero suppression budget; level 1 (city, classes of 4) can —
