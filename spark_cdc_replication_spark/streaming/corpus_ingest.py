@@ -200,14 +200,19 @@ def corpus_dedup_stream(
                 "excise_opts and decontaminate_opts are mutually exclusive: "
                 "both consume bench, one excises spans, the other drops docs"
             )
-        # text_col/id_col are passed explicitly to
-        # excise_contaminated_spans; letting them ride excise_opts too
-        # would raise a duplicate-keyword TypeError inside foreachBatch
-        # on the FIRST micro-batch — fail at setup like everything else
-        clash = {"text_col", "id_col"} & set(excise_opts)
+    # text_col/id_col are passed explicitly to every per-batch
+    # operator; letting them ride an opts dict too would raise a
+    # duplicate-keyword TypeError inside foreachBatch on the FIRST
+    # micro-batch — fail at setup like everything else
+    for opts_name, opts in (
+        ("excise_opts", excise_opts),
+        ("decontaminate_opts", decontaminate_opts),
+        ("filter_opts", filter_opts),
+    ):
+        clash = {"text_col", "id_col"} & set(opts or ())
         if clash:
             raise ValueError(
-                f"excise_opts must not carry {sorted(clash)}: pass "
+                f"{opts_name} must not carry {sorted(clash)}: pass "
                 "text_col/id_col as corpus_dedup_stream arguments"
             )
     semantic_bmat = None

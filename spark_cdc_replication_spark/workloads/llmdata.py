@@ -1866,12 +1866,15 @@ tots AS (
 ),
 ts AS (SELECT unnest([100000, 200000, 300000]) AS tm),
 per_t AS (
+  -- LEFT JOIN, not CROSS JOIN: with zero disclosed classes the
+  -- operator still emits one vacuous row per threshold, so the
+  -- oracle must keep every ts row when scored is empty
   SELECT ts.tm,
          CAST(coalesce(sum(CASE WHEN s.t > ts.tm THEN 1 END), 0) AS BIGINT)
            AS classes_above,
          CAST(coalesce(sum(CASE WHEN s.t > ts.tm THEN s.nc END), 0) AS BIGINT)
            AS rows_above
-  FROM ts CROSS JOIN scored s
+  FROM ts LEFT JOIN scored s ON TRUE
   GROUP BY ts.tm
 )
 SELECT CAST(per_t.tm AS BIGINT) AS t_micro,
@@ -3810,10 +3813,20 @@ def q_text_line_dedup_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textanalysis import dedup_lines_in_doc
 
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # tokenize ONCE behind a Generate barrier (the filter_corpus r8
+    # idiom): line1/line2 reference the split 5x below, and chained
+    # projections would let Catalyst inline the tokenizer into every
+    # reference — a Project cannot collapse into a Generate
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(F.struct(F.split("text", " ").alias("w")))
+        ).alias("__t"),
+    )
+    w = F.col("__t.w")
     line1 = F.array_join(F.slice(w, 1, 8), " ")
     line2 = F.array_join(F.slice(w, 9, 8), " ")
-    corpus = docs.select(
+    corpus = g.select(
         "doc_id",
         F.concat_ws("\n", line1, line1, F.lit(""), line2, line1, line2).alias(
             "text"

@@ -415,12 +415,23 @@ def test_streaming_span_excision_lands_cleaned_text_with_matching_fp(
             stream, corpus, str(tmp_path / "ck3"),
             bench=bench, excise_opts={}, decontaminate_opts={},
         )
-    # r14 ADVICE: text_col/id_col riding excise_opts would otherwise
-    # TypeError inside foreachBatch on the first micro-batch
-    with pytest.raises(ValueError, match="must not carry"):
+    # r14 ADVICE: text_col/id_col riding ANY opts dict would otherwise
+    # TypeError inside foreachBatch on the first micro-batch — every
+    # per-batch operator receives them explicitly
+    with pytest.raises(ValueError, match="excise_opts must not carry"):
         corpus_dedup_stream(
             stream, corpus, str(tmp_path / "ck4"),
             bench=bench, excise_opts={"text_col": "text"},
+        )
+    with pytest.raises(ValueError, match="decontaminate_opts must not carry"):
+        corpus_dedup_stream(
+            stream, corpus, str(tmp_path / "ck5"),
+            bench=bench, decontaminate_opts={"id_col": "doc_id"},
+        )
+    with pytest.raises(ValueError, match="filter_opts must not carry"):
+        corpus_dedup_stream(
+            stream, corpus, str(tmp_path / "ck6"),
+            filter_opts={"text_col": "text", "id_col": "doc_id"},
         )
 
 

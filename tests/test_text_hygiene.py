@@ -828,6 +828,31 @@ def test_t_closeness_cross_engine_parity_on_planted_customer(spark):
     got = {tuple(r[c] for c in cols) for r in sdf.collect()}
     assert got == want
 
+    # all-NULL sensitive: zero disclosed classes — BOTH engines must
+    # still emit one vacuous row per threshold (the oracle's per_t is
+    # a LEFT JOIN for exactly this)
+    con2 = duckdb.connect()
+    con2.register("cust_base", cust)
+    con2.execute(
+        "CREATE VIEW customer AS SELECT c_custkey, c_name, c_nationkey, "
+        "c_acctbal, CAST(NULL AS VARCHAR) AS c_mktsegment FROM cust_base"
+    )
+    res2 = con2.execute(ORACLE_PII_TCLOSENESS)
+    want2 = set(map(tuple, res2.fetchall()))
+    sdf2 = t_closeness(
+        spark.createDataFrame(cust).withColumn(
+            "c_mktsegment", F.lit(None).cast("string")
+        ),
+        [
+            F.col("c_nationkey"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("__acct_band"),
+        ],
+        "c_mktsegment",
+        ts=(100_000, 200_000, 300_000),
+    )
+    got2 = {tuple(r[c] for c in cols) for r in sdf2.collect()}
+    assert len(want2) == 3 and got2 == want2
+
 
 def test_line_dedup_doc_cross_engine_parity_on_planted_docs(spark):
     """Replay the EXACT prepared ORACLE_TEXT_LINE_DEDUP_DOC SQL over
