@@ -453,6 +453,8 @@ def excise_contaminated_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fixpoint: bool = False,
+    max_passes: int = 4,
 ) -> DataFrame:
     """SPAN-LEVEL decontamination — the surgical alternative to
     :func:`operators.dedup.decontaminate`'s whole-document drop: when
@@ -477,11 +479,18 @@ def excise_contaminated_spans(
     Output adds ``n_spans_excised`` (matched start positions) and
     ``n_words_removed`` per row (0 for untouched docs).
 
-    Known property, deliberate: excision can juxtapose words across a
-    removed gap, and the stitched seam could itself form a new
-    benchmark n-gram — run to fixpoint if that matters (one extra pass
-    is the practical bound; at n >= 8 a seam match needs an
-    adversarial corpus).
+    Known property: excision can juxtapose words across a removed gap,
+    and the stitched seam could itself form a new benchmark n-gram.
+    ``fixpoint=True`` closes this (r15; previously only documented as
+    a caller recourse): re-excise until a pass finds nothing, capped
+    at ``max_passes`` (one extra pass is the practical bound — at
+    n >= 8 a seam match needs an adversarial corpus, and each pass
+    strictly removes words, so termination is guaranteed anyway).
+    Counters accumulate across passes; each pass is materialized via
+    eager ``localCheckpoint`` (lineage stays flat, the termination
+    probe reuses the blocks) and the per-pass driver action is one
+    ``limit(1).count()`` on the matched subset — the single-pass
+    default stays action-free and byte-identical to before.
 
     Scale shape (100 TB train, bounded eval suites): the bench n-gram
     set is exploded + deduped once (eval-suite-sized) and the
@@ -518,42 +527,75 @@ def excise_contaminated_spans(
     bench_ided = benchmark.select(F.col(text_col)).withColumn(
         "__bench_id", F.monotonically_increasing_id()
     )
+    # built ONCE — the bench side never changes across fixpoint passes
     bench_grams = (
         _grams(bench_ided, F.col("__bench_id"))
         .select(F.explode("__grams").alias("__s"))
         .distinct()
     )
 
-    positions = _grams(df, F.col(id_col)).select(
-        F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
-    )
-    # inner join: only leak starts survive — contamination-volume-sized
-    matched = (
-        positions.join(F.broadcast(bench_grams), on="__s", how="inner")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
-    )
+    def _once(frame: DataFrame) -> DataFrame:
+        positions = _grams(frame, F.col(id_col)).select(
+            F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
+        )
+        # inner join: only leak starts survive —
+        # contamination-volume-sized
+        matched = (
+            positions.join(F.broadcast(bench_grams), on="__s", how="inner")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
+        )
 
-    joined = df.join(F.broadcast(matched), on=id_col, how="left")
-    w = words(text_col)
-    kept = F.filter(
-        w,
-        lambda x, i: ~F.exists(
-            F.col("__starts"), lambda p: (i >= p) & (i < p + F.lit(n))
-        ),
-    )
-    cleaned = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
-        F.concat_ws(" ", kept)
-    )
-    removed = F.when(F.col("__starts").isNull(), F.lit(0)).otherwise(
-        F.size(w) - F.size(kept)
-    )
-    return (
-        joined.withColumn("n_spans_excised", F.coalesce(F.size("__starts"), F.lit(0)))
-        .withColumn("n_words_removed", removed.cast("int"))
-        .withColumn(text_col, cleaned)
-        .drop("__starts")
-    )
+        joined = frame.join(F.broadcast(matched), on=id_col, how="left")
+        w = words(text_col)
+        kept = F.filter(
+            w,
+            lambda x, i: ~F.exists(
+                F.col("__starts"), lambda p: (i >= p) & (i < p + F.lit(n))
+            ),
+        )
+        cleaned = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+            F.concat_ws(" ", kept)
+        )
+        removed = F.when(F.col("__starts").isNull(), F.lit(0)).otherwise(
+            F.size(w) - F.size(kept)
+        )
+        return (
+            joined.withColumn(
+                "n_spans_excised", F.coalesce(F.size("__starts"), F.lit(0))
+            )
+            .withColumn("n_words_removed", removed.cast("int"))
+            .withColumn(text_col, cleaned)
+            .drop("__starts")
+        )
+
+    out = _once(df)
+    if not fixpoint or max_passes <= 1:
+        return out
+    acc = out.withColumn("__last_s", F.col("n_spans_excised"))
+    for _ in range(max_passes - 1):
+        acc = acc.localCheckpoint()
+        if acc.filter(F.col("__last_s") > 0).limit(1).count() == 0:
+            break
+        prev = (
+            acc.drop("__last_s")
+            .withColumnRenamed("n_spans_excised", "__acc_s")
+            .withColumnRenamed("n_words_removed", "__acc_w")
+        )
+        nxt = _once(prev)
+        acc = (
+            nxt.withColumn("__last_s", F.col("n_spans_excised"))
+            .withColumn(
+                "n_spans_excised",
+                (F.col("__acc_s") + F.col("__last_s")).cast("int"),
+            )
+            .withColumn(
+                "n_words_removed",
+                (F.col("__acc_w") + F.col("n_words_removed")).cast("int"),
+            )
+            .drop("__acc_s", "__acc_w")
+        )
+    return acc.drop("__last_s")
 
 
 def chunk_documents(

@@ -1114,6 +1114,60 @@ def test_excise_contaminated_spans_overlap_merge_and_full_leak(spark):
     assert len(got) == 2
 
 
+def test_excise_fixpoint_closes_seam_stitched_leaks(spark):
+    """r15: the documented seam caveat, closed — excising 'b c d' from
+    'a b c d e f g' stitches 'a e f', itself a benchmark trigram; a
+    single pass leaves it, fixpoint=True re-excises until a pass finds
+    nothing, with counters ACCUMULATED across passes.  On seam-free
+    fixtures (and with max_passes=1) fixpoint is row-identical to the
+    single pass, and clean docs stay byte-identical."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_contaminated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("b c d",), ("a e f",)], "text string")
+
+    single = {r.doc_id: r for r in
+              excise_contaminated_spans(docs, bench, n=3).collect()}
+    assert single[1].text == "a e f g"          # the stitched leak survives
+    assert (single[1].n_spans_excised, single[1].n_words_removed) == (1, 3)
+
+    fixed = {r.doc_id: r for r in
+             excise_contaminated_spans(docs, bench, n=3, fixpoint=True).collect()}
+    assert fixed[1].text == "g"                  # pass 2 excised the seam
+    assert (fixed[1].n_spans_excised, fixed[1].n_words_removed) == (2, 6)
+    assert fixed[2].text == "h i j k l m"        # clean doc byte-identical
+    assert (fixed[2].n_spans_excised, fixed[2].n_words_removed) == (0, 0)
+
+    # max_passes=1 degenerates to the single pass exactly
+    capped = {r.doc_id: r for r in
+              excise_contaminated_spans(
+                  docs, bench, n=3, fixpoint=True, max_passes=1).collect()}
+    assert {k: tuple(v) for k, v in capped.items()} == {
+        k: tuple(v) for k, v in single.items()
+    }
+
+    # seam-free fixture: fixpoint ≡ single pass row for row
+    nf_docs = spark.createDataFrame(
+        [(1, "alpha beta GAMMA delta epsilon zeta tail words here"),
+         (2, "Alpha Beta Gamma Delta")],
+        "doc_id long, text string",
+    )
+    nf_bench = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("gamma delta epsilon zeta",)],
+        "text string",
+    )
+    one = sorted(map(tuple, excise_contaminated_spans(
+        nf_docs, nf_bench, n=4).collect()))
+    fp = sorted(map(tuple, excise_contaminated_spans(
+        nf_docs, nf_bench, n=4, fixpoint=True).collect()))
+    assert one == fp
+
+
 def test_excise_equivalence_with_contamination_check(spark, sf_dir):
     """Every document contamination_check flags (>= 1 matching
     n-gram... on the same normalized tokenization) must come back
