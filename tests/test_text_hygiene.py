@@ -1250,6 +1250,21 @@ def test_t_closeness_uniform_table_is_zero_and_null_excluded(spark):
     assert r.n_rows == 0 and r.n_classes == 0 and r.classes_above == 0
 
 
+def test_t_closeness_partition_invariance(spark):
+    """All-integer output must be identical under any physical layout
+    (the l_diversity floor, applied to the third triad member): the
+    exact-integer distance sum is order-independent by construction."""
+    from spark_cdc_replication_spark.operators.privacy import t_closeness
+
+    rows = [(i % 7, ["x", "y", "z", None][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(rows, "qi int, v string")
+    base = sorted(map(tuple, t_closeness(df, ["qi"], "v").collect()))
+    again = sorted(
+        map(tuple, t_closeness(df.repartition(13), ["qi"], "v").collect())
+    )
+    assert base == again
+
+
 def test_t_closeness_null_qi_forms_a_real_class(spark):
     """r14 ADVICE regression: NULL quasi-identifier values must group
     into a real equivalence class (the siblings' groupBy semantics) —
