@@ -90,6 +90,10 @@ HEADLINE = [
     # pipeline — one band shuffle + verify join + CC fold, then the
     # split arithmetic is pure codegen on the representative)
     "split_cluster_safe",
+    # r16 debut (oracle-registered this round; dedup_corpus's LSH
+    # pipeline plus cluster-bounded size/drop joins — the survivor
+    # rewrite that preserves duplication mass as n_duplicates)
+    "dedup_corpus_weighted",
 ]
 
 

@@ -18,98 +18,95 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-15 window (every name must carry a full rows+schema+hash
+#: Round-16 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 41 queries whose last driver-green row is r12 — at the
+#: * the 42 queries whose last driver-green row is r13 — at the
 #:   staleness bound, exactly what `tools/check_coverage.py --plan`
 #:   printed under "MANDATORY for THIS round" once
-#:   CORRECTNESS_r14.json landed: mandatory, all in (they also cover
-#:   every family floor, so no fills are needed this round);
+#:   CORRECTNESS_r15.json landed: mandatory, all in;
 #: * ONE debut (never-green oracles must be in-window; the staged
-#:   debuts are capacity-gated at ~1/round): `split_cluster_safe`
-#:   against its own ORACLE_SPLIT_CLUSTER_SAFE — prepared and
+#:   debuts are capacity-gated at ~1/round): `dedup_corpus_weighted`
+#:   against its own ORACLE_DEDUP_CORPUS_WEIGHTED — prepared and
 #:   parity-pinned when the query was staged rows-only in r12,
-#:   hash-verified at sf0.01 by the r12/r13/r14 builders and the
-#:   r13/r14 judges;
-#: * 8 r13-greens pulled forward from the due-next pool so r16's
-#:   mandatory list shrinks, chosen to keep the adjudication-watch
-#:   lines fresh (`decontaminate_corpus` is the r13/r14 watch line —
-#:   plans pinned identical by tools/plandiff_decontaminate.py;
-#:   `multimodal_audio_vad` was a record-session flag at sf3 in r14,
-#:   adjudicated clean) and to keep the most expensive plan-audited
-#:   lines under the driver's hash check (`prepare_corpus` and
-#:   `dedup_containment` are the #1/#2 bench lines,
-#:   `events_session_window` the heaviest streaming-window line) and
-#:   to spread family coverage (`asof_purchase_view` holds the
-#:   asof/range-join family floor the mandatory 41 miss;
-#:   `dedup_semantic` warms the embedding-dedup
-#:   fixture the staged `decontaminate_semantic` debut shares;
-#:   `pii_kanonymity` keeps the privacy triad fresh next to this
-#:   round's t_closeness NULL-QI fix).
+#:   hash-verified at sf0.01 by the r14/r15 builders and the r14/r15
+#:   judges (500/500 rows);
+#: * 7 r14-greens pulled forward from the due-next pool so r17's
+#:   mandatory list shrinks, chosen to keep the flagship under the
+#:   hash check (`cdc_snapshot_merge` is `entry()`'s query), to keep
+#:   the heaviest plan-audited lines fresh (`prepare_corpus_served`
+#:   is the served twin of the #1 bench line — it also holds the
+#:   hygiene family floor the mandatory 42 miss;
+#:   `similarity_hybrid_rrf` is a top-5 bench line;
+#:   `q1_pricing_summary` the heaviest classic TPC-H agg), to sit
+#:   parity next to this round's debut (`dedup_corpus` shares the
+#:   3-member planting fixture with `dedup_corpus_weighted`), and to
+#:   spread family coverage (`pii_ldiversity` keeps the privacy triad
+#:   fresh next to the staged `pii_tcloseness` pre-certification;
+#:   `events_drift_psi` anchors the streaming drift monitors).
 #:
-#: The steady 3-round cycle over the 142-oracle registry: each
+#: The steady 3-round cycle over the 143-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r12 (41, mandatory)
-    "approx_distinct_bound",
-    "approx_percentile_bound",
-    "cdc_coalesce_updates",
-    "cdc_json_flatten",
-    "cdc_merge_incremental",
-    "cdc_name_sanitize",
-    "cdc_route_ops",
-    "cdc_union_dedup",
-    "chunk_documents",
-    "clean_corpus",
-    "cohort_retention",
-    "corpus_shuffle",
-    "corpus_stats",
-    "cube_revenue",
-    "customer_deciles",
-    "daily_revenue_trend",
-    "dedup_minhash_verified",
-    "dedup_simhash_verified",
-    "embedding_label_centroids",
-    "events_tumbling_6h",
-    "fuzzy_join_parts",
-    "multimodal_frames",
-    "pii_prevalence",
-    "q10_returned_revenue",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_revenue_forecast",
-    "rollup_revenue",
-    "sample_quality_weighted",
-    "sample_stratified",
-    "similarity_hybrid_rrf_ivf_all",
-    "similarity_pq_all",
-    "similarity_topk",
-    "split_assign",
-    "text_fingerprints",
-    "text_lang_stats",
-    "text_repetition",
-    "text_stats",
-    "tfidf_top_terms",
-    "top_orders_per_customer",
-    # the r15 debut (never-green oracles must be in-window)
-    "split_cluster_safe",
-    # 8 r13-greens pulled forward from the due-next pool (r16
-    # mandatory shrinks; watch lines + heavy lines + family breadth,
-    # see above)
-    "decontaminate_corpus",
-    "prepare_corpus",
-    "dedup_containment",
-    "events_session_window",
-    "asof_purchase_view",
-    "dedup_semantic",
-    "pii_kanonymity",
-    "multimodal_audio_vad",
+    # at the staleness bound — last driver-green r13 (42, mandatory)
+    "cdc_antijoin_survivors",
+    "cdc_last_writer_wins",
+    "dedup_exact",
+    "dedup_representatives",
+    "embedding_outliers",
+    "embedding_project",
+    "embedding_separation",
+    "events_anomaly_days",
+    "events_hopping_6h_2h",
+    "events_sessionize",
+    "funnel_conversion",
+    "multimodal_resize",
+    "pack_padding_waste",
+    "pack_sequences",
+    "pii_scrub",
+    "pivot_status_revenue",
+    "q2_best_supplier_per_part",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "range_join_signup_views",
+    "sample_importance",
+    "sample_importance_weights",
+    "sample_mixture_temperature",
+    "sample_quality_bands",
+    "sample_token_budget",
+    "similarity_hard_negatives",
+    "similarity_ivf_all",
+    "similarity_ivf_int8_all",
+    "similarity_knn_label",
+    "split_temporal",
+    "text_bigram_logprob",
+    "text_bm25_topk",
+    "text_contamination",
+    "text_filter_corpus",
+    "text_language_id",
+    "text_line_dedup",
+    "text_quality_calibrate_binned",
+    "text_quality_score",
+    "top_words_salted",
+    "user_behavior_topk",
+    "validate_orders",
+    # the r16 debut (never-green oracles must be in-window)
+    "dedup_corpus_weighted",
+    # 7 r14-greens pulled forward from the due-next pool (r17
+    # mandatory shrinks; flagship + heavy lines + debut parity +
+    # family breadth, see above)
+    "cdc_snapshot_merge",
+    "prepare_corpus_served",
+    "similarity_hybrid_rrf",
+    "q1_pricing_summary",
+    "dedup_corpus",
+    "pii_ldiversity",
+    "events_drift_psi",
 )
 
 

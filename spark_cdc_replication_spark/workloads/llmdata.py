@@ -4315,9 +4315,9 @@ def q_dedup_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sum(n_duplicates) == |corpus|`` exactly (mass moves onto
     canonicals, never created or destroyed).
 
-    Staged oracle debut (rows-only until a window slot opens,
-    capacity-gated): ``ORACLE_DEDUP_CORPUS_WEIGHTED`` below extends
-    the normalized-text ground truth with per-group counts.
+    Oracle-registered since the r16 debut (staged rows-only in r12):
+    ``ORACLE_DEDUP_CORPUS_WEIGHTED`` below extends the normalized-text
+    ground truth with per-group counts.
     """
     from ..operators.dedup import dedup_corpus_weighted
 
@@ -4633,8 +4633,7 @@ QUERIES = {
     # prepared; debut capacity-gated (140/150 surface)
     "decontaminate_semantic": q_decontaminate_semantic,
     "dedup_corpus": q_dedup_corpus,
-    # staged rows-only in r12 with ORACLE_DEDUP_CORPUS_WEIGHTED
-    # prepared; debut capacity-gated (141/150 surface)
+    # r16 oracle debut (staged rows-only in r12; see ORACLE dict note)
     "dedup_corpus_weighted": q_dedup_corpus_weighted,
     # staged rows-only in r14 with ORACLE_DEDUP_CORPUS_KEEP_BEST
     # prepared; debut capacity-gated (141/150 surface)
@@ -4733,6 +4732,11 @@ ORACLE = {
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,
+    # r16 debut — staged rows-only in r12 with this oracle prepared,
+    # hash-verified at sf0.01 by the r14/r15 builders and the r14/r15
+    # judges (500/500 rows) before entering the window
+    # (capacity-gated behind the r15 split_cluster_safe debut)
+    "dedup_corpus_weighted": ORACLE_DEDUP_CORPUS_WEIGHTED,
     "text_line_dedup": ORACLE_TEXT_LINE_DEDUP,
     "text_filter_corpus": ORACLE_TEXT_FILTER_CORPUS,
     "prepare_corpus": ORACLE_PREPARE_CORPUS,

@@ -56,9 +56,12 @@ def normalize(plan: str) -> str:
     p = re.sub(r"/tmp/\S+", "/tmp/x", p)
     # Spark truncates long strings (DataFilters lists etc.) BEFORE we
     # substitute ids, so sessions with different raw id widths cut the
-    # "..." at different points — collapse any truncated tail to bare
-    # "..." so the cut point itself can't read as a plan diff
-    p = re.sub(r"\S*\.\.\.", "...", p)
+    # "..." at different points — collapse the truncated TAIL to bare
+    # "..." so the cut point itself can't read as a plan diff.  Only
+    # Spark's truncation idiom (end-of-line, optionally followed by
+    # ", N more fields") is collapsed; a mid-line token that merely
+    # contains "..." is a real plan difference and must survive
+    p = re.sub(r"\S*\.\.\.(,? \d+ more fields)?$", "...", p, flags=re.M)
     return p
 
 
@@ -138,8 +141,14 @@ def main() -> None:
         b = normalize(results["warm"][-1]).splitlines(keepends=True)
         diff = list(difflib.unified_diff(a, b, "cold", "warm", n=2))
         if not diff:
+            raw = list(difflib.unified_diff(
+                results["cold"][-1].splitlines(keepends=True),
+                results["warm"][-1].splitlines(keepends=True),
+                "cold raw", "warm raw", n=0))
             print("NORMALIZED PLANS IDENTICAL (cold vs warm) — no AQE flip; "
-                  "the timing spread is host/JIT variance")
+                  "the timing spread is host/JIT variance "
+                  f"(raw plans differ on {len(raw)} lines — ids/stats noise "
+                  "if small; inspect the saved raw plans if it looks large)")
         else:
             print(f"PLANS DIFFER (cold vs warm), {len(diff)} diff lines:")
             sys.stdout.writelines(diff[:120])
