@@ -3915,6 +3915,72 @@ def q_text_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the seam plant shared by the fixpoint query and its prepared oracle:
+#: pass 1 excises the zzb trigram, stitching zza2..zza4 adjacent — a
+#: bench trigram only pass 2 can see.  zz-prefixed tokens cannot occur
+#: in the synthetic documents vocabulary, so the plant is the ONLY
+#: contamination in the corpus.
+_SEAM_TAIL = " zza1 zza2 zzb1 zzb2 zzb3 zza3 zza4"
+
+
+def q_text_excise_spans_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``fixpoint=True`` mode of span excision, driven end to end
+    on a planted SEAM fixture (VERDICT r15 item 7): every 20th
+    document gains the tail ``zza1 zza2 zzb1 zzb2 zzb3 zza3 zza4`` and
+    the benchmark holds exactly two trigrams — ``zzb1 zzb2 zzb3``
+    (present pre-excision) and ``zza2 zza3 zza4`` (NOT present until
+    pass 1 cuts the zzb span and stitches the zza run together).  A
+    single pass leaves the seam leak; fixpoint must run a second pass,
+    leaving ``<original text> zza1`` with accumulated counters
+    (2 spans, 6 words) per planted doc, and every other document
+    byte-identical with (0, 0).
+
+    Rows-only in the driver gate (the single-pass surface's contract),
+    but on THIS fixture the closed-form rewrite is SQL-replayable, so
+    ``ORACLE_TEXT_EXCISE_SPANS_FIXPOINT`` below is prepared for
+    ``tools/check_staged.py`` certification (unqueued — debuts only if
+    rotation capacity ever allows); until then the pytest floor pins
+    the same expectations at sf0.001.
+    """
+    from ..operators.textanalysis import excise_contaminated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0, F.concat("text", F.lit(_SEAM_TAIL))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = spark.createDataFrame(
+        [("zzb1 zzb2 zzb3",), ("zza2 zza3 zza4",)], "text string"
+    )
+    out = excise_contaminated_spans(train, bench, n=3, fixpoint=True)
+    return out.select(
+        "doc_id",
+        "n_spans_excised",
+        "n_words_removed",
+        F.md5(F.col("text").cast("binary")).alias("text_fp"),
+    )
+
+
+#: Prepared for tools/check_staged.py (unqueued): the seam fixture's
+#: closed-form replay — planted docs must come back as
+#: ``<original> zza1`` with counters (2, 6), everything else
+#: byte-identical with (0, 0).
+ORACLE_TEXT_EXCISE_SPANS_FIXPOINT = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 20 = 0 THEN 2 ELSE 0 END AS INT)
+         AS n_spans_excised,
+       CAST(CASE WHEN doc_id % 20 = 0 THEN 6 ELSE 0 END AS INT)
+         AS n_words_removed,
+       md5(CASE WHEN doc_id % 20 = 0 THEN text || ' zza1' ELSE text END)
+         AS text_fp
+FROM documents
+"""
+
+
 def q_text_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed quality filter, survivor-returning and hash-green:
     quality >= 0.5, predicted language en, >= 20 words, distinct-word
@@ -4646,6 +4712,10 @@ QUERIES = {
     # tractable SQL twin); property-model floors in
     # tests/test_text_hygiene.py; value drift surfaces via text_hash
     "text_excise_spans": q_text_excise_spans,
+    # r16 rows-only surface driving fixpoint=True on a planted seam
+    # fixture; ORACLE_TEXT_EXCISE_SPANS_FIXPOINT prepared (unqueued)
+    # for tools/check_staged.py certification
+    "text_excise_spans_fixpoint": q_text_excise_spans_fixpoint,
     "text_filter_corpus": q_text_filter_corpus,
     "prepare_corpus": q_prepare_corpus,
     # r12 debut — shares ORACLE_PREPARE_CORPUS (staged rows-only in

@@ -1404,3 +1404,38 @@ def test_k_anonymize_joint_l_diversity_suppresses_homogeneous_classes(spark):
 
     with pytest.raises(ValueError, match="requires sensitive_col"):
         k_anonymize(df, levels, ["qi_out"], ["payload"], l=2)
+
+
+def test_fixpoint_registry_seam_fixture_pins_two_pass_counters(spark, sf_dir):
+    """The r16 registry surface (text_excise_spans_fixpoint) on its
+    planted seam fixture: every 20th doc needs exactly TWO passes —
+    the zzb trigram first, then the seam-stitched zza trigram —
+    ending as ``<original> zza1`` with accumulated counters (2, 6);
+    every other doc is byte-identical with (0, 0).  Pins the same
+    closed-form expectations ORACLE_TEXT_EXCISE_SPANS_FIXPOINT
+    replays, so the prepared oracle and the operator can't drift."""
+    from spark_cdc_replication_spark.workloads.llmdata import (
+        q_text_excise_spans_fixpoint,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    rows = {r.doc_id: r for r in q_text_excise_spans_fixpoint(spark, sf_dir).collect()}
+    assert set(rows) == set(orig)
+
+    import hashlib
+
+    planted = clean = 0
+    for doc_id, r in rows.items():
+        if doc_id % 20 == 0:
+            expect = orig[doc_id] + " zza1"
+            assert (r.n_spans_excised, r.n_words_removed) == (2, 6)
+            planted += 1
+        else:
+            expect = orig[doc_id]
+            assert (r.n_spans_excised, r.n_words_removed) == (0, 0)
+            clean += 1
+        assert r.text_fp == hashlib.md5(expect.encode()).hexdigest()
+    assert planted > 0 and clean > 0
