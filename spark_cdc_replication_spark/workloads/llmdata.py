@@ -4388,13 +4388,13 @@ def q_dedup_corpus_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_corpus_weighted
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    _guard_planted_offset(docs, "doc_id", 10_000_000)
+    _guard_planted_offset(docs, "doc_id", 1_000_000_000_000)
     near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
     )
     near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        (F.col("doc_id") + 2_000_000_000_000).alias("doc_id"),
         F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
     )
     corpus = docs.unionByName(near1).unionByName(near2)
@@ -4433,13 +4433,13 @@ def q_dedup_corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_corpus_keep_best
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    _guard_planted_offset(docs, "doc_id", 10_000_000)
+    _guard_planted_offset(docs, "doc_id", 1_000_000_000_000)
     near1 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
     )
     near2 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        (F.col("doc_id") + 2_000_000_000_000).alias("doc_id"),
         F.concat(F.regexp_replace("text", " ", "\t"), F.lit("  ")).alias("text"),
     )
     corpus = (
@@ -4472,10 +4472,10 @@ ORACLE_DEDUP_CORPUS_KEEP_BEST = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 1000000000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM documents WHERE doc_id % 20 = 0
   UNION ALL
-  SELECT doc_id + 20000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  SELECT doc_id + 2000000000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
   FROM documents WHERE doc_id % 20 = 0
 ),
 tn AS (
@@ -4502,10 +4502,10 @@ ORACLE_DEDUP_CORPUS_WEIGHTED = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+  SELECT doc_id + 1000000000000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
   FROM documents WHERE doc_id % 20 = 0
   UNION ALL
-  SELECT doc_id + 20000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
+  SELECT doc_id + 2000000000000 AS doc_id, concat(replace(text, ' ', chr(9)), '  ') AS text
   FROM documents WHERE doc_id % 20 = 0
 ),
 tn AS (
