@@ -157,3 +157,47 @@ def test_bench_flag_rule_needs_both_readings_slower():
     assert flag_for(1.04, 1.0, 0.62) is None
     # tiny calibrated delta (< 0.10s) stays silent even at high ratio
     assert flag_for(0.15, 0.1, 1.0) is None
+
+
+def test_every_prepared_oracle_is_live_or_staged_discoverable():
+    """Every module-level ORACLE_* constant in workloads.llmdata must
+    be either (a) registered in the live ``oracle_sql()`` surface or
+    (b) named exactly ORACLE_<QUERY> for a registered query — the
+    contract tools/check_staged.py's auto-discovery relies on.  A
+    prepared oracle that matches neither (a renamed query, a typo'd
+    constant) would silently drop out of the per-round 3-sf staging
+    certification; this makes that loud."""
+    import __spark_entry__ as entrymod
+    from spark_cdc_replication_spark.workloads import llmdata
+
+    live_sql = set(entrymod.oracle_sql().values())
+    registered = set(entrymod.queries())
+    orphans = []
+    for const in dir(llmdata):
+        if not const.startswith("ORACLE_"):
+            continue
+        sql = getattr(llmdata, const)
+        if not isinstance(sql, str):
+            continue
+        name = const[len("ORACLE_"):].lower()
+        if sql not in live_sql and name not in registered:
+            orphans.append(const)
+    assert not orphans, (
+        f"prepared oracles invisible to both the driver gate and "
+        f"check_staged discovery: {orphans}"
+    )
+
+    # and the discovery itself currently sees the documented queue
+    import sys
+
+    sys.path.insert(0, "tools")
+    from check_staged import staged_pairs
+
+    staged = set(staged_pairs())
+    assert staged == {
+        "decontaminate_semantic",
+        "dedup_corpus_keep_best",
+        "pii_tcloseness",
+        "text_line_dedup_doc",
+        "text_excise_spans_fixpoint",
+    }, f"staged queue drifted: {sorted(staged)} — update this pin on debut"
