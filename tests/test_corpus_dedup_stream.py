@@ -477,3 +477,47 @@ def test_streaming_excision_then_filter_drops_gutted_docs(spark, tmp_path):
     got = {r.doc_id: r.text for r in spark.read.parquet(str(tmp_path / "corpus")).collect()}
     assert set(got) == {2}
     assert got[2] == long_tail
+
+
+def test_streaming_span_excision_fixpoint_closes_seams_at_the_door(
+    spark, tmp_path
+):
+    """excise_opts forwards raw operator kwargs, so ``fixpoint=True``
+    must work INSIDE foreachBatch — the mode runs per-pass driver
+    actions (limit(1).count()) and touched-only localCheckpoints
+    within the micro-batch, exactly the machinery worth a streaming
+    regression pin.  Seam fixture from the unit floor: excising
+    'b c d' from 'a b c d e f g' stitches 'a e f', itself a bench
+    trigram only pass 2 can see — the landed text must be the
+    TWO-pass result, across two separate checkpointed epochs."""
+    bench = spark.createDataFrame([("b c d",), ("a e f",)], "text string")
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+
+    def run():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        q = corpus_dedup_stream(
+            stream,
+            corpus_dir=corpus,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            bench=bench,
+            excise_opts={"n": 3, "fixpoint": True},
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(
+        [(3, "x y a b c d e f g tail")], "doc_id long, text string"
+    ).write.mode("append").parquet(src)
+    run()
+
+    rows = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert rows[1] == "g"                     # both passes applied
+    assert rows[2] == "h i j k l m"           # clean doc byte-identical
+    # epoch 2: pass 1 cuts 'b c d', stitching 'a e f' mid-string for
+    # pass 2 — landed text is the fixpoint, not the single pass
+    assert rows[3] == "x y g tail"
