@@ -447,6 +447,59 @@ def contamination_check(
     )
 
 
+def _excise_grams(frame: DataFrame, ident, n: int, text_col: str) -> DataFrame:
+    """``(ident, __grams)`` — per row, the ``xxhash64`` of every
+    complete lowercased word-``n``-window.  Tokenizes the ORIGINAL
+    text (whitespace only — no normalization) so word positions map
+    1:1 onto words the rewrite can re-emit with casing and punctuation
+    intact; matching lowercases per word instead.  Shared by the
+    bench-driven and self-supervised span excisers."""
+    from .dedup import _shingle_windows
+
+    toks = frame.select(
+        ident,
+        F.transform(words(text_col), F.lower).alias("__w"),
+    )
+    arr = F.transform(
+        _shingle_windows(n),
+        lambda s: F.xxhash64(*[s[str(i)] for i in range(n)], F.lit(42)),
+    )
+    return toks.select(ident, arr.alias("__grams"))
+
+
+def _excise_rewrite(
+    frame: DataFrame, matched: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Rewrite ``frame`` given ``matched`` = ``(id_col, __starts)``
+    rows for the ids with >= 1 excisable span start: cut the union of
+    ``[p, p+n)`` ranges, keep everything else (untouched ids pass
+    byte-identical via the left join), add the counters.  Shared by
+    the bench-driven and self-supervised span excisers; the caller
+    chooses whether ``matched`` rides a broadcast hint."""
+    joined = frame.join(matched, on=id_col, how="left")
+    w = words(text_col)
+    kept = F.filter(
+        w,
+        lambda x, i: ~F.exists(
+            F.col("__starts"), lambda p: (i >= p) & (i < p + F.lit(n))
+        ),
+    )
+    cleaned = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    removed = F.when(F.col("__starts").isNull(), F.lit(0)).otherwise(
+        F.size(w) - F.size(kept)
+    )
+    return (
+        joined.withColumn(
+            "n_spans_excised", F.coalesce(F.size("__starts"), F.lit(0))
+        )
+        .withColumn("n_words_removed", removed.cast("int"))
+        .withColumn(text_col, cleaned)
+        .drop("__starts")
+    )
+
+
 def excise_contaminated_spans(
     df: DataFrame,
     benchmark: DataFrame,
@@ -520,34 +573,18 @@ def excise_contaminated_spans(
     64-bit collision bound: a clean span is wrongly excised only if
     its hash equals one of the |bench| gram hashes (~|bench|·2⁻⁶⁴).
     """
-    from .dedup import _shingle_windows
-
-    # Tokenize the ORIGINAL text (whitespace only — no normalization)
-    # so word positions map 1:1 onto words we can re-emit with casing
-    # and punctuation intact; matching lowercases per word instead.
-    def _grams(frame: DataFrame, ident) -> DataFrame:
-        toks = frame.select(
-            ident,
-            F.transform(words(text_col), F.lower).alias("__w"),
-        )
-        arr = F.transform(
-            _shingle_windows(n),
-            lambda s: F.xxhash64(*[s[str(i)] for i in range(n)], F.lit(42)),
-        )
-        return toks.select(ident, arr.alias("__grams"))
-
     bench_ided = benchmark.select(F.col(text_col)).withColumn(
         "__bench_id", F.monotonically_increasing_id()
     )
     # built ONCE — the bench side never changes across fixpoint passes
     bench_grams = (
-        _grams(bench_ided, F.col("__bench_id"))
+        _excise_grams(bench_ided, F.col("__bench_id"), n, text_col)
         .select(F.explode("__grams").alias("__s"))
         .distinct()
     )
 
     def _once(frame: DataFrame) -> DataFrame:
-        positions = _grams(frame, F.col(id_col)).select(
+        positions = _excise_grams(frame, F.col(id_col), n, text_col).select(
             F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
         )
         # inner join: only leak starts survive —
@@ -557,29 +594,7 @@ def excise_contaminated_spans(
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
         )
-
-        joined = frame.join(F.broadcast(matched), on=id_col, how="left")
-        w = words(text_col)
-        kept = F.filter(
-            w,
-            lambda x, i: ~F.exists(
-                F.col("__starts"), lambda p: (i >= p) & (i < p + F.lit(n))
-            ),
-        )
-        cleaned = F.when(F.col("__starts").isNull(), F.col(text_col)).otherwise(
-            F.concat_ws(" ", kept)
-        )
-        removed = F.when(F.col("__starts").isNull(), F.lit(0)).otherwise(
-            F.size(w) - F.size(kept)
-        )
-        return (
-            joined.withColumn(
-                "n_spans_excised", F.coalesce(F.size("__starts"), F.lit(0))
-            )
-            .withColumn("n_words_removed", removed.cast("int"))
-            .withColumn(text_col, cleaned)
-            .drop("__starts")
-        )
+        return _excise_rewrite(frame, F.broadcast(matched), n, text_col, id_col)
 
     out = _once(df)
     if not fixpoint or max_passes <= 1:
@@ -641,6 +656,87 @@ def excise_contaminated_spans(
             .localCheckpoint()
         )
     return acc.unionByName(rest).drop("__last_s")
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    n: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SELF-supervised repeated-span removal — the cross-document
+    boilerplate scrub (license headers, templated footers, quoted
+    chain-mail paragraphs) that whole-line dedup misses when the
+    repeated passage doesn't align to line boundaries and
+    :func:`excise_contaminated_spans` can't express because there is
+    no external benchmark: the "benchmark" is the corpus itself.
+    Lee et al.'s substring-dedup observation (Deduplicating Training
+    Data Makes Language Models Better, ACL 2022) motivates the
+    contract; the suffix-array machinery is replaced by the engine's
+    gram-postings shape.
+
+    Semantics (word-level, case-insensitive): position ``p`` in a
+    document starts a repeated span when the lowercased
+    word-``n``-gram at ``p`` occurs in >= ``min_docs`` DISTINCT
+    documents; the excised region per doc is the union of all
+    ``[p, p+n)`` ranges (overlaps merge; EVERY occurrence is removed —
+    repeated boilerplate is noise in all its copies, unlike near-dup
+    documents where :func:`operators.dedup.dedup_corpus` keeps a
+    canonical).  Untouched docs — including NULL/empty/short ones —
+    pass through byte-identical; rewritten docs keep surviving words
+    joined by single spaces; counters ``n_spans_excised`` /
+    ``n_words_removed`` per row.  Within-doc-only repetition never
+    triggers (distinct-doc count is 1); ``text_repetition`` covers
+    that axis.  Default ``n=12``: long enough that natural cross-doc
+    collisions are noise, short enough to catch one-sentence
+    boilerplate.  Known seam property shared with the bench exciser:
+    excision can juxtapose words into a NEW n-gram; a fixpoint here
+    would need the repeated-gram relation recomputed per pass (the
+    "bench" changes as the corpus changes) — out of scope, and at
+    n >= 12 a seam must reassemble in >= min_docs docs simultaneously
+    to re-trigger.
+
+    Scale shape (100 TB): TWO gram-keyed shuffles of long-only rows —
+    the repeated-gram build (distinct ``(gram, doc)`` then a two-phase
+    count, the irreducible cost any substring dedup pays; a suffix
+    array pays a global sort of every token) and the positions probe
+    join.  This is the deliberate skew-safe alternative to
+    ``dedup_containment``'s single-shuffle postings list: a
+    ``(gram, [occurrences])`` posting for corpus-wide boilerplate
+    would materialize a |docs|-sized array inside ONE task, and unlike
+    containment's ``max_doc_freq`` knob the hottest grams are exactly
+    the ones this operator must keep; two-phase partial counts and
+    AQE's skew-join splitting both handle a gram in millions of
+    documents, a giant ``collect_list`` row does not.  Only matched
+    ``(id, pos)`` rows — bounded by the true repetition volume, which
+    IS the work product — reach the per-doc ``collect_list``; doc
+    bodies never shuffle (the rewrite joins the matched table back
+    onto the corpus, AQE choosing the strategy — no forced broadcast,
+    since boilerplate can live in every document).  Probe keys are
+    xxhash64 (8-byte) with the same ~2⁻⁶⁴ collision bound as the
+    bench exciser.
+    """
+    positions = _excise_grams(df, F.col(id_col), n, text_col).select(
+        F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
+    )
+    # distinct (gram, doc) then a two-phase count — never a per-gram
+    # occurrence list, which would put corpus-wide boilerplate's
+    # every occurrence into one task (see docstring)
+    repeated = (
+        positions.select("__s", id_col)
+        .distinct()
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("__s")
+    )
+    matched = (
+        positions.join(repeated, on="__s", how="inner")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
+    )
+    return _excise_rewrite(df, matched, n, text_col, id_col)
 
 
 def chunk_documents(

@@ -3965,6 +3965,32 @@ def q_text_excise_spans_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_excise_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-supervised repeated-span removal over the RAW corpus — no
+    plant needed: the synthetic documents vocabulary is tiny, so
+    natural cross-document 12-gram repeats exist at every sf (43 /
+    45 / 463 docs touched at sf0.001/0.01/0.1 when this surface
+    landed), and the operator must find and excise exactly those.
+    Returns per-doc excision counters plus an ``md5`` of the surviving
+    text so span-semantics drift changes row VALUES.
+
+    Rows-only by contract (same as ``text_excise_spans``: word-level
+    span union + reassembly has no tractable SQL twin); the floor is
+    the all-positions python model over the full sf0.001 corpus in
+    ``tests/test_text_hygiene.py`` plus the planted operator floors.
+    """
+    from ..operators.textanalysis import excise_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = excise_repeated_spans(docs, n=12, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_spans_excised",
+        "n_words_removed",
+        F.md5(F.col("text").cast("binary")).alias("text_fp"),
+    )
+
+
 #: Prepared for tools/check_staged.py (unqueued): the seam fixture's
 #: closed-form replay — planted docs must come back as
 #: ``<original> zza1`` with counters (2, 6), everything else
@@ -4716,6 +4742,11 @@ QUERIES = {
     # fixture; ORACLE_TEXT_EXCISE_SPANS_FIXPOINT prepared (unqueued)
     # for tools/check_staged.py certification
     "text_excise_spans_fixpoint": q_text_excise_spans_fixpoint,
+    # r16 rows-only BY CONTRACT (word-level span union + reassembly
+    # has no tractable SQL twin): SELF-supervised cross-doc
+    # boilerplate excision over the raw corpus's natural repeats;
+    # all-positions python-model floor over the full sf0.001 corpus
+    "text_excise_repeated": q_text_excise_repeated,
     "text_filter_corpus": q_text_filter_corpus,
     "prepare_corpus": q_prepare_corpus,
     # r12 debut — shares ORACLE_PREPARE_CORPUS (staged rows-only in

@@ -1439,3 +1439,133 @@ def test_fixpoint_registry_seam_fixture_pins_two_pass_counters(spark, sf_dir):
             clean += 1
         assert r.text_fp == hashlib.md5(expect.encode()).hexdigest()
     assert planted > 0 and clean > 0
+
+
+def test_excise_repeated_spans_removes_cross_doc_boilerplate(spark):
+    """The self-supervised exciser: a boilerplate trigram planted in 3
+    docs is cut from ALL of them (every occurrence is noise), a
+    within-doc-only repeat never triggers (distinct-doc count is 1),
+    unique docs pass byte-identical, min_docs is a hard boundary, and
+    overlapping repeated grams merge into one span union."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one COMMON BOILER PLATE omega"),
+            (2, "beta two common boiler plate"),
+            (3, "common Boiler Plate gamma three four"),
+            # within-doc repetition only — must survive whole
+            (4, "self self self self self self"),
+            (5, "a perfectly unique document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in excise_repeated_spans(docs, n=3, min_docs=2).collect()}
+    assert out[1].text == "alpha one omega"
+    assert out[2].text == "beta two"
+    assert out[3].text == "gamma three four"
+    assert (out[1].n_spans_excised, out[1].n_words_removed) == (1, 3)
+    assert out[4].text == "self self self self self self"
+    assert (out[4].n_spans_excised, out[4].n_words_removed) == (0, 0)
+    assert out[5].text == "a perfectly unique document here"
+
+    # min_docs boundary: the same plant with min_docs=4 touches nothing
+    clean = excise_repeated_spans(docs, n=3, min_docs=4)
+    assert clean.filter("n_spans_excised > 0").count() == 0
+    assert {r.text for r in clean.collect()} == {r.text for r in docs.collect()}
+
+    # overlap merge: docs 6/7 share the 4-word run 'p q r s', so with
+    # n=3 two overlapping starts (p q r, q r s) merge into one cut of
+    # 4 words — 2 span starts counted, 4 words removed
+    more = spark.createDataFrame(
+        [(6, "x p q r s y"), (7, "z p q r s w")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in excise_repeated_spans(more, n=3, min_docs=2).collect()}
+    assert got[6].text == "x y" and got[7].text == "z w"
+    assert (got[6].n_spans_excised, got[6].n_words_removed) == (2, 4)
+
+
+def test_excise_repeated_spans_edges_and_partition_invariance(spark):
+    """NULL/empty/short docs pass byte-identical with zero counters;
+    a fully-boilerplate doc becomes the empty string (never dropped);
+    results are invariant to the input partitioning."""
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared run of words here plus one tail"),
+            (2, "shared run of words here plus one"),
+            (3, None),
+            (4, ""),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in excise_repeated_spans(docs, n=7, min_docs=2).collect()}
+    assert out[1].text == "tail" and out[2].text == ""
+    assert (out[2].n_spans_excised, out[2].n_words_removed) == (1, 7)
+    assert out[3].text is None and out[3].n_spans_excised == 0
+    assert out[4].text == "" and out[4].n_words_removed == 0
+    assert out[5].text == "tiny"
+    assert excise_repeated_spans(docs, n=7, min_docs=2).count() == 5
+
+    a = sorted(map(tuple, excise_repeated_spans(docs.repartition(1), n=7, min_docs=2).collect()))
+    b = sorted(map(tuple, excise_repeated_spans(docs.repartition(13), n=7, min_docs=2).collect()))
+    assert a == b
+
+
+def test_excise_repeated_spans_matches_all_positions_python_model(spark, sf_dir):
+    """The whole real sf0.001 corpus vs a brute-force python model:
+    tokenize lowercased, count DISTINCT docs per 12-gram, excise the
+    union of [p, p+12) at every start whose gram lives in >= 2 docs,
+    re-emit original-case survivors — byte-for-byte per doc, counters
+    exact.  The corpus carries natural cross-doc repeats (its vocab is
+    tiny), so this exercises real collisions, not just plants."""
+    import re as _re
+
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        excise_repeated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    n = 12
+
+    def toks(t):
+        t = _re.sub(r"^\s+|\s+$", "", t or "")
+        return t.split() if t else []
+
+    gram_docs = {}
+    for did, t in rows.items():
+        w = [x.lower() for x in toks(t)]
+        for p in range(len(w) - n + 1):
+            gram_docs.setdefault(tuple(w[p : p + n]), set()).add(did)
+    expected = {}
+    for did, t in rows.items():
+        orig = toks(t)
+        w = [x.lower() for x in orig]
+        starts = [
+            p
+            for p in range(len(w) - n + 1)
+            if len(gram_docs[tuple(w[p : p + n])]) >= 2
+        ]
+        cut = set()
+        for p in starts:
+            cut.update(range(p, p + n))
+        kept = [orig[i] for i in range(len(orig)) if i not in cut]
+        text = " ".join(kept) if starts else t
+        expected[did] = (text, len(starts), len(orig) - len(kept) if starts else 0)
+
+    got = {
+        r.doc_id: (r.text, r.n_spans_excised, r.n_words_removed)
+        for r in excise_repeated_spans(docs, n=n, min_docs=2).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in got.values()), "fixture lost its natural repeats"
