@@ -94,6 +94,11 @@ HEADLINE = [
     # pipeline plus cluster-bounded size/drop joins — the survivor
     # rewrite that preserves duplication mass as n_duplicates)
     "dedup_corpus_weighted",
+    # r16 rows-only surface: self-supervised repeated-span excision —
+    # two gram-keyed shuffles + the span rewrite; added AFTER the
+    # builder's BENCH_r16_sf1/_sf3 records landed, so its first sf1+
+    # record is r17's (sf-curve probes in SCALE.md r16 meanwhile)
+    "text_excise_repeated",
 ]
 
 
