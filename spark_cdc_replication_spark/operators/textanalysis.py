@@ -717,22 +717,81 @@ def excise_repeated_spans(
     xxhash64 (8-byte) with the same ~2⁻⁶⁴ collision bound as the
     bench exciser.
     """
+    return excise_gram_spans(
+        df, repeated_grams(df, n, min_docs, text_col, id_col), n,
+        text_col=text_col, id_col=id_col,
+    )
+
+
+def repeated_grams(
+    df: DataFrame,
+    n: int = 12,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cross-document repeated-gram relation — one column ``gram``
+    (the ``xxhash64`` of a lowercased word-``n``-window) per n-gram
+    occurring in >= ``min_docs`` DISTINCT documents.  This is the
+    BOILERPLATE INDEX a nightly batch job publishes (write it as
+    parquet) so ingest streams can excise arriving documents against
+    it via :func:`excise_gram_spans` — the production split of the
+    self-supervised scrub's inherent retroactivity: a stream cannot
+    know a gram is boilerplate until enough copies have arrived, so
+    the batch pass discovers, the stream enforces, and the next batch
+    pass re-scrubs what landed before discovery.
+
+    Shape: the distinct ``(gram, doc)`` + two-phase count build from
+    :func:`excise_repeated_spans` (same skew rationale — never a
+    per-gram occurrence list); output volume is the number of
+    DISTINCT repeated grams, eval-index-sized for realistic
+    boilerplate density.
+    """
     positions = _excise_grams(df, F.col(id_col), n, text_col).select(
         F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
     )
     # distinct (gram, doc) then a two-phase count — never a per-gram
     # occurrence list, which would put corpus-wide boilerplate's
-    # every occurrence into one task (see docstring)
-    repeated = (
+    # every occurrence into one task (see excise_repeated_spans)
+    return (
         positions.select("__s", id_col)
         .distinct()
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__d"))
         .filter(F.col("__d") >= min_docs)
-        .select("__s")
+        .select(F.col("__s").alias("gram"))
+    )
+
+
+def excise_gram_spans(
+    df: DataFrame,
+    grams: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Excise every span whose lowercased word-``n``-gram hash appears
+    in ``grams`` (a one-column ``gram`` relation, e.g. a published
+    :func:`repeated_grams` index).  ``n`` MUST equal the value the
+    gram relation was built with — hashes of different window widths
+    never collide meaningfully, so a mismatch silently excises
+    nothing.  Same rewrite contract as the other excisers: union of
+    ``[p, p+n)`` ranges, untouched/NULL/short docs byte-identical,
+    ``n_spans_excised`` / ``n_words_removed`` counters.
+
+    Scale shape: ONE positions probe join against the gram relation
+    (AQE broadcasts an eval-index-sized gram set; a corpus-sized one
+    sort-merges with skew splitting) + the matched-volume-bounded
+    per-doc fold + the rewrite join — the cheap enforcement half of
+    the discover/enforce split, suitable per micro-batch.
+    """
+    positions = _excise_grams(df, F.col(id_col), n, text_col).select(
+        F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
     )
     matched = (
-        positions.join(repeated, on="__s", how="inner")
+        positions.join(
+            grams.select(F.col("gram").alias("__s")), on="__s", how="inner"
+        )
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
     )

@@ -50,9 +50,26 @@ def _dedup_batch_against_corpus(
     semantic_bmat=None,
     semantic_opts: dict | None = None,
     excise_opts: dict | None = None,
+    boilerplate_grams: DataFrame | None = None,
+    boilerplate_n: int = 12,
 ) -> None:
     spark = batch.sparkSession
     excised = None
+    if boilerplate_grams is not None:
+        # ingest-time BOILERPLATE excision against a published
+        # repeated_grams index — the enforcement half of the
+        # discover/enforce split (see corpus_dedup_stream's doc).
+        # Runs FIRST, before the bench exciser and for the same
+        # reasons both excisions precede the filter and the fp: the
+        # filter must judge and the dedup index must cover the text
+        # that actually lands.  Cheap per batch: one positions probe
+        # against the (caller-persisted) gram relation.
+        from ..operators.textanalysis import excise_gram_spans
+
+        batch = excise_gram_spans(
+            batch, boilerplate_grams, boilerplate_n,
+            text_col=text_col, id_col=id_col,
+        ).drop("n_spans_excised", "n_words_removed")
     if excise_opts is not None:
         # ingest-time SPAN excision (mutually exclusive with the
         # doc-drop decontaminate below — validated at stream setup).
@@ -76,6 +93,12 @@ def _dedup_batch_against_corpus(
         # would otherwise re-execute for EVERY downstream consumer of
         # the batch lineage (the within-batch dedup consumes it twice:
         # groupBy + semi-join) — materialize it once per epoch
+        excised = batch.persist()
+        batch = excised
+    if boilerplate_grams is not None and excised is None:
+        # same multi-consumer rationale as above when boilerplate
+        # excision runs WITHOUT the bench exciser (whose persist
+        # would otherwise cover both stages downstream)
         excised = batch.persist()
         batch = excised
     if filter_opts is not None:
@@ -150,6 +173,8 @@ def corpus_dedup_stream(
     semantic_bench: DataFrame | None = None,
     semantic_opts: dict | None = None,
     excise_opts: dict | None = None,
+    boilerplate_grams: DataFrame | None = None,
+    boilerplate_opts: dict | None = None,
 ) -> StreamingQuery:
     """Continuously ingest documents, appending only content-new ones.
 
@@ -191,7 +216,29 @@ def corpus_dedup_stream(
     actually lands (a document gutted by excision is dropped by the
     filter, not persisted as junk), and before fingerprinting, so the
     landed ``fp`` index covers the landed bytes (two documents
-    identical after excision dedup as one)."""
+    identical after excision dedup as one).
+
+    Pass ``boilerplate_grams`` (a static one-column ``gram`` frame —
+    a published :func:`textanalysis.repeated_grams` index; persist()
+    it, the plan re-executes per micro-batch) to excise
+    KNOWN-boilerplate spans from every arriving document
+    (``boilerplate_opts`` carries ``n``, which MUST match the value
+    the index was built with; default 12).  This is the enforcement
+    half of the self-supervised scrub's discover/enforce split: a
+    stream cannot know a gram is boilerplate until enough copies have
+    arrived, so a batch :func:`textanalysis.excise_repeated_spans` /
+    ``repeated_grams`` pass discovers (and re-scrubs what landed
+    before discovery), while this option stops every FURTHER copy at
+    the door.  Composes with everything (it consumes no ``bench``);
+    runs before the bench exciser, with both excisions ahead of the
+    filter and the fingerprint for the standard reasons."""
+    if boilerplate_opts is not None and boilerplate_grams is None:
+        raise ValueError("boilerplate_opts requires boilerplate_grams")
+    unknown = set(boilerplate_opts or ()) - {"n"}
+    if unknown:
+        raise ValueError(
+            f"boilerplate_opts supports only 'n', got {sorted(unknown)}"
+        )
     if excise_opts is not None:
         if bench is None:
             raise ValueError("excise_opts requires bench")
@@ -228,6 +275,7 @@ def corpus_dedup_stream(
                 batch, corpus_dir, id_col, text_col, bench,
                 decontaminate_opts, filter_opts,
                 semantic_bmat, semantic_opts, excise_opts,
+                boilerplate_grams, (boilerplate_opts or {}).get("n", 12),
             )
         )
         .option("checkpointLocation", checkpoint_dir)

@@ -521,3 +521,75 @@ def test_streaming_span_excision_fixpoint_closes_seams_at_the_door(
     # epoch 2: pass 1 cuts 'b c d', stitching 'a e f' mid-string for
     # pass 2 — landed text is the fixpoint, not the single pass
     assert rows[3] == "x y g tail"
+
+
+def test_streaming_boilerplate_excision_enforces_a_published_gram_index(
+    spark, tmp_path
+):
+    """The discover/enforce split: a batch repeated_grams pass over
+    yesterday's corpus publishes the boilerplate index; the ingest
+    stream excises every FURTHER copy at the door — landed text is
+    scrubbed, fp covers the landed bytes, clean docs byte-identical,
+    and two docs identical only after boilerplate removal dedup to
+    one.  Composes with the quality filter (it judges post-excision
+    text).  Validation: boilerplate_opts without grams, unknown keys."""
+    import pytest
+
+    from spark_cdc_replication_spark.functions.text import fingerprint
+    from spark_cdc_replication_spark.operators.textanalysis import (
+        repeated_grams,
+    )
+
+    legal = "released under the standard license terms apply everywhere"
+    yesterday = spark.createDataFrame(
+        [
+            (100, f"first historic doc {legal} more words"),
+            (101, f"second historic doc {legal} other words"),
+        ],
+        "doc_id long, text string",
+    )
+    grams = repeated_grams(yesterday, n=8, min_docs=2).persist()
+    assert grams.count() > 0
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (1, f"fresh article one {legal} tail one"),
+            (2, "a clean arriving document with plenty of words"),
+            # 3/4 identical once the boilerplate goes -> one survivor
+            (3, f"Shared body {legal} suffix words"),
+            (4, f"Shared  body {legal} suffix  words"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = corpus_dedup_stream(
+        stream,
+        corpus_dir=corpus,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        boilerplate_grams=grams,
+        boilerplate_opts={"n": 8},
+    )
+    q.awaitTermination(120)
+
+    rows = {r.doc_id: r for r in spark.read.parquet(corpus).collect()}
+    assert rows[1].text == "fresh article one tail one"
+    assert rows[2].text == "a clean arriving document with plenty of words"
+    assert 3 in rows and 4 not in rows
+    assert rows[3].text == "Shared body suffix words"
+    refp = spark.read.parquet(corpus).withColumn("refp", fingerprint("text"))
+    assert refp.filter("fp <> refp").count() == 0
+
+    with pytest.raises(ValueError, match="requires boilerplate_grams"):
+        corpus_dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string").parquet(src),
+            corpus, str(tmp_path / "ck2"), boilerplate_opts={"n": 8},
+        )
+    with pytest.raises(ValueError, match="supports only 'n'"):
+        corpus_dedup_stream(
+            spark.readStream.schema("doc_id bigint, text string").parquet(src),
+            corpus, str(tmp_path / "ck3"),
+            boilerplate_grams=grams, boilerplate_opts={"min_docs": 2},
+        )
+    grams.unpersist()
