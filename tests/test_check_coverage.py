@@ -201,3 +201,27 @@ def test_every_prepared_oracle_is_live_or_staged_discoverable():
         "text_line_dedup_doc",
         "text_excise_spans_fixpoint",
     }, f"staged queue drifted: {sorted(staged)} — update this pin on debut"
+
+
+def test_plandiff_normalize_collapses_only_spark_truncation_tails():
+    """The r15 ADVICE fix, pinned: Spark's end-of-line truncation
+    idiom ('...' optionally followed by ', N more fields') collapses
+    so differing cut points can't read as plan diffs — but a MID-line
+    token containing '...' is a real difference and must survive."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plandiff import normalize
+
+    # differing truncation cut points normalize identically
+    a = "Scan parquet [a#1L, b#2L, veryLongFi... 3 more fields]"
+    b = "Scan parquet [a#10L, b#22L, veryLongFiel... 3 more fields]"
+    assert normalize(a) == normalize(b)
+    # trailing bare '...' also collapses
+    assert normalize("Filter (x#1L > someLongLit...") == normalize(
+        "Filter (x#12L > someLongLitera..."
+    )
+    # a mid-line token difference containing '...' SURVIVES
+    c = normalize("Project [slice(arr#1L, 1...5) AS s#2L, tail#3L]")
+    d = normalize("Project [slice(arr#1L, 2...9) AS s#2L, tail#3L]")
+    assert c != d

@@ -61,7 +61,9 @@ def normalize(plan: str) -> str:
     # Spark's truncation idiom (end-of-line, optionally followed by
     # ", N more fields") is collapsed; a mid-line token that merely
     # contains "..." is a real plan difference and must survive
-    p = re.sub(r"\S*\.\.\.(,? \d+ more fields)?$", "...", p, flags=re.M)
+    p = re.sub(
+        r"\S*\.\.\.(,? \d+ more fields)?[\])>]*$", "...", p, flags=re.M
+    )
     return p
 
 
