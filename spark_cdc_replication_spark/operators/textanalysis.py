@@ -746,6 +746,14 @@ def repeated_grams(
     per-gram occurrence list); output volume is the number of
     DISTINCT repeated grams, eval-index-sized for realistic
     boilerplate density.
+
+    The window width travels WITH the index as the constant
+    ``gram_n`` column (RLE-compressed to nothing in the published
+    parquet): hashes of different widths never collide meaningfully,
+    so an enforcement probe with a mismatched ``n`` silently excises
+    nothing — carrying ``n`` in-band lets
+    :func:`streaming.corpus_ingest.corpus_dedup_stream` reject the
+    mismatch at stream setup instead (ADVICE r16).
     """
     positions = _excise_grams(df, F.col(id_col), n, text_col).select(
         F.col(id_col), F.posexplode("__grams").alias("__pos", "__s")
@@ -759,7 +767,10 @@ def repeated_grams(
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__d"))
         .filter(F.col("__d") >= min_docs)
-        .select(F.col("__s").alias("gram"))
+        .select(
+            F.col("__s").alias("gram"),
+            F.lit(n).cast("int").alias("gram_n"),
+        )
     )
 
 

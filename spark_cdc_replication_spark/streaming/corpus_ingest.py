@@ -223,7 +223,12 @@ def corpus_dedup_stream(
     it, the plan re-executes per micro-batch) to excise
     KNOWN-boilerplate spans from every arriving document
     (``boilerplate_opts`` carries ``n``, which MUST match the value
-    the index was built with; default 12).  This is the enforcement
+    the index was built with; default 12 — a ``repeated_grams`` index
+    carries its build width in-band as the constant ``gram_n`` column,
+    and a mismatch against the effective ``n`` is rejected HERE at
+    setup: width-mismatched hashes never match, so the misconfigured
+    stream would otherwise silently excise nothing, ADVICE r16).
+    This is the enforcement
     half of the self-supervised scrub's discover/enforce split: a
     stream cannot know a gram is boilerplate until enough copies have
     arrived, so a batch :func:`textanalysis.excise_repeated_spans` /
@@ -239,6 +244,23 @@ def corpus_dedup_stream(
         raise ValueError(
             f"boilerplate_opts supports only 'n', got {sorted(unknown)}"
         )
+    if boilerplate_grams is not None and "gram_n" in boilerplate_grams.columns:
+        # the index publishes its build width in-band (constant
+        # column, 1-row distinct — a bounded setup-time action, like
+        # the bench-matrix collect below); an empty index has nothing
+        # to validate (and excises nothing by construction)
+        eff_n = (boilerplate_opts or {}).get("n", 12)
+        built = sorted(
+            r[0]
+            for r in boilerplate_grams.select("gram_n").distinct().limit(3).collect()
+        )
+        if built and built != [eff_n]:
+            raise ValueError(
+                f"boilerplate_grams was built with n={built} but the stream "
+                f"would probe with n={eff_n}: width-mismatched gram hashes "
+                "never match, so this configuration silently excises "
+                "nothing — pass boilerplate_opts={'n': <build width>}"
+            )
     if excise_opts is not None:
         if bench is None:
             raise ValueError("excise_opts requires bench")

@@ -18,95 +18,94 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-16 window (every name must carry a full rows+schema+hash
+#: Round-17 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 42 queries whose last driver-green row is r13 — at the
+#: * the 43 queries whose last driver-green row is r14 — at the
 #:   staleness bound, exactly what `tools/check_coverage.py --plan`
 #:   printed under "MANDATORY for THIS round" once
-#:   CORRECTNESS_r15.json landed: mandatory, all in;
+#:   CORRECTNESS_r16.json landed: mandatory, all in;
 #: * ONE debut (never-green oracles must be in-window; the staged
-#:   debuts are capacity-gated at ~1/round): `dedup_corpus_weighted`
-#:   against its own ORACLE_DEDUP_CORPUS_WEIGHTED — prepared and
-#:   parity-pinned when the query was staged rows-only in r12,
-#:   hash-verified at sf0.01 by the r14/r15 builders and the r14/r15
-#:   judges (500/500 rows);
-#: * 7 r14-greens pulled forward from the due-next pool so r17's
-#:   mandatory list shrinks, chosen to keep the flagship under the
-#:   hash check (`cdc_snapshot_merge` is `entry()`'s query), to keep
-#:   the heaviest plan-audited lines fresh (`prepare_corpus_served`
-#:   is the served twin of the #1 bench line — it also holds the
-#:   hygiene family floor the mandatory 42 miss;
-#:   `similarity_hybrid_rrf` is a top-5 bench line;
-#:   `q1_pricing_summary` the heaviest classic TPC-H agg), to sit
-#:   parity next to this round's debut (`dedup_corpus` shares the
-#:   3-member planting fixture with `dedup_corpus_weighted`), and to
-#:   spread family coverage (`pii_ldiversity` keeps the privacy triad
-#:   fresh next to the staged `pii_tcloseness` pre-certification;
-#:   `events_drift_psi` anchors the streaming drift monitors).
+#:   debuts are capacity-gated at ~1/round): `decontaminate_semantic`
+#:   against its own ORACLE_DECONTAMINATE_SEMANTIC — prepared when
+#:   the query was staged rows-only in r13, re-certified at
+#:   sf0.001/0.01/0.1 every round since via `tools/check_staged.py`
+#:   (r16 and again in-session this round);
+#: * 6 r15-greens pulled forward from the due-next pool so r18's
+#:   mandatory list shrinks, chosen to keep the heaviest bench line
+#:   fresh (`prepare_corpus` is the #1 bench line), to sit parity
+#:   next to this round's debut (`dedup_semantic` is the
+#:   embedding-cosine sibling sharing the planted-leak idiom with
+#:   `decontaminate_semantic`; `similarity_topk` the brute-force
+#:   cosine ground truth both certify against), to keep the CDC core
+#:   fresh (`cdc_merge_incremental` is the multi-batch fold ≡
+#:   one-shot-fold algebra), and to spread family coverage
+#:   (`pii_kanonymity` keeps the privacy triad fresh next to the
+#:   staged `pii_tcloseness` pre-certification;
+#:   `events_session_window` anchors native session windows).
 #:
-#: The steady 3-round cycle over the 143-oracle registry: each
+#: The steady 3-round cycle over the 144-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r13 (42, mandatory)
-    "cdc_antijoin_survivors",
-    "cdc_last_writer_wins",
-    "dedup_exact",
-    "dedup_representatives",
-    "embedding_outliers",
-    "embedding_project",
-    "embedding_separation",
-    "events_anomaly_days",
-    "events_hopping_6h_2h",
-    "events_sessionize",
-    "funnel_conversion",
-    "multimodal_resize",
-    "pack_padding_waste",
-    "pack_sequences",
-    "pii_scrub",
-    "pivot_status_revenue",
-    "q2_best_supplier_per_part",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "range_join_signup_views",
-    "sample_importance",
-    "sample_importance_weights",
-    "sample_mixture_temperature",
-    "sample_quality_bands",
-    "sample_token_budget",
-    "similarity_hard_negatives",
-    "similarity_ivf_all",
-    "similarity_ivf_int8_all",
-    "similarity_knn_label",
-    "split_temporal",
-    "text_bigram_logprob",
-    "text_bm25_topk",
-    "text_contamination",
-    "text_filter_corpus",
-    "text_language_id",
-    "text_line_dedup",
-    "text_quality_calibrate_binned",
-    "text_quality_score",
-    "top_words_salted",
-    "user_behavior_topk",
-    "validate_orders",
-    # the r16 debut (never-green oracles must be in-window)
-    "dedup_corpus_weighted",
-    # 7 r14-greens pulled forward from the due-next pool (r17
-    # mandatory shrinks; flagship + heavy lines + debut parity +
-    # family breadth, see above)
-    "cdc_snapshot_merge",
-    "prepare_corpus_served",
-    "similarity_hybrid_rrf",
-    "q1_pricing_summary",
-    "dedup_corpus",
-    "pii_ldiversity",
-    "events_drift_psi",
+    # at the staleness bound — last driver-green r14 (43, mandatory)
+    "asof_forward_tolerance",
+    "cdc_increment_append",
+    "cdc_raw_partition_stats",
+    "cdc_snapshot_asof",
+    "corpus_divergence",
+    "corpus_divergence_served",
+    "customer_retention_setops",
+    "decontaminate_fuzzy",
+    "dedup_clusters",
+    "dedup_clusters_logstar",
+    "dedup_cross_source",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_shared_shingles",
+    "embedding_quantize",
+    "events_drift_psi_daily",
+    "events_drift_psi_served",
+    "multimodal_features",
+    "profile_orders",
+    "q11_important_part_value",
+    "q12_ship_priority_dist",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_brand_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q20_dominant_suppliers",
+    "q22_sales_opportunity",
+    "q7_volume_shipping",
+    "rollup_incremental",
+    "sample_k_per_source",
+    "sample_mixture",
+    "similarity_hard_negatives_ivf_all",
+    "similarity_ivfpq_all",
+    "similarity_lsh_all",
+    "text_gopher_flags",
+    "text_ngram_coverage",
+    "text_quality_calibrate",
+    "text_unigram_logprob",
+    "top_words",
+    "yoy_customer_diff",
+    # the r17 debut (never-green oracles must be in-window)
+    "decontaminate_semantic",
+    # 6 r15-greens pulled forward from the due-next pool (r18
+    # mandatory shrinks; heavy lines + debut parity + family breadth,
+    # see above)
+    "prepare_corpus",
+    "dedup_semantic",
+    "similarity_topk",
+    "cdc_merge_incremental",
+    "pii_kanonymity",
+    "events_session_window",
 )
 
 

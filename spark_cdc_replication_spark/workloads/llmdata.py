@@ -4721,8 +4721,7 @@ QUERIES = {
     "similarity_hybrid_rrf_ivf_all": q_similarity_hybrid_rrf_ivf_all,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "decontaminate_corpus": q_decontaminate_corpus,
-    # staged rows-only in r13 with ORACLE_DECONTAMINATE_SEMANTIC
-    # prepared; debut capacity-gated (140/150 surface)
+    # r17 oracle debut (staged rows-only in r13; see ORACLE dict note)
     "decontaminate_semantic": q_decontaminate_semantic,
     "dedup_corpus": q_dedup_corpus,
     # r16 oracle debut (staged rows-only in r12; see ORACLE dict note)
@@ -4832,6 +4831,12 @@ ORACLE = {
     "similarity_hybrid_rrf": ORACLE_SIMILARITY_HYBRID_RRF,
     "decontaminate_fuzzy": ORACLE_DECONTAMINATE_FUZZY,
     "decontaminate_corpus": ORACLE_DECONTAMINATE_CORPUS,
+    # r17 debut — staged rows-only in r13 with this oracle prepared,
+    # re-certified at sf0.001/0.01/0.1 every round since via
+    # tools/check_staged.py (r16 and again in-session pre-debut)
+    # before entering the window (capacity-gated behind the r16
+    # dedup_corpus_weighted debut)
+    "decontaminate_semantic": ORACLE_DECONTAMINATE_SEMANTIC,
     "dedup_corpus": ORACLE_DEDUP_CORPUS,
     # r16 debut — staged rows-only in r12 with this oracle prepared,
     # hash-verified at sf0.01 by the r14/r15 builders and the r14/r15

@@ -195,7 +195,6 @@ def test_every_prepared_oracle_is_live_or_staged_discoverable():
 
     staged = set(staged_pairs())
     assert staged == {
-        "decontaminate_semantic",
         "dedup_corpus_keep_best",
         "pii_tcloseness",
         "text_line_dedup_doc",
@@ -225,3 +224,14 @@ def test_plandiff_normalize_collapses_only_spark_truncation_tails():
     c = normalize("Project [slice(arr#1L, 1...5) AS s#2L, tail#3L]")
     d = normalize("Project [slice(arr#1L, 2...9) AS s#2L, tail#3L]")
     assert c != d
+    # the r16 ADVICE case: a truncated FIRST list on a multi-list line
+    # (cut sits immediately before the closing bracket) collapses, so
+    # differing id widths in the truncated region can't read as a diff
+    e = "Arguments: [a#1L, b#2L, veryLon..., 22 more fields], [x#3L, y#4L]"
+    f = "Arguments: [a#11L, b#222L, very..., 22 more fields], [x#33L, y#44L]"
+    assert normalize(e) == normalize(f)
+    # ... while the SECOND (untruncated) list still participates: a
+    # real difference there survives the collapse
+    g = "Arguments: [a#1L, veryLon..., 2 more fields], [x#3L + 1]"
+    h = "Arguments: [a#1L, veryLon..., 2 more fields], [x#3L + 2]"
+    assert normalize(g) != normalize(h)

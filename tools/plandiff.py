@@ -58,12 +58,18 @@ def normalize(plan: str) -> str:
     # substitute ids, so sessions with different raw id widths cut the
     # "..." at different points — collapse the truncated TAIL to bare
     # "..." so the cut point itself can't read as a plan diff.  Only
-    # Spark's truncation idiom (end-of-line, optionally followed by
-    # ", N more fields") is collapsed; a mid-line token that merely
-    # contains "..." is a real plan difference and must survive
+    # Spark's truncation idiom is collapsed; a mid-line token that
+    # merely contains "..." (e.g. slice(arr, 1...5)) is a real plan
+    # difference and must survive.  Two truncation shapes:
+    #  * end-of-line tail, optionally ", N more fields" + closers;
+    #  * a truncated FIRST list on a multi-list line (e.g.
+    #    'Arguments: [..., 22 more fields], [x#x,...]') — same idiom
+    #    but mid-line, recognizable because the cut sits IMMEDIATELY
+    #    before a closing bracket (lookahead keeps the closer)
     p = re.sub(
         r"\S*\.\.\.(,? \d+ more fields)?[\])>]*$", "...", p, flags=re.M
     )
+    p = re.sub(r"\S*\.\.\.(,? \d+ more fields)?(?=[\])>])", "...", p)
     return p
 
 
