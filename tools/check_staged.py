@@ -19,11 +19,15 @@ the DuckDB side fetched through pandas like the driver does.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tools")
+# anchor on this file's location so the tool works from any cwd
+# (ADVICE r16: a bare '.' silently required running from the repo root)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
 
 from check_oracle import TABLES, table_digest  # noqa: E402
 
@@ -91,6 +95,7 @@ def main() -> int:
     qs = entrymod.queries()
     spark = get_spark("staged-check")
     failures = []
+    errors = []
     for sf_dir in [d for d in SF_DIRS if sf_filter in d]:
         con = duckdb.connect()
         for t in TABLES:
@@ -103,8 +108,10 @@ def main() -> int:
                 scols = sdf.columns
                 drows, dcols = _duck_rows(con, pairs[name])
             except Exception as e:  # noqa: BLE001
-                failures.append(f"{name}@{sf_dir}")
-                print(f"FAIL  {name} @ {sf_dir}: {e}")
+                # a crash is a different failure class than a hash
+                # mismatch (ADVICE r16) — track and report separately
+                errors.append(f"{name}@{sf_dir}")
+                print(f"ERROR {name} @ {sf_dir}: {e}")
                 continue
             problems = []
             if len(srows) != len(drows):
@@ -122,8 +129,13 @@ def main() -> int:
                     f"({len(srows)}/{len(drows)} rows, {time.time()-t0:.1f}s)"
                 )
         con.close()
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    print(
+        f"\n{len(failures)} mismatches"
+        + (f": {failures}" if failures else "")
+        + f", {len(errors)} errors"
+        + (f": {errors}" if errors else "")
+    )
+    return 1 if failures or errors else 0
 
 
 if __name__ == "__main__":
