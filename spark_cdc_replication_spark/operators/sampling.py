@@ -318,6 +318,119 @@ def hash_order_prefilter(
     return df.filter(prefix < cut)
 
 
+def waterfill_quotas(sizes: Mapping[int, int], budget: int) -> dict[int, int]:
+    """Water-filling allocation of ``budget`` slots over capacitated
+    groups: repeatedly hand every unsaturated group an equal share of
+    what is left (a group never receives more than its capacity); when
+    the residue is smaller than the number of unsaturated groups, hand
+    out single slots in ascending group order.  Deterministic, exact:
+    ``sum(quotas) == min(budget, sum(sizes))``, every group with
+    ``size >= budget // n_groups`` receives at least that fair share,
+    and no group exceeds its capacity.  Driver-side by design — the
+    input is one row per CLUSTER (bounded by ``num_clusters``), never
+    per document."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    quotas = {c: 0 for c in sizes}
+    remaining = {c: s for c, s in sizes.items() if s > 0}
+    left = min(budget, sum(remaining.values()))
+    while left > 0 and remaining:
+        share = left // len(remaining)
+        if share == 0:
+            for c in sorted(remaining):
+                if left == 0:
+                    break
+                quotas[c] += 1
+                left -= 1
+            break
+        for c in list(remaining):
+            take = min(share, remaining[c])
+            quotas[c] += take
+            remaining[c] -= take
+            left -= take
+            if remaining[c] == 0:
+                del remaining[c]
+    return quotas
+
+
+def cluster_diverse_sample(
+    corpus: DataFrame,
+    budget: int,
+    num_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str | None = None,
+    descending: bool = True,
+    lloyd_iters: int = 2,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic-density-FLATTENING subset selection — the
+    diversification half of the D4 recipe (Tirumala et al., "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification", 2023): cluster the corpus in embedding space,
+    then spend a global ``budget`` via water-filling over the clusters
+    (equal share each, small clusters contribute everything and free
+    their residue) so over-represented semantic regions are downsampled
+    toward uniform while sparse regions keep every document.  This is
+    the selection step that runs AFTER :func:`operators.dedup
+    .dedup_semantic` has removed near-duplicates: dedup removes copies,
+    this flattens what density remains.
+
+    Within each cluster the quota goes to the TOP-``quota`` documents
+    by ``score_col`` (``descending=False`` for loss-like scores;
+    NULL scores rank last; ``id_col`` ascending tie-break), or — with
+    no score — to the hash-order prefix (:func:`sample_k_per_group`'s
+    deterministic-reservoir rule, uniform and stable across runs).
+    Output = the selected rows with their ``cell`` attached.
+
+    Pass ``centroids`` (from :func:`operators.similarity
+    .ivf_centroids`) to reuse an already-trained index — the same
+    centroids an ANN deployment already maintains; otherwise a
+    deterministic index is trained here (lowest-id seeds +
+    ``lloyd_iters`` Lloyd passes).
+
+    Scale shape (100 TB): centroid training is ``lloyd_iters + 1``
+    corpus scans with only ``cells x dim`` floats ever reaching the
+    driver; assignment is ONE shuffle-free Arrow-matmul scan; cluster
+    sizes are a ``num_clusters``-row collect; the only corpus shuffle
+    is the per-cell rank window, with the quota relation broadcast.
+    When a single cell is huge and its quota tiny, pre-filter with
+    :func:`hash_order_prefilter` (score-less mode composes exactly:
+    same order, earlier cutoff)."""
+    from .similarity import _cell_assign_udf, ivf_centroids
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    cents = centroids if centroids is not None else ivf_centroids(
+        corpus, num_clusters, vec_col, id_col, lloyd_iters
+    )
+    assigned = corpus.withColumn("cell", _cell_assign_udf(cents)(vec_col))
+    sizes = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quotas = waterfill_quotas(sizes, budget)
+    spark = corpus.sparkSession
+    quota_df = spark.createDataFrame(
+        [(int(c), int(q)) for c, q in quotas.items()], "cell int, __quota int"
+    )
+    if score_col is None:
+        order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    else:
+        score = F.col(score_col)
+        order = [
+            score.desc_nulls_last() if descending else score.asc_nulls_last(),
+            F.col(id_col),
+        ]
+    w = Window.partitionBy("cell").orderBy(*order)
+    return (
+        assigned.join(F.broadcast(quota_df), "cell")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget: int,

@@ -3237,6 +3237,36 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "weight_micro", "sample_key", "rank")
 
 
+def q_sample_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-density-flattening selection (r17, rows-only BY
+    CONTRACT — the iterative Lloyd centroid training has no tractable
+    SQL twin; pytest floors in ``tests/test_cluster_diverse.py``): the
+    diversification half of the D4 recipe over the embeddings table —
+    cluster into 8 IVF cells (deterministic lowest-id seeds + 2 Lloyd
+    passes, the ANN index's own training loop), water-fill a
+    quarter-corpus budget over the cells so dense semantic regions are
+    downsampled toward uniform while sparse cells keep everything,
+    and spend each cell's quota on its top-``label`` members
+    (``vec_id`` tie-break).  Output carries the assigned ``cell`` so
+    any drift in training, assignment, or allocation changes row
+    VALUES, not just the (deterministic) row count.
+
+    Floors: water-fill allocation vs a python model, exact budget,
+    planted dense-vs-sparse-blob flattening, score/descending
+    selection semantics, partition invariance, trained-vs-reused
+    centroid identity, and a real-table budget check at 3 sfs."""
+    from ..operators.sampling import cluster_diverse_sample
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    n = emb.count()
+    out = cluster_diverse_sample(
+        emb, budget=max(1, n // 4), num_clusters=8, score_col="label"
+    )
+    return out.select("vec_id", "label", "cell")
+
+
 def q_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Jensen-Shannon divergence vs the 'src0' exemplar in
     DSIR's hashed-unigram space (r11 oracle debut, staged rows-only
@@ -4697,6 +4727,9 @@ QUERIES = {
     "sample_mixture_temperature": q_sample_mixture_temperature,
     "sample_importance_weights": q_sample_importance_weights,
     "sample_importance": q_sample_importance,
+    # r17 rows-only BY CONTRACT (Lloyd training has no SQL twin);
+    # floors in tests/test_cluster_diverse.py
+    "sample_diverse": q_sample_diverse,
     # staged rows-only in r10; oracle-registered r11 debuts
     "corpus_divergence": q_corpus_divergence,
     "corpus_divergence_served": q_corpus_divergence_served,
