@@ -393,10 +393,16 @@ def cluster_diverse_sample(
     corpus scans with only ``cells x dim`` floats ever reaching the
     driver; assignment is ONE shuffle-free Arrow-matmul scan; cluster
     sizes are a ``num_clusters``-row collect; the only corpus shuffle
-    is the per-cell rank window, with the quota relation broadcast.
-    When a single cell is huge and its quota tiny, pre-filter with
-    :func:`hash_order_prefilter` (score-less mode composes exactly:
-    same order, earlier cutoff)."""
+    is the per-cell rank window.  The quota table rides as a
+    ``num_clusters``-entry LITERAL map expression rather than a
+    broadcast join — a joined quota pushed ``isnotnull(cell)`` below
+    the output projection and DUPLICATED the assignment UDF (two
+    matmuls per row, plan-verified); the literal lookup keeps exactly
+    one ``ArrowEvalPython`` in the plan (swap to a broadcast join only
+    at genuinely huge nlist, ~10⁵+ cells, where the plan literal
+    outgrows the duplicated scan).  When a single cell is huge and
+    its quota tiny, pre-filter with :func:`hash_order_prefilter`
+    (score-less mode composes exactly: same order, earlier cutoff)."""
     from .similarity import _cell_assign_udf, ivf_centroids
 
     if budget <= 0:
@@ -410,9 +416,17 @@ def cluster_diverse_sample(
         for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     quotas = waterfill_quotas(sizes, budget)
-    spark = corpus.sparkSession
-    quota_df = spark.createDataFrame(
-        [(int(c), int(q)) for c, q in quotas.items()], "cell int, __quota int"
+    pairs: list[Column] = []
+    for c, q in sorted(quotas.items()):
+        pairs += [F.lit(int(c)), F.lit(int(q))]
+    # coalesce is load-bearing: a bare element_at comparison lets
+    # Catalyst INFER isnotnull(cell) and push it below the assignment
+    # projection, duplicating the Arrow UDF (two matmuls per row —
+    # the same inference a quota JOIN triggers); with the null
+    # handled, no constraint is inferred and the plan keeps exactly
+    # one ArrowEvalPython (pinned in tests)
+    quota_expr = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col("cell")), F.lit(0)
     )
     if score_col is None:
         order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
@@ -424,10 +438,9 @@ def cluster_diverse_sample(
         ]
     w = Window.partitionBy("cell").orderBy(*order)
     return (
-        assigned.join(F.broadcast(quota_df), "cell")
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= F.col("__quota"))
-        .drop("__rk", "__quota")
+        assigned.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota_expr)
+        .drop("__rk")
     )
 
 

@@ -116,6 +116,19 @@ def test_ascending_mode_and_scoreless_reservoir(spark):
     assert r1 == r2 and len(r1) == 18
 
 
+def test_assignment_udf_runs_once_in_the_plan(spark):
+    """The quota lookup is a literal map, not a join: a joined quota
+    pushed isnotnull(cell) below the output projection and DUPLICATED
+    the Arrow assignment UDF — two matmuls per row.  Pin exactly one
+    ArrowEvalPython in the optimized plan."""
+    corpus = _blob_corpus(spark)
+    out = cluster_diverse_sample(corpus, budget=18, num_clusters=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("pythonUDF") <= 2  # one eval node: input+output ref
+    physical = out._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("ArrowEvalPython") == 1
+
+
 def test_budget_edges(spark):
     corpus = _blob_corpus(spark)
     # budget >= corpus returns every row, cell attached
