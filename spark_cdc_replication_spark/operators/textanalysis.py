@@ -664,6 +664,7 @@ def excise_repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    share_positions: bool = True,
 ) -> DataFrame:
     """SELF-supervised repeated-span removal — the cross-document
     boilerplate scrub (license headers, templated footers, quoted
@@ -716,11 +717,50 @@ def excise_repeated_spans(
     since boilerplate can live in every document).  Probe keys are
     xxhash64 (8-byte) with the same ~2⁻⁶⁴ collision bound as the
     bench exciser.
+
+    ``share_positions`` (default on, r17): the gram-count build and
+    the probe consume the SAME ``(id, pos, gram)`` frame, so the
+    tokenize + window-hash + posexplode pass — measured 1.7 s of this
+    operator's 4.1 s at sf0.1, i.e. paid twice for ~80% of the wall —
+    is materialized once via a deferred ``localCheckpoint`` and served
+    to both consumers from executor-local blocks.  The blocks are
+    token-volume-sized (≈20 B/word longs), the same order as the probe
+    shuffle that must flow anyway, and live only for this job; the
+    shuffle shapes, skew posture, and output are byte-identical to the
+    recompute form.  Fresh per call — nothing survives across
+    invocations.  Two caveats, both inherited from the fixpoint
+    exciser's documented localCheckpoint trade: blocks are UNRELIABLE
+    storage (executor loss mid-job fails the job; retry), and at a
+    scale where token-volume × ~20 B exceeds what executors can hold
+    even spilling, pass ``share_positions=False`` to fall back to the
+    two-scan recompute shape (one extra corpus scan, zero storage).
     """
-    return excise_gram_spans(
-        df, repeated_grams(df, n, min_docs, text_col, id_col), n,
-        text_col=text_col, id_col=id_col,
+    if not share_positions:
+        return excise_gram_spans(
+            df, repeated_grams(df, n, min_docs, text_col, id_col), n,
+            text_col=text_col, id_col=id_col,
+        )
+    positions = (
+        _excise_grams(df, F.col(id_col), n, text_col)
+        .select(F.col(id_col), F.posexplode("__grams").alias("__pos", "__s"))
+        .localCheckpoint(eager=False)
     )
+    # same two-phase distinct-doc count as repeated_grams (skew-safe:
+    # a hot gram spreads over (gram, doc) before the per-gram count)
+    grams = (
+        positions.select("__s", id_col)
+        .distinct()
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("__s")
+    )
+    matched = (
+        positions.join(grams, on="__s", how="inner")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__pos")).alias("__starts"))
+    )
+    return _excise_rewrite(df, matched, n, text_col, id_col)
 
 
 def repeated_grams(
