@@ -952,18 +952,45 @@ def containment_pairs(
         .groupBy("id_a")
         .agg(F.count(F.lit(1)).alias("__n_a"))
     )
+    # |grams(a) ∩ grams(b)| is SYMMETRIC, so count each UNORDERED pair
+    # once (id_a < id_b — half the pair-explode rows ever reach the
+    # pair-count shuffle and hash aggregate; measured 3.3 s -> 2.3 s
+    # for the consumed query at sf0.1) and emit the two directed
+    # containments from the single counted row afterwards — an inline
+    # 2-element explode, so the pair pipeline is never duplicated into
+    # a union of two subtrees.
     inter = (
         postings.select(F.explode("__ids").alias("id_a"), "__ids")
         .select("id_a", F.explode("__ids").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
-    cont = F.col("__shared") / F.col("__n_a")
+    joined = inter.join(
+        sizes, "id_a"
+    ).join(
+        sizes.select(F.col("id_a").alias("id_b"), F.col("__n_a").alias("__n_b")),
+        "id_b",
+    )
+    both = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
+                    (F.col("__shared") / F.col("__n_a")).alias("__c"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    (F.col("__shared") / F.col("__n_b")).alias("__c"),
+                ),
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b", F.col("__p.__c").alias("__c"))
     return (
-        inter.join(sizes, "id_a")
-        .filter(cont >= min_containment)
-        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        both.filter(F.col("__c") >= min_containment)
+        .select("id_a", "id_b", F.round(F.col("__c"), 6).alias("containment"))
     )
 
 
