@@ -1347,18 +1347,28 @@ def dup_clusters(
 
     src, dst = _cc_edge_cols(pairs, id_a, id_b)
     edges = pairs.select(src.alias("src"), dst.alias("dst"))
+    # DEFERRED checkpoint (r17): the edge materialization rides the
+    # first round's job instead of being its own eagerly-scheduled
+    # action — the upstream lineage (typically a full LSH+verify
+    # pipeline) still runs exactly once, into blocks every round
+    # reads.  The init labels likewise stay un-checkpointed: round 1
+    # references the init aggregate twice (join + union side), but
+    # both sides read the edge BLOCKS and share the identical
+    # aggregate exchange, while shallow fixtures (the common dedup
+    # case — near-dup groups converge in round 1) now pay ONE driver
+    # action before convergence instead of three.  Rounds after the
+    # first checkpoint eagerly as before, so lineage never grows.
     edges = (
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .withColumnRenamed("src", "node")
-        .localCheckpoint()
     )
     changed = None
     for _ in range(max_iters):
@@ -1476,7 +1486,9 @@ def dup_clusters_logstar(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        # deferred: materialized by round 1's job (same r17 trade as
+        # dup_clusters — one fewer driver action, blocks identical)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for _ in range(max_rounds):
