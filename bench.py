@@ -99,6 +99,11 @@ HEADLINE = [
     # builder's BENCH_r16_sf1/_sf3 records landed, so its first sf1+
     # record is r17's (sf-curve probes in SCALE.md r16 meanwhile)
     "text_excise_repeated",
+    # r17 rows-only surface (cluster-diverse D4 sampling): centroid
+    # training (lloyd_iters+1 scans), ONE checkpointed assignment
+    # pass, per-cell rank window — added in the r17 optimization
+    # round so the new operator has a bench record from day one
+    "sample_diverse",
 ]
 
 

@@ -410,7 +410,17 @@ def cluster_diverse_sample(
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, num_clusters, vec_col, id_col, lloyd_iters
     )
-    assigned = corpus.withColumn("cell", _cell_assign_udf(cents)(vec_col))
+    # deferred localCheckpoint (r17): the cluster-size collect below
+    # must run the assignment matmul anyway — checkpointing the
+    # assigned frame there makes the final rank/filter pass read the
+    # blocks instead of re-running the UDF scan, so post-training
+    # assignment is ONE pass at runtime too, not just one plan node.
+    # Blocks are corpus+cell-sized and live only for this job; the
+    # executor-loss caveat is the same documented localCheckpoint
+    # trade as the hygiene/excision pipelines.
+    assigned = corpus.withColumn(
+        "cell", _cell_assign_udf(cents)(vec_col)
+    ).localCheckpoint(eager=False)
     sizes = {
         r["cell"]: r["n"]
         for r in assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
