@@ -626,6 +626,7 @@ def split_cluster_safe(
     out_col: str = "split",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_clusters: bool = True,
     **cluster_kwargs,
 ) -> DataFrame:
     """Leakage-safe hash split over duplicate CLUSTERS — the third
@@ -656,15 +657,24 @@ def split_cluster_safe(
     Shape at scale: ``dup_clusters``'s label propagation shuffles only
     ``(node, label)`` longs over the pair-touched subset; attaching
     reps is one left join of the corpus against that (much smaller)
-    labels frame — AQE broadcasts it when it fits, and the split
-    itself is one codegen'd projection.  Nothing scales with document
-    payloads.
+    labels frame, EXPLICITLY broadcast (r17 — the ``dedup_corpus``
+    removal-join lesson repeated: the labels frame is a checkpointed
+    RDD whose size estimate is the pessimistic default, so the
+    planner kept this join sort-merge and shuffled every document
+    BODY by id at runtime, plan-verified; the frame itself is bounded
+    by the duplicate count).  If the duplicate population outgrows
+    the driver, pass ``broadcast_clusters=False`` — the shuffle is
+    then the honest cost, same escape hatch as ``broadcast_removal``.
+    The split itself is one codegen'd projection; nothing else scales
+    with document payloads.
     """
     from .dedup import dup_clusters
 
     clusters = dup_clusters(pairs, id_a=id_a, id_b=id_b, **cluster_kwargs).select(
         F.col("doc_id").alias("__ck"), F.col("cluster_id").alias("__rep_label")
     )
+    if broadcast_clusters:
+        clusters = F.broadcast(clusters)
     with_rep = (
         df.join(clusters, F.col(key_col) == F.col("__ck"), "left")
         .withColumn(
