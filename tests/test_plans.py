@@ -114,10 +114,15 @@ def test_q21_single_lineitem_scan_one_window_sort(spark, sf_dir):
     assert plan.count("Window") == 2
     n_sorts_for_windows = plan.count("ASC NULLS FIRST], false")
     assert n_sorts_for_windows == 1
-    # the (orderkey, suppkey) pre-agg, the orderkey window, and the
-    # final per-supplier count: 3 exchanges, none of them lineitem-wide
-    # twice (the correlated formulation would add 2 more full re-scans)
-    assert plan.count("Exchange hashpartitioning") == 3
+    # ONE l_orderkey exchange serves BOTH the (orderkey, suppkey)
+    # pre-agg and the orderkey windows (r17: the explicit repartition
+    # satisfies the aggregate's clustered distribution because its
+    # keys are a superset of the partitioning) — plus the final
+    # per-supplier count: 2 exchanges total, down from 3, and still
+    # none of them lineitem-wide twice (the correlated EXISTS
+    # formulation would add 2 more full re-scans)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning(l_orderkey") == 1
 
 
 def test_q11_threshold_join_broadcasts_single_row_aggregate(spark, sf_dir):
