@@ -18,94 +18,88 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: in insertion order, so which queries earn a driver-green row each
 #: round is a deliberate rotation, not an accident of module order.
-#: Round-17 window (every name must carry a full rows+schema+hash
+#: Round-18 window (every name must carry a full rows+schema+hash
 #: oracle; tools/check_coverage.py enforces >=1 in-window entry per
 #: operator family AND a <=2-round staleness bound per oracle query
 #: against the CORRECTNESS_r*.json history):
 #:
-#: * the 43 queries whose last driver-green row is r14 — at the
+#: * the 44 queries whose last driver-green row is r15 — at the
 #:   staleness bound, exactly what `tools/check_coverage.py --plan`
 #:   printed under "MANDATORY for THIS round" once
-#:   CORRECTNESS_r16.json landed: mandatory, all in;
-#: * ONE debut (never-green oracles must be in-window; the staged
-#:   debuts are capacity-gated at ~1/round): `decontaminate_semantic`
-#:   against its own ORACLE_DECONTAMINATE_SEMANTIC — prepared when
-#:   the query was staged rows-only in r13, re-certified at
-#:   sf0.001/0.01/0.1 every round since via `tools/check_staged.py`
-#:   (r16 and again in-session this round);
-#: * 6 r15-greens pulled forward from the due-next pool so r18's
-#:   mandatory list shrinks, chosen to keep the heaviest bench line
-#:   fresh (`prepare_corpus` is the #1 bench line), to sit parity
-#:   next to this round's debut (`dedup_semantic` is the
-#:   embedding-cosine sibling sharing the planted-leak idiom with
-#:   `decontaminate_semantic`; `similarity_topk` the brute-force
-#:   cosine ground truth both certify against), to keep the CDC core
-#:   fresh (`cdc_merge_incremental` is the multi-batch fold ≡
-#:   one-shot-fold algebra), and to spread family coverage
-#:   (`pii_kanonymity` keeps the privacy triad fresh next to the
-#:   staged `pii_tcloseness` pre-certification;
-#:   `events_session_window` anchors native session windows).
+#:   CORRECTNESS_r17.json landed: mandatory, all in;
+#: * no debut this round (r18 is the second OPTIMIZATION round — no
+#:   new features; the staged-debut pipeline resumes with the next
+#:   build round);
+#: * 6 r16-greens pulled forward from the due-next pool, chosen to
+#:   driver-certify exactly the paths this optimization round
+#:   touches: `text_filter_corpus` is the hygiene-filter operator
+#:   being rewritten onto the Arrow boundary (VERDICT r17 item 1)
+#:   and `prepare_corpus_served` its composed streaming-parity
+#:   consumer; `text_bm25_topk` and `similarity_hybrid_rrf` cover the
+#:   BM25 serve-path action-count work (item 7);
+#:   `dedup_corpus_weighted` is the heaviest dedup headline line
+#:   (consumer of any CC/verify change); `q1_pricing_summary` is the
+#:   r17-regressed analytics line, so any q1 adjudication this round
+#:   lands with a fresh driver-green row.
 #:
 #: The steady 3-round cycle over the 144-oracle registry: each
 #: round's window = the r-3 leftovers (mandatory) + as many r-2
 #: greens as fit + any never-green debuts + semantics-changed
 #: re-earners.
 GATE_WINDOW: tuple[str, ...] = (
-    # at the staleness bound — last driver-green r14 (43, mandatory)
-    "asof_forward_tolerance",
-    "cdc_increment_append",
-    "cdc_raw_partition_stats",
-    "cdc_snapshot_asof",
-    "corpus_divergence",
-    "corpus_divergence_served",
-    "customer_retention_setops",
-    "decontaminate_fuzzy",
-    "dedup_clusters",
-    "dedup_clusters_logstar",
-    "dedup_cross_source",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_shared_shingles",
-    "embedding_quantize",
-    "events_drift_psi_daily",
-    "events_drift_psi_served",
-    "multimodal_features",
-    "profile_orders",
-    "q11_important_part_value",
-    "q12_ship_priority_dist",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_brand_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q20_dominant_suppliers",
-    "q22_sales_opportunity",
-    "q7_volume_shipping",
-    "rollup_incremental",
-    "sample_k_per_source",
-    "sample_mixture",
-    "similarity_hard_negatives_ivf_all",
-    "similarity_ivfpq_all",
-    "similarity_lsh_all",
-    "text_gopher_flags",
-    "text_ngram_coverage",
-    "text_quality_calibrate",
-    "text_unigram_logprob",
-    "top_words",
-    "yoy_customer_diff",
-    # the r17 debut (never-green oracles must be in-window)
-    "decontaminate_semantic",
-    # 6 r15-greens pulled forward from the due-next pool (r18
-    # mandatory shrinks; heavy lines + debut parity + family breadth,
-    # see above)
-    "prepare_corpus",
-    "dedup_semantic",
-    "similarity_topk",
-    "cdc_merge_incremental",
-    "pii_kanonymity",
-    "events_session_window",
+    # at the staleness bound — last driver-green r15 (44, mandatory)
+    "approx_distinct_bound",
+    "approx_percentile_bound",
+    "asof_purchase_view",
+    "cdc_coalesce_updates",
+    "cdc_json_flatten",
+    "cdc_name_sanitize",
+    "cdc_route_ops",
+    "cdc_union_dedup",
+    "chunk_documents",
+    "clean_corpus",
+    "cohort_retention",
+    "corpus_shuffle",
+    "corpus_stats",
+    "cube_revenue",
+    "customer_deciles",
+    "daily_revenue_trend",
+    "decontaminate_corpus",
+    "dedup_containment",
+    "dedup_minhash_verified",
+    "dedup_simhash_verified",
+    "embedding_label_centroids",
+    "events_tumbling_6h",
+    "fuzzy_join_parts",
+    "multimodal_audio_vad",
+    "multimodal_frames",
+    "pii_prevalence",
+    "q10_returned_revenue",
+    "q21_waiting_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "rollup_revenue",
+    "sample_quality_weighted",
+    "sample_stratified",
+    "similarity_hybrid_rrf_ivf_all",
+    "similarity_pq_all",
+    "split_assign",
+    "split_cluster_safe",
+    "text_fingerprints",
+    "text_lang_stats",
+    "text_repetition",
+    "text_stats",
+    "tfidf_top_terms",
+    "top_orders_per_customer",
+    # 6 r16-greens pulled forward (r19 mandatory shrinks; chosen to
+    # certify the operators this optimization round touches, see above)
+    "text_filter_corpus",
+    "prepare_corpus_served",
+    "text_bm25_topk",
+    "similarity_hybrid_rrf",
+    "dedup_corpus_weighted",
+    "q1_pricing_summary",
 )
 
 
