@@ -1,18 +1,29 @@
 """Text-analysis operators for training-data pipelines ([EXT]).
 
-Pure native-expression implementations (whole-stage codegen; zero
-Python UDFs) of: language ID, quality scoring, token counting, and
-document fingerprinting.  See ``functions/text.py`` for the underlying
-expressions and their DuckDB twins.
+Native-expression implementations (whole-stage codegen; no row-at-a-time
+Python) of: language ID, quality scoring, token counting, and document
+fingerprinting.  See ``functions/text.py`` for the underlying
+expressions and their DuckDB twins.  The one Python-boundary crossing
+is :func:`filter_corpus`'s vectorized Arrow keep-mask (guide §4.2):
+whole Arrow batches of the text column are scored with
+pyarrow.compute/NumPy kernels — semantically pinned to the native
+expression path it replaced, which remains available
+(``arrow_filter=False``) and equivalence-tested against it.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import (
     STOPWORDS,
+    _WS_CHARS,
     bpe_ish_token_count,
     count_matching,
     fingerprint,
@@ -1127,6 +1138,171 @@ def dedup_lines_in_doc(
     return df.withColumn(text_col, cleaned)
 
 
+#: Exactly Java regex ``\s+`` / ``[^A-Za-z0-9\s]`` as RE2 classes over
+#: the same explicit character set (``functions.text._WS_CHARS``), so
+#: the Arrow keep-mask tokenizes and counts punctuation byte-for-byte
+#: like the native expressions (``F.split(_, '\\s+')`` /
+#: ``regexp_extract_all(_, '[^A-Za-z0-9\\s]')``).
+_WS_RE = f"[{_WS_CHARS}]+"
+_PUNCT_RE = f"[^A-Za-z0-9{_WS_CHARS}]"
+
+
+def _round6_cmp(pre: "np.ndarray", thr: float, ge: bool) -> "np.ndarray":
+    """Vectorized ``round(pre, 6) >= thr`` (``ge=True``) or ``<= thr``
+    (``ge=False``) with Spark's exact Round semantics.  Spark's
+    ``Round(double, 6)`` is ``BigDecimal.valueOf(x).setScale(6,
+    HALF_UP)`` — ``BigDecimal.valueOf`` goes through
+    ``Double.toString`` (shortest round-trip repr), which is what
+    Python's ``repr(float)``/``Decimal(repr(x))`` reproduces.  Rounding
+    to 6 dp moves a value by < 1e-6, so the comparison can only flip
+    inside a 1e-6 margin of the threshold; those few rows are decided
+    exactly via Decimal, everything else stays vectorized."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out = pre >= thr if ge else pre <= thr
+    six = Decimal("0.000001")
+    for i in np.flatnonzero(np.abs(pre - thr) < 1e-6):
+        r = float(Decimal(repr(float(pre[i]))).quantize(six, rounding=ROUND_HALF_UP))
+        out[i] = (r >= thr) if ge else (r <= thr)
+    return out
+
+
+def _filter_corpus_keep_mask(
+    texts,
+    min_quality: float,
+    langs: tuple[str, ...],
+    min_words: int,
+    min_distinct_word_frac: float,
+    max_top_bigram_frac: float,
+) -> "np.ndarray":
+    """Vectorized keep-mask over a pyarrow string array — the composed
+    :func:`filter_corpus` predicate evaluated with pyarrow.compute /
+    NumPy kernels instead of interpreted JVM higher-order functions
+    (guide §4.2).  Semantics are pinned to the native expression path:
+
+    * tokenizer = RE2 split on exactly Java ``\\s+`` after trimming the
+      same character set (``_WS_RE`` above); blank/whitespace-only text
+      tokenizes to one empty token, matching ``split(btrim(..), '\\s+')``;
+    * all ratios are float64 divisions of exact small integers in the
+      same operation order as the expressions — bit-identical IEEE
+      doubles — and every ``round(_, 6)`` threshold comparison goes
+      through :func:`_round6_cmp` (Spark HALF_UP semantics);
+    * NULL text fails the mask exactly as 3VL makes it fail the
+      expression predicate.
+
+    Equivalence is enforced by ``tests/test_text_hygiene.py`` (survivor
+    sets vs the expression path and vs the chained feature operators,
+    including engineered threshold-boundary rows) and by the DuckDB
+    oracles, which recompute every feature from first principles.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, pa.Array) else pa.array(texts, type=pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    valid = np.asarray(pc.is_valid(arr))
+    n_chars = np.asarray(pc.utf8_length(arr).fill_null(0)).astype(np.int64)
+    n_punct = np.asarray(
+        pc.count_substring_regex(arr, pattern=_PUNCT_RE).fill_null(0)
+    ).astype(np.int64)
+    trimmed = pc.utf8_trim(arr, characters=_WS_CHARS)
+    blank = np.asarray(pc.equal(pc.utf8_length(trimmed), 0).fill_null(True))
+    toks = pc.split_pattern_regex(trimmed, pattern=_WS_RE)
+    row_tok = np.asarray(pc.list_value_length(toks).fill_null(0)).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    row_id = np.repeat(np.arange(n, dtype=np.int64), row_tok)
+
+    # ---- quality composite (raw tokens, case-sensitive stopwords) ----
+    stop_hits = np.asarray(
+        pc.is_in(flat, value_set=pa.array(STOPWORDS, type=pa.string()))
+    )
+    stop_cnt = np.bincount(row_id, weights=stop_hits, minlength=n)
+    n_tok = np.where(blank, 0, row_tok).astype(np.float64)
+    len_score = np.minimum(n_tok / 100.0, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pr = np.where(n_chars > 0, n_punct / np.where(n_chars > 0, n_chars, 1), 0.0)
+        sr = np.where(n_tok > 0, stop_cnt / np.where(n_tok > 0, n_tok, 1), 0.0)
+    punct_ok = 1.0 - np.minimum(pr * 5.0, 1.0)
+    stop_ok = np.minimum(sr * 4.0, 1.0)
+    quality_pre = (len_score + punct_ok + stop_ok) / 3.0
+    q_ok = _round6_cmp(quality_pre, float(min_quality), ge=True)
+
+    # ---- language argmax over lowered tokens (alphabetical tie-break) ----
+    flat_low = pc.utf8_lower(flat)
+    nz = np.where(row_tok > 0, row_tok, 1).astype(np.float64)
+    order = sorted(LANG_MARKERS)
+    scores = {}
+    for lang in order:
+        hits = np.asarray(
+            pc.is_in(flat_low, value_set=pa.array(LANG_MARKERS[lang], type=pa.string()))
+        )
+        scores[lang] = np.bincount(row_id, weights=hits, minlength=n) / nz
+    best = scores[order[0]].copy()
+    for lang in order[1:]:
+        np.maximum(best, scores[lang], out=best)
+    pred = np.full(n, -1, dtype=np.int64)  # -1 == 'und'
+    for idx in range(len(order) - 1, -1, -1):
+        pred = np.where((best > 0) & (scores[order[idx]] == best), idx, pred)
+    lang_ok = np.zeros(n, dtype=bool)
+    for lang in langs:
+        if lang in order:
+            lang_ok |= pred == order.index(lang)
+        elif lang == "und":  # no marker matched anywhere
+            lang_ok |= pred == -1
+
+    # ---- repetition stats over lowered tokens ----
+    enc = pc.dictionary_encode(flat_low)
+    codes = np.asarray(enc.indices).astype(np.int64)
+    srt = np.lexsort((codes, row_id))
+    s_row, s_code = row_id[srt], codes[srt]
+    if len(s_row):
+        new = np.empty(len(s_row), dtype=bool)
+        new[0] = True
+        new[1:] = (s_row[1:] != s_row[:-1]) | (s_code[1:] != s_code[:-1])
+        n_distinct = np.bincount(s_row, weights=new, minlength=n)
+    else:
+        n_distinct = np.zeros(n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dwf_pre = np.where(row_tok > 0, n_distinct / nz, 0.0)
+    dwf_ok = _round6_cmp(dwf_pre, float(min_distinct_word_frac), ge=True)
+    # rows with no tokens (NULL text) have dwf NULL in Spark -> 3VL false
+    dwf_ok &= row_tok > 0
+
+    # bigrams: adjacent lowered-token code pairs within a row; the
+    # most-frequent bigram count == longest equal run of sorted pairs,
+    # exactly _run_length_max over the sorted bigram array
+    same = row_id[:-1] == row_id[1:] if len(row_id) else np.zeros(0, dtype=bool)
+    brow = row_id[:-1][same]
+    b1 = codes[:-1][same]
+    b2 = codes[1:][same]
+    best_run = np.zeros(n, dtype=np.int64)
+    if len(brow):
+        o = np.lexsort((b2, b1, brow))
+        sb_row, sb1, sb2 = brow[o], b1[o], b2[o]
+        newrun = np.empty(len(sb_row), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (
+            (sb_row[1:] != sb_row[:-1])
+            | (sb1[1:] != sb1[:-1])
+            | (sb2[1:] != sb2[:-1])
+        )
+        starts = np.flatnonzero(newrun)
+        run_len = np.diff(np.append(starts, len(sb_row)))
+        run_row = sb_row[starts]
+        rf = np.flatnonzero(np.concatenate(([True], run_row[1:] != run_row[:-1])))
+        best_run[run_row[rf]] = np.maximum.reduceat(run_len, rf)
+    n_bg = np.maximum(row_tok - 1, 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tbf_pre = np.where(n_bg > 0, best_run / np.where(n_bg > 0, n_bg, 1), 0.0)
+    # coalesce(round(tbf, 6), 0) <= max_tbf: NULL (n_bg == 0) -> 0 -> pass
+    tbf_ok = _round6_cmp(tbf_pre, float(max_top_bigram_frac), ge=False)
+    tbf_ok = np.where(n_bg > 0, tbf_ok, True)
+
+    return valid & q_ok & lang_ok & (row_tok >= min_words) & dwf_ok & tbf_ok
+
+
 def filter_corpus(
     df: DataFrame,
     text_col: str = "text",
@@ -1136,6 +1312,7 @@ def filter_corpus(
     min_words: int = 10,
     min_distinct_word_frac: float = 0.3,
     max_top_bigram_frac: float = 0.2,
+    arrow_filter: bool = True,
 ) -> DataFrame:
     """Gopher/C4-style composed quality filter returning the SURVIVOR
     corpus (every input column preserved) — the filtering member of the
@@ -1144,23 +1321,46 @@ def filter_corpus(
     documents): quality score, language, length, and intra-document
     repetition thresholds applied in one call.
 
-    Shape: one scan, no shuffle, no id join — and since r8 the three
-    token arrays every feature consumes (raw words, normalized words,
-    and the SORTED per-row bigram array) are materialized ONCE per row
-    behind a Generate barrier (``explode(array(struct(...)))``):
-    chained ``append=True`` projections let Catalyst inline the
-    tokenizer into every downstream reference — language-ID's argmax
-    alone re-references its per-language scores ~3x per language, so
-    the composed predicate re-ran normalize+split ~20x per row
-    (measured 26 s for the sf1 filter stage vs 14 s behind the
-    barrier, identical survivors; a Project cannot collapse into a
-    Generate, so the arrays are computed exactly once).  All
-    thresholds land in one predicate over attribute reads; survivors
-    keep their storage layout.  Feature VALUES are pinned to the
-    standalone operators by ``test_text_hygiene.py`` equivalence and
-    by the composed oracles (text_filter_corpus / clean_corpus /
-    prepare_corpus recompute every definition from first principles).
+    Shape: one scan, no shuffle, no id join.  Since r18 the default
+    path (``arrow_filter=True``) evaluates the composed predicate as a
+    vectorized Arrow keep-mask (:func:`_filter_corpus_keep_mask`): ONLY
+    the text column crosses the Python boundary (one ArrowEvalPython
+    node; every other column stays in the JVM) and each batch is scored
+    with pyarrow.compute/NumPy kernels — the previous native-expression
+    path evaluated the per-token features as interpreted higher-order
+    functions (aggregate/filter lambdas are not codegen'd), measured
+    1.35 s of prepare_corpus's 3.47 s at sf0.1 (guide §4.2: batch
+    kernels beat interpreted JVM expressions).  ``arrow_filter=False``
+    keeps the pure-JVM expression path: r8's Generate-barrier shape —
+    the three token arrays materialized ONCE per row behind
+    ``explode(array(struct(...)))`` because chained projections let
+    Catalyst inline the tokenizer into every downstream reference
+    (measured 26 s -> 14 s at sf1), all thresholds in one predicate
+    over attribute reads.  Both paths return identical survivor sets
+    (``tests/test_text_hygiene.py`` equivalence, incl. engineered
+    threshold-boundary rows); feature VALUES are pinned to the
+    standalone operators and by the composed oracles
+    (text_filter_corpus / clean_corpus / prepare_corpus recompute
+    every definition from first principles).
     """
+    if arrow_filter:
+        mq, lg = float(min_quality), tuple(langs)
+        mw, mdwf, mtbf = int(min_words), float(min_distinct_word_frac), float(
+            max_top_bigram_frac
+        )
+
+        @F.pandas_udf("boolean")
+        def _keep(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            import pyarrow as pa
+
+            for s in batches:
+                arr = pa.Array.from_pandas(s, type=pa.string())
+                yield pd.Series(
+                    _filter_corpus_keep_mask(arr, mq, lg, mw, mdwf, mtbf)
+                )
+
+        return df.filter(_keep(F.col(text_col)))
+
     wr_expr = words(text_col)
     wn_expr = words(normalized(text_col))
     g = df.select(

@@ -493,6 +493,69 @@ def test_filter_corpus_matches_chained_feature_operators(spark):
     assert got == want and got  # non-empty and identical
 
 
+def test_filter_corpus_arrow_matches_expression_path_boundary_rows(spark):
+    """r18: the vectorized Arrow keep-mask (arrow_filter=True, default)
+    must keep the EXACT survivor set of the native expression path on
+    rows engineered to land ON each threshold — where Spark's
+    round(_, 6) HALF_UP semantics decide the comparison — plus the
+    NULL/blank/unicode/whitespace edge shapes."""
+    from spark_cdc_replication_spark.operators.textanalysis import filter_corpus
+
+    rows = [
+        # quality exactly 0.5: 10 tokens, 1 stopword, 0 punct ->
+        # (10/100 + 1.0 + 4*(1/10)) / 3 = 0.5
+        (1, "the w1a w2a w3a w4a w5a w6a w7a w8a w9a".replace("1a", "one")),
+        (2, "the aa bb cc dd ee ff gg hh ii"),
+        # one fewer stopword: quality just below
+        (3, "xx aa bb cc dd ee ff gg hh ii"),
+        # dwf exactly 0.3: 10 tokens, 3 distinct
+        (4, "aa aa aa aa bb bb bb bb cc cc"),
+        # dwf just below: 10 tokens, 2 distinct
+        (5, "aa aa aa aa aa bb bb bb bb bb"),
+        # tbf exactly 0.2: 11 tokens, 10 bigrams, top bigram "aa bb" x2
+        (6, "aa bb cc dd ee aa bb ff gg hh ii"),
+        # tbf just above 0.2: 3/10
+        (7, "aa bb aa bb aa bb ff gg hh ii zz"),
+        # min_words boundary: exactly 10 and 9 tokens
+        (8, "the cat and dog ran to park in sun fun"),
+        (9, "the cat and dog ran to park in sun"),
+        # NULL / empty / whitespace-only / trailing newline
+        (10, None),
+        (11, ""),
+        (12, " \t\n\x0b\f\r"),
+        (13, "the cat and the dog ran to the park today\n"),
+        # unicode markers and case-sensitivity of stopwords
+        (14, "für von und der die das ist nicht ein mit"),
+        (15, "的 是 了 在 我 有 和 不 人 这"),
+        (16, "The THE tHe the aa bb cc dd ee ff"),
+        # multi-whitespace separators
+        (17, "the  cat\t\tand\nthe   dog ran to the park today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for kw in (
+        dict(min_quality=0.5, langs=("en",), min_words=10,
+             min_distinct_word_frac=0.3, max_top_bigram_frac=0.2),
+        dict(min_quality=0.5, langs=("en", "de", "zh"), min_words=5,
+             min_distinct_word_frac=0.3, max_top_bigram_frac=0.2),
+        # 'und' = no marker matched anywhere (streaming ingest uses it)
+        dict(min_quality=0.0, langs=("en", "und"), min_words=5,
+             min_distinct_word_frac=0.0, max_top_bigram_frac=1.0),
+    ):
+        arrow = {r.doc_id for r in filter_corpus(df, **kw).collect()}
+        expr = {
+            r.doc_id
+            for r in filter_corpus(df, **kw, arrow_filter=False).collect()
+        }
+        assert arrow == expr and arrow  # identical and non-empty
+    # the arrow path is the default and its plan has exactly one
+    # Python-eval node and zero exchanges (one scan, no shuffle)
+    plan = (
+        filter_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
 def test_tokenizer_ignores_leading_trailing_whitespace(spark):
     """r8 fix: trim() strips only spaces, so 'hello world\\n' used to
     tokenize as ['hello','world',''] — a phantom empty token inflating
